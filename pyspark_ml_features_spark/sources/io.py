@@ -28,10 +28,24 @@ def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table (TESTDATA.md) from a scale-factor directory."""
+    """Load one driver table (TESTDATA.md) from a scale-factor directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read nanos as long and truncate
+    to microsecond timestamps — the same truncation DuckDB applies when it
+    narrows TIMESTAMP_NS to its native TIMESTAMP, so oracles line up.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return parquet_scan(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = parquet_scan(spark, path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return parquet_scan(spark, path)
 
 
 def csv_scan(spark: SparkSession, path: str,

@@ -37,8 +37,22 @@ def ddb():
     con.close()
 
 
+def _canon_cell(v):
+    """Arrays/lists from Spark (ndarray) and DuckDB (list) -> tuples so they
+    compare and sort identically; floats inside kept exact."""
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar -> python scalar
+        return v.item()
+    return v
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by all values — order-insensitive form."""
+    df = df.copy()
+    for col in df.columns:
+        if df[col].dtype == object:
+            df[col] = df[col].map(_canon_cell, na_action="ignore")
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
@@ -60,6 +74,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        sk = "i" if sv.dtype.kind == "u" else sv.dtype.kind
+        ok = "i" if ov.dtype.kind == "u" else ov.dtype.kind
+        if sk != ok and "O" not in (sk, ok):
+            raise AssertionError(
+                f"{name}: column {col!r} dtype kind mismatch: spark "
+                f"{sv.dtype} vs oracle {ov.dtype} — align casts on both sides")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv = pd.to_numeric(sv, errors="coerce").astype(float)
             ov = pd.to_numeric(ov, errors="coerce").astype(float)
