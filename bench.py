@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+transfer). Startup/first-job JIT is amortized with one warmup pass of the
+smallest query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_ml_features_spark import registry  # noqa: E402
+from pyspark_ml_features_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "d4_pricing_summary",
+    "d1_broadcast_join_revenue",
+    "d2_join_chain_region_sales",
+    "b6_robust_scaling",
+    "d10_topk_orders_per_priority",
+    "d11_global_topn",
+    "e1_exact_dedup",
+    "e3_jaccard_pairs",
+    "e4_knn_cosine",
+    "e8_tfidf_topterms",
+    "e9_sessionize",
+    "e10_tumbling_windows",
+    "e11_robust_scale_array",
+    "t4_fingerprint",
+    "d20_pandas_udf_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    spark = get_spark(app_name="spark-graft-bench")
+
+    queries = registry.all_queries()
+    # warmup: JIT + codegen + parquet footer caches
+    queries["d11_global_topn"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Text-analysis column helpers: tokenization, stopwords, language markers,
+rolling-hash fingerprints. All pure SQL expressions (no Python UDFs) so they
+stay inside whole-stage codegen and have exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Fixed marker/stopword sets — part of the operator contract (deterministic).
+STOPWORDS = ("the", "a", "of", "and", "is")
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "is", "and", "of"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "le", "he", "zai"),
+}
+HASH_MOD = 2147483647  # 2^31 - 1; rolling-hash modulus
+HASH_BASE = 31
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Deterministic polynomial rolling hash of a string:
+    ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % (2^31-1))``.
+    Document fingerprinting primitive — integer arithmetic, exact on any
+    engine. acc stays < 2^31 so acc*31+c < 2^36, no 64-bit overflow."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("bigint"),
+        lambda acc, ch: F.pmod(acc * HASH_BASE + ch, F.lit(HASH_MOD)))
+
+
+def duckdb_rolling_hash(text_expr: str) -> str:
+    """DuckDB twin of :func:`rolling_hash` (same fold, same modulus)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({text_expr}) + 1), "
+        f"i -> ascii(substr({text_expr}, i, 1))::BIGINT)), "
+        f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})"
+    )

@@ -1,0 +1,175 @@
+"""Deduplication operators over documents (SURVEY §2-E E1/E2/E3 + n-gram
+Jaccard): the LLM-training-pipeline dedup ladder.
+
+Scale design (100 TB):
+ - exact dedup = hash-groupBy on the normalized text (or its rolling-hash
+   fingerprint to avoid shuffling full text) — one shuffle keyed on the hash,
+   map-side combine keeps it bounded by distinct-count;
+ - exact pairwise Jaccard is O(n²) and only ever runs on a candidate subset;
+   the declared oracle queries bound it with an inverted-index join (pairs
+   only materialize for docs sharing a token) over a deterministic sample;
+ - the scale path is MinHash-LSH (`e2_minhash_near_dedup`): shingles →
+   MinHash signatures → banded bucket join — candidate pairs ∝ true
+   near-duplicates, not n². LSH is seeded but engine-specific → rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "e1_exact_dedup",
+    oracle="""
+SELECT lower(trim(text)) AS norm_text,
+       min(doc_id) AS kept_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+""",
+    tags=("north-star", "E1", "dedup"),
+)
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text: one hash aggregate keeping the lowest
+    doc_id per group (groupBy-min beats a row_number window — no sort, full
+    map-side combine)."""
+    d = table(spark, sf_dir, "documents")
+    return (d.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+            .agg(F.min("doc_id").alias("kept_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def jaccard_pairs(docs: DataFrame, shingle_col, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over per-doc distinct shingle arrays via an
+    inverted-index self-join: explode shingles, join on shingle with
+    doc_id ordering, count shared shingles per pair, then
+    ``J = shared / (|a| + |b| - shared)`` — integer-exact arithmetic.
+    Only pairs sharing ≥1 shingle are ever materialized."""
+    shingled = docs.select("doc_id", F.array_distinct(shingle_col).alias("sh"))
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        shared
+        .join(F.broadcast(sa), F.col("d1") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1", "d2",
+            (F.col("shared").cast("double")
+             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+             ).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+@register(
+    "e3_jaccard_pairs",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+    tags=("north-star", "E3", "dedup"),
+)
+def e3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-duplicate pairs (J ≥ 0.5) on a
+    deterministic 20% sample — the oracle-checked ground truth that the
+    MinHash-LSH scale path (e2) approximates."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return jaccard_pairs(d, tokens("text"), threshold=0.5)
+
+
+@register(
+    "e3b_ngram_jaccard_pairs",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, str_split(text, ' ') AS t
+    FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM sub
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sh
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sh
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.01
+""",
+    tags=("north-star", "E3", "dedup"),
+)
+def e3b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard (J ≥ 0.01; ordered 3-grams rarely repeat in shuffled-word corpora, so the threshold is low) — shingles are far more
+    selective than unigrams, so the inverted-index join stays near-linear
+    even on corpora with tiny vocabularies."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    t = tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1),
+            F.element_at(t, i + 2)))
+    return jaccard_pairs(d.withColumn("__sh", shingles), F.col("__sh"),
+                         threshold=0.01)
+
+
+@register("e2_minhash_near_dedup", tags=("north-star", "E2", "dedup", "approx"))
+def e2_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs — the 100 TB dedup path:
+    token sets → binary term vectors (HashingTF) → MinHash signatures →
+    approxSimilarityJoin (banded bucket join; candidates ∝ collisions, never
+    n²). Seeded for run-to-run stability, but signatures are MLlib-specific →
+    rows-only check; exact recall is validated against e3 in
+    tests/test_invariants.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = (d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+            .filter(F.size("toks") > 0))  # MinHashLSH requires ≥1 set bit
+    htf = HashingTF(inputCol="toks", outputCol="tf_vec",
+                    numFeatures=1 << 18, binary=True)
+    vecs = htf.transform(toks)
+    mh = MinHashLSH(inputCol="tf_vec", outputCol="sig", numHashTables=8,
+                    seed=42)
+    model = mh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (pairs
+            .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("d1"),
+                    F.col("datasetB.doc_id").alias("d2"),
+                    (1 - F.col("jaccard_dist")).alias("est_jaccard")))

@@ -1,0 +1,136 @@
+"""Event-time operators over the events table (SURVEY §2-E E9/E10):
+sessionization and tumbling/sliding windows — batch twins with exact
+oracles; the Structured Streaming twins live in
+pyspark_ml_features_spark/streaming/events.py.
+
+Gap logic uses integer microseconds (unix_micros / epoch_us) — never
+seconds-truncated unix_timestamp or float epochs — so both engines compare
+identical integers. Session aggregation shuffles once on user_id; the
+session-id assignment is a per-user running sum (window, no extra shuffle).
+At 100 TB the events table is partitioned by date and bucketed/sorted by
+(user_id, ts), which turns the window sort into a mergeable sorted scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionized(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap since the
+    previous event of the same user exceeds ``gap_us``. Returns the input
+    plus ``session_id`` (1-based per user)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        us - F.lag(us).over(w) > gap_us, 1).otherwise(0)
+    # first event per user: lag is NULL -> otherwise(0); cumulative sum + 1
+    return events.withColumn(
+        "session_id",
+        (F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) + 1).cast("bigint"))
+
+
+@register(
+    "e9_sessionize",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+    SELECT user_id, event_id, ts, value,
+           (sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 6) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("north-star", "E9", "headline"),
+)
+def e9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag + running-sum session ids, then one
+    aggregate per (user, session). total_value rounded to 6 dp (sum order
+    across a session is engine-dependent in the last ulp)."""
+    e = table(spark, sf_dir, "events")
+    s = sessionized(e)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("total_value"))
+
+
+@register(
+    "e10_tumbling_windows",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("north-star", "E10"),
+)
+def e10_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — F.window is the
+    same construct Structured Streaming uses, so the streaming twin
+    (streaming/events.py) shares this exact plan plus a watermark."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "n_users", "total_value"))
+
+
+@register(
+    "e10b_sliding_windows",
+    oracle="""
+WITH expanded AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes')
+               AS window_start,
+           user_id, value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+    tags=("north-star", "E10"),
+)
+def e10b_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide): every event lands in 4
+    overlapping windows. Spark's window() expands exactly like the oracle's
+    unnest-of-offsets — epoch-aligned starts (time_bucket's 2000-01-01
+    origin differs from the epoch by a whole number of slides)."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_events", "total_value"))

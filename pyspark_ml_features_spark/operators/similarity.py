@@ -1,0 +1,214 @@
+"""Similarity search over the embeddings table (SURVEY §2-E E4/E5):
+brute-force cosine top-k (exact baseline), deterministic random-hyperplane
+LSH (scale path with an exact oracle), embedding near-duplicate pairs, and
+unit normalization.
+
+Floating-point discipline: every dot product / norm is an explicit LEFT fold
+(functions/arrays.py) so Spark and DuckDB produce bit-identical doubles; the
+float32 parquet embeddings are widened to double identically on both sides
+(FIXTURES.md §3). Ranking keys are rounded to 6 dp before ordering so a
+last-ulp difference can never flip top-k membership between engines.
+
+Scale design (100 TB): brute-force is the correctness baseline and stays
+viable only as (small query set) × (big corpus) with the query side
+broadcast — the corpus is never shuffled. The LSH path buckets the corpus by
+hyperplane sign bits (16 buckets here; ~2^20 on a real deployment), turning
+top-k into a bucket-local join; IVF with learned centroids slots into the
+same plan with KMeans (operators/ml.py) supplying the centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.functions.arrays import (
+    adot,
+    duckdb_dot,
+    duckdb_norm,
+    l2_norm,
+    to_double_array,
+)
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+DIM = 64
+LSH_SEED = 42
+N_PLANES = 4  # 16 buckets — sized for the 500-row test corpus
+
+
+def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = LSH_SEED):
+    """Fixed random hyperplanes (driver-side constants, seeded). They are
+    embedded as literals in both the Spark plan and the oracle SQL, which is
+    what makes this LSH deterministic and cross-engine exact."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+@register(
+    "e5_embedding_normalize",
+    oracle=f"""
+SELECT vec_id, label,
+       {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS l2_norm,
+       list_transform(embedding::DOUBLE[],
+                      x -> x / {duckdb_norm('(embedding::DOUBLE[])', DIM)}) AS unit_embedding
+FROM embeddings
+""",
+    tags=("north-star", "E5", "similarity"),
+)
+def e5_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + unit normalization of the embedding column — pure map work
+    via higher-order functions, bit-exact across engines (deterministic fold,
+    IEEE sqrt/div)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    norm = l2_norm(emb)
+    return e.select(
+        "vec_id", "label",
+        norm.alias("l2_norm"),
+        F.transform(emb, lambda x: x / norm).alias("unit_embedding"))
+
+
+_KNN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e
+    WHERE vec_id % 50 = 0
+), pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({duckdb_dot('q.qemb', 'e.emb', DIM)} / (q.qnrm * e.nrm), 6) AS cosine
+    FROM q, e
+    WHERE q.query_id <> e.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("e4_knn_cosine", oracle=_KNN_ORACLE,
+          tags=("north-star", "E4", "similarity", "headline"))
+def e4_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for a deterministic query subset
+    (vec_id % 50 = 0). The query side is broadcast; norms are precomputed
+    per side so the corpus scan computes one fold per (query, row)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")))
+    pairs = (e.crossJoin(F.broadcast(q))
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(adot(F.col("qemb"), F.col("emb"))
+                             / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))
+
+
+def _duckdb_bucket(emb: str) -> str:
+    planes = _lsh_planes()
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bits.append(f"(CASE WHEN {duckdb_dot(arr, emb, DIM)} >= 0 "
+                    f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "e4b_lsh_bucket_knn",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm,
+           ({_duckdb_bucket('(embedding::DOUBLE[])')}) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket FROM e
+    WHERE vec_id % 50 = 0
+), pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({duckdb_dot('q.qemb', 'e.emb', DIM)} / (q.qnrm * e.nrm), 6) AS cosine
+    FROM q JOIN e USING (bucket)
+    WHERE q.query_id <> e.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+""",
+    tags=("north-star", "E4", "similarity"),
+)
+def e4b_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH: bucket = sign bits of
+    4 fixed seeded hyperplanes, candidates = same-bucket rows only, exact
+    cosine within bucket. Deterministic (planes are literals) → exact
+    oracle. At scale the bucket join replaces the O(|Q|·n) cross join with
+    O(|Q|·n/2^p) and shuffles on the bucket key."""
+    planes = _lsh_planes()
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    bucket = None
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket)
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                 F.col("nrm").alias("qnrm"), "bucket"))
+    pairs = (e.join(F.broadcast(q), "bucket")
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(adot(F.col("qemb"), F.col("emb"))
+                             / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))
+
+
+@register(
+    "e4c_embedding_near_dup",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm
+    FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6) >= 0.3
+""",
+    tags=("north-star", "dedup", "similarity"),
+)
+def e4c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.3) on a
+    deterministic 20% sample — the semantic-dedup ground truth; the LSH
+    bucketing of e4b is its scale path."""
+    e = (table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 5 == 0)
+         .select("vec_id", to_double_array("embedding").alias("emb")))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                 F.col("nrm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                 F.col("nrm").alias("n2"))
+    cos = F.round(adot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6)
+    return (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+            .select("v1", "v2", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.3))

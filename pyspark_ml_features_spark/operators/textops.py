@@ -1,0 +1,242 @@
+"""Text-analysis operators over the documents table (SURVEY §2-E E7/E8 plus
+the training-data-pipeline set: language-ID heuristic, quality scoring, token
+counting, document fingerprinting).
+
+All operators are pure SQL expressions (split / higher-order array functions /
+window aggregates) — no Python boundary — so at 100 TB they run entirely in
+whole-stage codegen; the per-document ops are embarrassingly parallel map
+work, and the per-language aggregations shuffle only (lang, term)-cardinality
+rows after map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    duckdb_rolling_hash,
+    rolling_hash,
+    tokens,
+)
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "e7_text_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(len(str_split(text, ' ')))::BIGINT AS total_tokens,
+       sum(len(str_split(text, ' ')))::DOUBLE / count(*) AS avg_tokens,
+       min(len(str_split(text, ' ')))::BIGINT AS min_tokens,
+       max(len(str_split(text, ' ')))::BIGINT AS max_tokens
+FROM documents
+GROUP BY lang
+""",
+    tags=("north-star", "E7"),
+)
+def e7_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — token counts via split+size, one
+    hash aggregate."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min(n_tok).alias("min_tokens"),
+        F.max(n_tok).alias("max_tokens"))
+
+
+@register(
+    "e8_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY doc_id, lang, term
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+    SELECT tf.lang, tf.term,
+           round(sum(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1)), 6) AS score
+    FROM tf JOIN df USING (term), n
+    GROUP BY tf.lang, tf.term
+), ranked AS (
+    SELECT lang, term, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT lang, term, score FROM ranked WHERE rn <= 5
+""",
+    tags=("north-star", "E8"),
+)
+def e8_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact smooth TF-IDF (sklearn formula: idf = ln((N+1)/(df+1)) + 1),
+    top-5 terms per language. Scores rounded to 6 dp on both engines — the
+    sum across documents is order-dependent in the last ~1e-12, and libm vs
+    JVM ln() may differ 1 ulp; 6 dp absorbs both. The hashed-feature scale
+    path (HashingTF/IDF) is the MLlib twin in operators/ml.py."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+        .groupBy("lang", "term")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("score")))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("lang", "term", "score"))
+
+
+def _marker_score(toks, markers):
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+
+
+@register(
+    "t1_lang_id",
+    oracle=f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+           {', '.join(
+        f"len(list_intersect(list_distinct(str_split(text, ' ')), "
+        f"{list(LANG_MARKERS[lg])})) AS s_{lg}" for lg in sorted(LANG_MARKERS))}
+    FROM documents
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE {' '.join(
+        f"WHEN s_{lg} = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lg}'"
+        for lg in sorted(LANG_MARKERS))} END AS predicted_lang
+FROM scores
+""",
+    tags=("north-star", "text-analysis"),
+)
+def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score = |distinct tokens ∩ marker
+    set| per language, argmax with lexical tiebreak (CASE order). A real
+    deployment swaps the marker sets for n-gram profiles; the plan shape
+    (pure map, no shuffle) is the point."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    langs = sorted(LANG_MARKERS)
+    scored = d.select(
+        "doc_id", F.col("lang").alias("actual_lang"),
+        *[_marker_score(toks, LANG_MARKERS[lg]).alias(f"s_{lg}") for lg in langs])
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    expr = None
+    for lg in langs:
+        cond = F.col(f"s_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return scored.select("doc_id", "actual_lang", expr.alias("predicted_lang"))
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, lang,
+           len(str_split(text, ' '))::DOUBLE AS n_tokens,
+           len(list_distinct(str_split(text, ' ')))::DOUBLE AS n_distinct,
+           len(list_filter(str_split(text, ' '),
+                           t -> list_contains({list(STOPWORDS)}, t)))::DOUBLE AS n_stop,
+           list_sum(list_transform(str_split(text, ' '),
+                                   t -> length(t)))::DOUBLE AS total_chars
+    FROM documents
+)
+SELECT doc_id, lang,
+       n_tokens::BIGINT AS n_tokens,
+       n_distinct / n_tokens AS distinct_ratio,
+       n_stop / n_tokens AS stopword_ratio,
+       total_chars / n_tokens AS avg_word_len,
+       0.3 * (n_distinct / n_tokens)
+         + 0.3 * (1.0 - n_stop / n_tokens)
+         + 0.4 * least((total_chars / n_tokens) / 10.0, 1.0) AS quality_score
+FROM m
+""",
+    tags=("north-star", "text-analysis"),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length/stopword/diversity ratios —
+    weighted sum with a fixed evaluation order so every engine computes the
+    identical double. Pure map work, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    distinct_ratio = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    avg_word_len = total_chars / n_tokens
+    quality = (F.lit(0.3) * distinct_ratio
+               + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+               + F.lit(0.4) * F.least(avg_word_len / 10.0, F.lit(1.0)))
+    return d.select(
+        "doc_id", "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality_score"))
+
+
+@register(
+    "t3_token_count",
+    oracle="""
+SELECT doc_id,
+       len(str_split(text, ' '))::BIGINT AS ws_tokens,
+       list_sum(list_transform(str_split(text, ' '),
+                t -> ceil(length(t) / 4.0)::BIGINT))::BIGINT AS est_bpe_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents
+""",
+    tags=("north-star", "text-analysis"),
+)
+def t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (≈ 1 token per
+    4 chars per word, the standard heuristic) — integer arithmetic, exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    est = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        est.alias("est_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"))
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {duckdb_rolling_hash('text')} AS fingerprint,
+       {duckdb_rolling_hash("lower(trim(text))")} AS fingerprint_normalized
+FROM documents
+""",
+    tags=("north-star", "text-analysis"),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (base 31 mod
+    2^31-1) over raw and normalized text — integer fold, engine-exact.
+    At scale this is the cheap first-pass key for exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_hash("text").alias("fingerprint"),
+        rolling_hash(F.lower(F.trim(F.col("text")))).alias("fingerprint_normalized"))

@@ -5,7 +5,15 @@ side effects. ``registry.all_queries()`` triggers this import lazily.
 """
 
 from pyspark_ml_features_spark.operators import (  # noqa: F401
+    array_scaling,
+    dedup,
     features,
+    ml,
+    multimodal,
     relational,
     scaling,
+    sessionize,
+    similarity,
+    textops,
 )
+from pyspark_ml_features_spark.streaming import events  # noqa: F401

@@ -38,7 +38,17 @@ def register(name: str, oracle: str | None = None,
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle,
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Every entry point tunes the (possibly external) session first:
+            # AQE/Arrow confs + shipping this package to executor workers.
+            from pyspark_ml_features_spark.session import tune_session
+
+            return fn(tune_session(spark), sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, fn=tuned, oracle=oracle,
                                 doc=(fn.__doc__ or "").strip(), tags=tags)
         return fn
 

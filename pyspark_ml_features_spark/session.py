@@ -45,12 +45,36 @@ def get_spark(app_name: str = "pyspark-ml-features-spark",
     return spark
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    how the driver process was launched (closures that reference module
+    helpers pickle by reference, so workers must import us)."""
+    if getattr(spark, "_pmfs_package_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    import pyspark_ml_features_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "pyspark_ml_features_spark_pkg")
+    try:
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # e.g. file already registered from a prior session
+        pass
+    spark._pmfs_package_shipped = True
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an externally provided session.
 
     The driver hands us its own SparkSession; make sure the confs our
     operators rely on (AQE, Arrow) are set without rebuilding it.
     """
+    _ship_package(spark)
     for key, value in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),

@@ -1,0 +1,99 @@
+"""Structured Streaming twins of the event-time operators (SURVEY §2-E
+E9/E10 streaming forms).
+
+The batch queries in operators/sessionize.py carry the oracle-checked
+correctness burden; these twins demonstrate that the same logical operations
+run as streams: file source → watermark → windowed/session aggregation →
+sink. ``run_stream_to_memory`` executes with ``Trigger.AvailableNow`` (drain
+everything, then stop), which is also the production pattern for periodic
+backfill of a streaming pipeline.
+
+Scale notes: in deployment the source is Kafka/file-stream with
+``maxFilesPerTrigger`` bounding batch size; state store size is bounded by
+the watermark horizon (10 min here), and ``session_window`` state is per
+(user, open session) — both independent of total history size.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+_sink_counter = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream. The file source wants a directory;
+    the driver ships a single parquet file, so we expose it via a symlinked
+    staging dir (a no-copy operation)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch_schema = table(spark, sf_dir, "events").schema  # pre-conversion ts is long
+    raw_schema = ", ".join(
+        f"{f.name} {'long' if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in batch_schema.fields)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
+    """E10 streaming twin: watermarked tumbling 1 h windows per event type."""
+    return (events.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def streaming_sessions(events: DataFrame) -> DataFrame:
+    """E9 streaming twin: native session_window (30 min gap) per user —
+    Spark manages session state/merging; the batch lag+cumsum twin is the
+    oracle-checked equivalent."""
+    return (events.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+def run_stream_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with AvailableNow into a memory sink and
+    return the result as a batch DataFrame."""
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register("s1_streaming_tumbling_windows",
+          tags=("north-star", "E10", "streaming"))
+def s1_streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY THE STREAMING ENGINE (AvailableNow
+    drain, complete mode); equality with the batch twin is asserted in
+    tests/test_streaming.py. Rows-only for the driver (streaming execution
+    isn't SQL-oracle-able)."""
+    return run_stream_to_memory(
+        streaming_tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@register("s2_streaming_sessions", tags=("north-star", "E9", "streaming"))
+def s2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization on the stream (30 min gap)."""
+    return run_stream_to_memory(streaming_sessions(events_stream(spark, sf_dir)))

@@ -1,0 +1,142 @@
+"""Semantic invariants for operators without SQL oracles (SURVEY §5.3):
+ML fits, LSH, RNG ops. Seeds are fixed, so these are deterministic checks,
+not statistical gambles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_ml_features_spark import registry
+from tests.conftest import SF_DIR
+
+ALL = registry.all_queries()
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    def _run(name):
+        return ALL[name].fn(spark, SF_DIR)
+    return _run
+
+
+def test_probability_prediction_invariants(run):
+    df = run("b5_probability_prediction")
+    bad = df.filter(
+        F.abs(F.aggregate("probability", F.lit(0.0), lambda a, x: a + x) - 1.0)
+        > 1e-6).count()
+    assert bad == 0, "probabilities must sum to 1 per row"
+    preds = {r[0] for r in df.select("prediction").distinct().collect()}
+    assert preds <= {0.0, 1.0, 2.0}
+    # prediction = argmax(probability)
+    argmax = F.array_position(
+        "probability", F.array_max("probability")) - 1
+    mismatch = df.filter(F.col("prediction") != argmax.cast("double")).count()
+    assert mismatch == 0
+
+
+def test_validation_curves_invariants(run):
+    rows = run("b3_validation_curves").collect()
+    assert len(rows) == 2  # |param grid|
+    assert all(0.0 <= r["avg_accuracy"] <= 1.0 for r in rows)
+
+
+def test_kmeans_invariants(run):
+    df = run("b8_kmeans_clusters")
+    n_clusters = df.select("cluster_id").distinct().count()
+    assert 2 <= n_clusters <= 10
+    assert df.filter(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_pca_invariants(run):
+    df = run("b8_pca_embeddings")
+    dims = df.select(F.size("pca_features").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [8]
+
+
+def test_predefined_split_tuning_invariants(run, spark):
+    rows = run("b10_predefined_split_tuning").collect()
+    assert len(rows) == 2
+    assert all(0.0 <= r["accuracy"] <= 1.0 for r in rows)
+    from pyspark_ml_features_spark.sources import table
+
+    total = table(spark, SF_DIR, "lineitem").count()
+    assert all(r["n_train"] + r["n_test"] == total for r in rows)
+
+
+def test_random_split_invariants(run):
+    df = run("b9_split_random_seeded").cache()
+    total = df.count()
+    train = df.filter(F.col("is_train") == 1).count()
+    assert {r[0] for r in df.select("is_train").distinct().collect()} == {0, 1}
+    assert math.isclose(train / total, 0.7, abs_tol=0.05)
+    df.unpersist()
+
+
+def test_approx_count_distinct_bounds(run, ddb):
+    approx = run("d6_approx_count_distinct").collect()[0]["approx_parts"]
+    exact = ddb.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    assert math.isclose(approx, exact, rel_tol=0.1)
+
+
+def test_sampling_bounds(run, ddb):
+    n = run("d19_sampling").count()
+    total = ddb.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert math.isclose(n / total, 0.1, abs_tol=0.02)
+
+
+def test_minhash_recall_of_exact_pairs(run):
+    """LSH candidates must recover the strongly-similar exact pairs
+    (J ≥ 0.7 from the e3 oracle query) — deterministic under the fixed seed."""
+    exact = {(r["d1"], r["d2"])
+             for r in run("e3_jaccard_pairs").filter(F.col("jaccard") >= 0.7).collect()}
+    approx = {(r["d1"], r["d2"]) for r in run("e2_minhash_near_dedup").collect()}
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall} too low"
+
+
+def test_label_index_matches_stringindexer(spark):
+    """The relational label_index twin must reproduce MLlib StringIndexer
+    exactly (frequencyDesc, lexical ties)."""
+    from pyspark.ml.feature import StringIndexer
+
+    from pyspark_ml_features_spark.operators.features import label_index
+    from pyspark_ml_features_spark.sources import table
+
+    li = table(spark, SF_DIR, "lineitem").select("l_returnflag")
+    ours = {r["l_returnflag"]: r["label"]
+            for r in label_index(li, "l_returnflag")
+            .select("l_returnflag", "label").distinct().collect()}
+    idx = StringIndexer(inputCol="l_returnflag", outputCol="theirs",
+                        stringOrderType="frequencyDesc")
+    theirs = {lbl: float(i) for i, lbl in enumerate(idx.fit(li).labels)}
+    assert ours == theirs
+
+
+def test_image_stub_plumbing(run):
+    df = run("e13_image_features_stub")
+    assert df.columns == ["doc_id", "width", "height", "n_channels", "mean_luma"]
+    rows = df.limit(10).collect()
+    assert all(64 <= r["width"] < 128 and 0 <= r["mean_luma"] < 256 for r in rows)
+
+
+def test_robust_scale_eager_matches_expr(spark):
+    """Reference-faithful eager API (exact path) ≡ declarative twin."""
+    from pyspark_ml_features_spark.operators.scaling import (
+        robust_scale,
+        robust_scale_expr,
+    )
+    from pyspark_ml_features_spark.sources import table
+
+    li = table(spark, SF_DIR, "lineitem").select("l_quantity")
+    eager = {r["l_quantity"]: r["l_quantity_scaled"]
+             for r in robust_scale(li, ["l_quantity"], method="exact")
+             .distinct().collect()}
+    lazy = {r["l_quantity"]: r["l_quantity_scaled"]
+            for r in robust_scale_expr(li, ["l_quantity"])
+            .distinct().collect()}
+    assert eager == lazy

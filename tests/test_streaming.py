@@ -1,0 +1,36 @@
+"""Streaming twins must agree with their oracle-checked batch counterparts
+(complete-mode AvailableNow drain processes every event, so no watermark
+drops — exact equality is the contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pyspark_ml_features_spark import registry
+from tests.conftest import SF_DIR, assert_frames_match
+
+ALL = registry.all_queries()
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = ALL["s1_streaming_tumbling_windows"].fn(spark, SF_DIR).toPandas()
+    batch = (ALL["e10_tumbling_windows"].fn(spark, SF_DIR)
+             .drop("n_users").toPandas())
+    assert_frames_match(stream, batch, "streaming_tumbling_vs_batch")
+
+
+def test_streaming_sessions_match_batch_sessionize(spark):
+    """session_window's (start, end) differs from the batch twin's min/max ts
+    representation (end = last_ts + gap), but session membership must agree:
+    same number of sessions per user, same event totals."""
+    stream = (ALL["s2_streaming_sessions"].fn(spark, SF_DIR)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_sessions"),
+                   F.sum("n_events").alias("n_events"))
+              .toPandas())
+    batch = (ALL["e9_sessionize"].fn(spark, SF_DIR)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_sessions"),
+                  F.sum("n_events").alias("n_events"))
+             .toPandas())
+    assert_frames_match(stream, batch, "streaming_sessions_vs_batch")
