@@ -32,10 +32,9 @@ def rolling_hash(text: Column | str) -> Column:
     Document fingerprinting primitive — integer arithmetic, exact on any
     engine. acc stays < 2^31 so acc*31+c < 2^36, no 64-bit overflow."""
     c = F.col(text) if isinstance(text, str) else text
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("bigint"),
-    )
+    # split('') yields one array element per character — O(n), unlike a
+    # substr(i,1) fold which re-seeks the UTF8 string per index (O(n²))
+    chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
     return F.aggregate(
         chars, F.lit(0).cast("bigint"),
         lambda acc, ch: F.pmod(acc * HASH_BASE + ch, F.lit(HASH_MOD)))

@@ -1,0 +1,204 @@
+"""A-series: sources, projections, filters — the relational substrate
+(SURVEY §2-A A1-A10). Each primitive the reference touches is declared as a
+tiny oracle-checked query so the judged inventory is exercised line by line.
+
+A1 csv_scan writes a deterministic iris-shaped CSV to a staging dir once and
+scans it back with schema inference on both engines — the reference's loader
+shape (spark_ml_features.py:27) without depending on external files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import csv_scan, memory_source, table
+
+# deterministic iris-alike sample (values fixed; species frequencies ordered)
+_IRIS_ROWS = [
+    (5.1, 3.5, 1.4, 0.2, "setosa"),
+    (4.9, 3.0, 1.4, 0.2, "setosa"),
+    (4.7, 3.2, 1.3, 0.2, "setosa"),
+    (4.6, 3.1, 1.5, 0.2, "setosa"),
+    (7.0, 3.2, 4.7, 1.4, "versicolor"),
+    (6.4, 3.2, 4.5, 1.5, "versicolor"),
+    (6.9, 3.1, 4.9, 1.5, "versicolor"),
+    (6.3, 3.3, 6.0, 2.5, "virginica"),
+    (5.8, 2.7, 5.1, 1.9, "virginica"),
+]
+_IRIS_COLS = ("sepal_length", "sepal_width", "petal_length", "petal_width",
+              "species")
+
+
+def iris_csv_path() -> str:
+    """Write the sample to a stable temp location once; return the file."""
+    path = os.path.join(tempfile.gettempdir(), "pmfs_iris_sample.csv")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(",".join(_IRIS_COLS) + "\n")
+            for row in _IRIS_ROWS:
+                fh.write(",".join(str(v) for v in row) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "a1_csv_scan",
+    oracle=f"SELECT * FROM read_csv_auto('{iris_csv_path()}', header=true)",
+    tags=("reference", "A1", "source"),
+)
+def a1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with header + schema inference (reference ml:27)."""
+    return csv_scan(spark, iris_csv_path())
+
+
+@register(
+    "a2_memory_source",
+    oracle="""
+SELECT * FROM (VALUES
+    (5.1, 3.5, 1.4, 0.2, 'setosa'), (4.9, 3.0, 1.4, 0.2, 'setosa'),
+    (4.7, 3.2, 1.3, 0.2, 'setosa'), (4.6, 3.1, 1.5, 0.2, 'setosa'),
+    (7.0, 3.2, 4.7, 1.4, 'versicolor'), (6.4, 3.2, 4.5, 1.5, 'versicolor'),
+    (6.9, 3.1, 4.9, 1.5, 'versicolor'),
+    (6.3, 3.3, 6.0, 2.5, 'virginica'), (5.8, 2.7, 5.1, 1.9, 'virginica')
+) AS t(sepal_length, sepal_width, petal_length, petal_width, species)
+""",
+    tags=("reference", "A2", "source"),
+)
+def a2_memory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows -> DataFrame (reference local:47-55)."""
+    return memory_source(spark, _IRIS_ROWS, schema=list(_IRIS_COLS))
+
+
+@register(
+    "a3_parquet_scan",
+    oracle="SELECT * FROM region",
+    tags=("reference", "A3", "source"),
+)
+def a3_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet source (driver tables)."""
+    return table(spark, sf_dir, "region")
+
+
+@register(
+    "a4_project",
+    oracle="SELECT c_custkey, c_name FROM customer",
+    tags=("reference", "A4"),
+)
+def a4_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection — prunes the scan (reference ml:46)."""
+    return table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+@register(
+    "a5_derive_column",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       o_totalprice * 1.1 AS price_with_fee
+FROM orders
+""",
+    tags=("reference", "A5"),
+)
+def a5_derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed column append (reference ml:157, 262)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_totalprice") * 1.1).alias("price_with_fee"))
+
+
+@register(
+    "a6_filter_eq",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'",
+    tags=("reference", "A6"),
+)
+def a6_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate filter (reference ml:227-228) — pushed to the scan."""
+    o = table(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderstatus"))
+
+
+@register(
+    "a7_cast",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_returnflag = 'R' AS INT) AS is_return
+FROM lineitem
+""",
+    tags=("reference", "A7"),
+)
+def a7_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool/double -> int casts (reference ml:262, 265)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"))
+
+
+@register(
+    "a8_sql_expr",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice * (1 - 0.05) AS discounted,
+       CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent' ELSE 'normal' END AS urgency
+FROM orders
+""",
+    tags=("reference", "A8"),
+)
+def a8_sql_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-SQL expression eval through the Catalyst parser (reference
+    ml:262 used expr(\"RAND() < 0.7\"); we demonstrate the construct with
+    deterministic expressions — the seeded RNG form is b9_split_random_seeded)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_totalprice * (1 - 0.05)").alias("discounted"),
+        F.expr("CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent' "
+               "ELSE 'normal' END").alias("urgency"))
+
+
+@register(
+    "a9_row_count",
+    oracle="""
+SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'customer', count(*) FROM customer
+""",
+    tags=("reference", "A9"),
+)
+def a9_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count action surface (reference ml:312-313), declared as a relational
+    count per table (parquet count() is metadata-only — no data scan)."""
+    frames = [
+        table(spark, sf_dir, name).agg(
+            F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n"))
+        for name in ("lineitem", "orders", "customer")
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+@register(
+    "a10_display_limit",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation
+ORDER BY n_nationkey ASC LIMIT 5
+""",
+    tags=("reference", "A10"),
+)
+def a10_display_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """show(n)/limit surface — deterministic only over sorted input, so the
+    declared form sorts first (reference's bare .show(5) is order-undefined)."""
+    n = table(spark, sf_dir, "nation")
+    return (n.orderBy(F.asc("n_nationkey"))
+            .select("n_nationkey", "n_name").limit(5))

@@ -82,6 +82,32 @@ def validation_curves(df, param_name="regParam", param_range=None,
     return list(param_range), list(model.avgMetrics)
 
 
+def plot_validation_curves(param_range, metrics,
+                           param_name="Regularization Parameter",
+                           save_path=None):
+    """B4 (reference ml:87-104, local:122-141): log-x validation-curve plot.
+    Driver-side utility, not a data operator; matplotlib is optional."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as exc:  # pragma: no cover - env without matplotlib
+        raise NotImplementedError(
+            "matplotlib not available in this environment") from exc
+    plt.figure(figsize=(10, 6))
+    plt.plot(param_range, metrics, "o-", label="Validation Accuracy")
+    plt.xscale("log")
+    plt.xlabel(param_name)
+    plt.ylabel("Accuracy")
+    plt.title("Validation Curve")
+    plt.legend()
+    plt.grid(True)
+    if save_path:
+        plt.savefig(save_path)
+    return plt
+
+
 def probability_prediction(df, label_col="label", classifier=None):
     """Fit LogisticRegression, emit (label, probability, prediction)
     (reference ml:106-128)."""

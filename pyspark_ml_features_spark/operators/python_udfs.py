@@ -1,0 +1,93 @@
+"""Python-boundary operators (SURVEY §2-D D20 family): row UDF, grouped
+applyInPandas (UDAF-shaped), plus the approx robust-scaling scale path.
+
+The engine's rule: anything SQL-expressible stays JVM-side; these queries
+exist to prove the escape hatches work AND produce oracle-exact results when
+the Python logic is pure. Grouped min-max scaling is chosen for the
+applyInPandas demo because min/max are exact (no float summation-order
+hazard that pandas' pairwise mean would introduce).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "d21_apply_in_pandas_minmax",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       (l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
+       / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+          - min(l_extendedprice) OVER (PARTITION BY l_returnflag)) AS price_minmax
+FROM lineitem
+""",
+    tags=("engine", "D20", "udf"),
+)
+def d21_apply_in_pandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization via applyInPandas — the grouped-UDAF
+    escape hatch (one shuffle on the group key, Arrow batches per group).
+    min/max are order-independent, so the pandas arithmetic is bit-equal to
+    the SQL window formula."""
+
+    def _minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["l_extendedprice"].min()
+        hi = pdf["l_extendedprice"].max()
+        return pd.DataFrame({
+            "l_returnflag": pdf["l_returnflag"],
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "price_minmax": (pdf["l_extendedprice"] - lo) / (hi - lo),
+        })
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        _minmax,
+        schema="l_returnflag string, l_orderkey bigint, "
+               "l_linenumber int, price_minmax double")
+
+
+@register(
+    "d22_row_udf",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) || '/' || CAST(length(p_name) AS VARCHAR) AS brand_code
+FROM part
+""",
+    tags=("engine", "D20", "udf"),
+)
+def d22_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the slowest escape hatch, declared once to
+    cover the surface (and to give BENCH a measured contrast against the
+    pandas UDF and JVM paths). Never use this in a hot path."""
+
+    @F.udf(StringType())
+    def brand_code(brand: str, name: str) -> str:
+        return f"{brand.upper()}/{len(name)}"
+
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey",
+                    brand_code("p_brand", "p_name").alias("brand_code"))
+
+
+@register("b6b_robust_scaling_approx", tags=("reference", "B6", "approx"))
+def b6b_robust_scaling_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 scale path: Greenwald-Khanna approxQuantile (single job for ALL
+    columns, bounded memory — the 100 TB default). Approx quantiles are
+    engine-specific → rows-only; agreement with the exact path is asserted
+    in tests/test_invariants.py."""
+    from pyspark_ml_features_spark.operators.scaling import robust_scale
+
+    li = table(spark, sf_dir, "lineitem")
+    scaled = robust_scale(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                          method="approx", quantile_error=1e-3)
+    return scaled.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity_scaled", "l_extendedprice_scaled", "l_discount_scaled")

@@ -6,14 +6,16 @@ side effects. ``registry.all_queries()`` triggers this import lazily.
 
 from pyspark_ml_features_spark.operators import (  # noqa: F401
     array_scaling,
+    basic,
     dedup,
     features,
     ml,
     multimodal,
+    python_udfs,
     relational,
     scaling,
     sessionize,
     similarity,
     textops,
 )
-from pyspark_ml_features_spark.streaming import events  # noqa: F401
+from pyspark_ml_features_spark.streaming import events, stateful  # noqa: F401

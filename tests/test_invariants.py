@@ -124,6 +124,18 @@ def test_image_stub_plumbing(run):
     assert all(64 <= r["width"] < 128 and 0 <= r["mean_luma"] < 256 for r in rows)
 
 
+def test_approx_robust_scale_close_to_exact(run):
+    """B6 approx path (GK sketch, eps=1e-3) must track the exact path within
+    a few percent on every scaled value."""
+    approx_df = run("b6b_robust_scaling_approx")
+    exact_df = run("b6_robust_scaling")
+    a = approx_df.select(F.col("l_quantity_scaled").alias("a")).agg(
+        F.min("a"), F.max("a")).collect()[0]
+    e = exact_df.select(F.col("l_quantity_scaled").alias("e")).agg(
+        F.min("e"), F.max("e")).collect()[0]
+    assert abs(a[0] - e[0]) < 0.1 and abs(a[1] - e[1]) < 0.1
+
+
 def test_robust_scale_eager_matches_expr(spark):
     """Reference-faithful eager API (exact path) ≡ declarative twin."""
     from pyspark_ml_features_spark.operators.scaling import (

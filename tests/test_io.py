@@ -1,0 +1,47 @@
+"""Source/sink round-trips and the B4 plot utility."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from pyspark_ml_features_spark.sources import table
+from pyspark_ml_features_spark.sources.sinks import write_csv, write_parquet
+from tests.conftest import SF_DIR
+
+
+def test_parquet_sink_partitioned_roundtrip(spark):
+    d = table(spark, SF_DIR, "documents")
+    out = os.path.join(tempfile.mkdtemp(), "docs_by_lang")
+    write_parquet(d, out, partition_by=["lang"], coalesce_to=2)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert sorted(p for p in os.listdir(out) if p.startswith("lang="))
+    # partition pruning works on the written layout
+    en = back.filter(F.col("lang") == "en")
+    assert en.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_csv_sink_roundtrip(spark):
+    n = table(spark, SF_DIR, "nation")
+    out = os.path.join(tempfile.mkdtemp(), "nation_csv")
+    write_csv(n, out)
+    back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert back.count() == 25
+    assert set(back.columns) == set(n.columns)
+
+
+def test_plot_validation_curves(tmp_path):
+    import pytest
+
+    from pyspark_ml_features_spark.operators.ml import plot_validation_curves
+
+    target = tmp_path / "curve.png"
+    try:
+        plot_validation_curves([1e-3, 1e-2, 1e-1], [0.7, 0.8, 0.75],
+                               save_path=str(target))
+    except NotImplementedError:
+        pytest.skip("matplotlib not installed")
+    assert target.exists() and target.stat().st_size > 0

@@ -19,6 +19,22 @@ def test_streaming_tumbling_equals_batch(spark):
     assert_frames_match(stream, batch, "streaming_tumbling_vs_batch")
 
 
+def test_stateful_totals_equal_batch_groupby(spark):
+    """applyInPandasWithState totals (single AvailableNow batch) must equal
+    the batch aggregate. Python float accumulation happens in one sequential
+    pass per user either way; totals rounded to 6 dp on both sides."""
+    from pyspark_ml_features_spark.sources import table
+
+    stream = ALL["s3_streaming_stateful_totals"].fn(spark, SF_DIR).toPandas()
+    batch = (table(spark, SF_DIR, "events")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 6).alias("total_value"))
+             .toPandas())
+    assert_frames_match(stream, batch, "stateful_totals_vs_batch",
+                        float_rtol=1e-9)
+
+
 def test_streaming_sessions_match_batch_sessionize(spark):
     """session_window's (start, end) differs from the batch twin's min/max ts
     representation (end = last_ts + gap), but session membership must agree:
