@@ -173,3 +173,99 @@ def e2_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("datasetA.doc_id").alias("d1"),
                     F.col("datasetB.doc_id").alias("d2"),
                     (1 - F.col("jaccard_dist")).alias("est_jaccard")))
+
+
+SIMHASH_BITS = 16
+
+
+def _duckdb_simhash() -> str:
+    """DuckDB fragment: 16-bit SimHash over distinct tokens of ``text``
+    (token hash = rolling hash; bit b set iff Σ_tokens (2*bit_b(h)-1) > 0)."""
+    from pyspark_ml_features_spark.functions.text import (
+        HASH_BASE,
+        HASH_MOD,
+    )
+
+    tok_hash = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length(t) + 1), "
+        f"i -> ascii(substr(t, i, 1))::BIGINT)), "
+        f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})")
+    bit_sums = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h // {1 << b}) % 2) * 2 - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform(list_distinct(str_split(text, ' ')), t -> {tok_hash}) AS hs
+    FROM documents
+)
+SELECT doc_id, ({bit_sums})::BIGINT AS simhash
+FROM hashed
+"""
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash document fingerprints: per-bit majority vote over the rolling
+    hashes of the distinct tokens — near-identical docs land within a small
+    Hamming distance. Pure integer SQL (explode → 16 conditional sums →
+    bit-pack), so it is engine-exact and stays in codegen.
+
+    At 100 TB: the fingerprint is 2 bytes/doc (here; 8 at 64 bits) and
+    near-dup candidate generation joins on rotated bit-bands of the hash —
+    never on document text."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash, tokens
+
+    tok = df.select("doc_id", F.explode(
+        F.array_distinct(tokens(text_col))).alias("t"))
+    tok = tok.withColumn("h", rolling_hash(F.col("t")))
+    aggs = [
+        F.sum(((F.col("h") / (1 << b)).cast("bigint") % 2) * 2 - 1).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return per_doc.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
+@register(
+    "t5_simhash",
+    oracle=_duckdb_simhash(),
+    tags=("north-star", "dedup", "text-analysis"),
+)
+def t5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (engine-exact integers)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+@register(
+    "e2b_simhash_near_dup",
+    oracle=f"""
+WITH sh AS ({_duckdb_simhash().replace("FROM documents",
+                                       "FROM documents WHERE doc_id % 5 = 0")})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+    tags=("north-star", "E2", "dedup"),
+)
+def e2b_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance ≤ 6 on a deterministic
+    20% sample. At scale candidates come from joining on bit-bands of the
+    hash (pigeonhole: distance ≤ k ⇒ some band of ⌈bits/(k+1)⌉ matches);
+    here the sample self-join computes exact Hamming via xor + bit_count."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    s = simhash(d)
+    a = s.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = s.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+            .select("d1", "d2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= 6))

@@ -212,3 +212,50 @@ def e4c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
             .select("v1", "v2", cos.alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
+
+
+@register("e4d_ivf_knn", tags=("north-star", "E4", "similarity", "approx"))
+def e4d_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: seeded KMeans (k=8) partitions the corpus into
+    cells; each query probes its nprobe=3 nearest cells (by centroid
+    distance), exact cosine within. Rows-only (centroids are iterative-fit
+    artifacts); recall vs the exact e4 baseline is asserted in
+    tests/test_invariants.py. At 100 TB the cell id is a partition key: each
+    query touches nprobe/k of the corpus, and the centroid table (k rows)
+    lives as broadcast literals in the plan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nprobe = 3
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    vecs = e.withColumn("features", array_to_vector("emb"))
+    model = KMeans(k=8, seed=LSH_SEED, featuresCol="features").fit(vecs)
+    cells = model.transform(vecs).select(
+        "vec_id", "emb", F.col("prediction").alias("cell"))
+    cells = cells.withColumn("nrm", l2_norm(F.col("emb"))).cache()
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _sqdist(center: list[float]):
+        diff = F.zip_with(F.array(*[F.lit(v) for v in center]), F.col("qemb"),
+                          lambda c, x: (c - x) * (c - x))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    cell_rank = F.array(*[
+        F.struct(_sqdist(c).alias("d"), F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    q = (cells.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                 F.col("nrm").alias("qnrm"))
+         .withColumn("probe",
+                     F.explode(F.slice(F.array_sort(cell_rank), 1, nprobe)))
+         .select("query_id", "qemb", "qnrm",
+                 F.col("probe.cell").alias("cell")))
+    pairs = (cells.join(F.broadcast(q), "cell")
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(adot(F.col("qemb"), F.col("emb"))
+                             / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))

@@ -13,6 +13,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     multimodal,
     python_udfs,
     relational,
+    relational2,
     scaling,
     sessionize,
     similarity,

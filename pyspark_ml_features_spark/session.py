@@ -39,6 +39,9 @@ def get_spark(app_name: str = "pyspark-ml-features-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # keep catalog artifacts (bucketed-table tests) out of the repo
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pmfs-warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -99,6 +99,17 @@ def test_minhash_recall_of_exact_pairs(run):
         assert recall >= 0.8, f"minhash recall {recall} too low"
 
 
+def test_ivf_recall_against_exact(run):
+    """IVF (nprobe=1, k=8 cells) must recover a reasonable share of the
+    exact top-5 neighbors — deterministic under the fixed KMeans seed."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in run("e4_knn_cosine").collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in run("e4d_ivf_knn").collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall} implausibly low"
+
+
 def test_label_index_matches_stringindexer(spark):
     """The relational label_index twin must reproduce MLlib StringIndexer
     exactly (frequencyDesc, lexical ties)."""

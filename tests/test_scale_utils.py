@@ -1,0 +1,56 @@
+"""Skew salting and bucketed co-located joins — the manual scale levers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pyspark_ml_features_spark.functions.skew import salted_join
+from pyspark_ml_features_spark.sources import table
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = table(spark, SF_DIR, "lineitem").select("l_partkey", "l_quantity")
+    part = table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    p = part.withColumnRenamed("p_partkey", "l_partkey")
+    plain = (li.join(p, "l_partkey")
+             .groupBy("p_brand").agg(F.sum("l_quantity").alias("q"),
+                                     F.count(F.lit(1)).alias("n")))
+    salted = (salted_join(li, p, "l_partkey", n_salts=8)
+              .groupBy("p_brand").agg(F.sum("l_quantity").alias("q"),
+                                      F.count(F.lit(1)).alias("n")))
+    a = {r["p_brand"]: (r["n"], round(r["q"], 6)) for r in plain.collect()}
+    b = {r["p_brand"]: (r["n"], round(r["q"], 6)) for r in salted.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketed+sorted tables on the join key co-locate: the join plan must
+    contain no Exchange on either side — the bucketing contract that makes
+    repeated 100 TB fact-fact joins affordable."""
+    import shutil
+
+    orders = table(spark, SF_DIR, "orders")
+    customer = table(spark, SF_DIR, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").saveAsTable("b_orders"))
+    (customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").saveAsTable("b_customer"))
+    joined = (spark.table("b_orders")
+              .join(spark.table("b_customer"),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    # disable broadcast so the co-located sort-merge path is what's planned
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert joined.count() == orders.join(
+        customer, orders.o_custkey == customer.c_custkey).count()
