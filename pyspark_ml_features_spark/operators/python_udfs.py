@@ -91,3 +91,33 @@ def b6b_robust_scaling_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "l_orderkey", "l_linenumber",
         "l_quantity_scaled", "l_extendedprice_scaled", "l_discount_scaled")
+
+
+@register(
+    "d27_python_udtf",
+    oracle="""
+SELECT doc_id, unnest(str_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 20
+""",
+    tags=("engine", "D20", "udf", "udtf"),
+)
+def d27_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): tokenize one document into rows —
+    completes the UDF/UDAF/UDTF trio. Deterministic pure-Python logic, so
+    the SQL unnest oracle matches exactly. Like row UDFs, UDTFs are a
+    last-resort surface: this exact op is explode(split(...)) in the JVM."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for tok in text.split(" "):
+                yield doc_id, tok
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.token "
+        "FROM udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t")
