@@ -35,6 +35,11 @@ HEADLINE = [
     "e10_tumbling_windows",
     "e11_robust_scale_array",
     "t4_fingerprint",
+    "t5_simhash",
+    "e14_asof_attribution",
+    "d25_sql_subqueries",
+    "e5_embedding_normalize",
+    "d21_apply_in_pandas_minmax",
     "d20_pandas_udf_revenue",
 ]
 

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): operator semantics on random inputs,
+checked against independent NumPy/Python models. Few examples per property —
+each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark_ml_features_spark.functions.text import HASH_BASE, HASH_MOD
+
+SLOW = settings(max_examples=5, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+def _py_rolling_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+    return acc
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcdefgh ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_rolling_hash_matches_python_model(spark, texts):
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               schema="id int, text string")
+    got = {r["id"]: r["h"]
+           for r in df.select("id", rolling_hash("text").alias("h")).collect()}
+    want = {i: _py_rolling_hash(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=5, max_size=40))
+def test_robust_scale_matches_numpy(spark, values):
+    from pyspark_ml_features_spark.operators.scaling import IQR_EPS, robust_scale
+
+    df = spark.createDataFrame([(float(v),) for v in values], schema="x double")
+    out = robust_scale(df, ["x"], method="exact")
+    q1, med, q3 = np.percentile(np.array(values, dtype=float), [25, 50, 75],
+                                method="linear")
+    iqr = q3 - q1
+    rows = out.collect()
+    if iqr <= IQR_EPS:
+        assert "x_scaled" not in out.columns  # reference skip semantics
+    else:
+        for r in rows:
+            expect = (r["x"] - med) / iqr
+            assert abs(r["x_scaled"] - expect) < 1e-9
+
+
+@SLOW
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30))
+def test_label_index_is_frequency_ordered_bijection(spark, labels):
+    import pyspark.sql.functions as F
+
+    from pyspark_ml_features_spark.operators.features import label_index
+
+    df = spark.createDataFrame([(lb,) for lb in labels], schema="y string")
+    mapping = {r["y"]: r["label"]
+               for r in label_index(df, "y").select("y", "label")
+               .distinct().collect()}
+    # bijection onto 0..k-1
+    assert sorted(mapping.values()) == [float(i) for i in range(len(mapping))]
+    # ordinal respects frequency desc, ties lexical
+    freq = {lb: labels.count(lb) for lb in set(labels)}
+    ordered = sorted(freq, key=lambda lb: (-freq[lb], lb))
+    assert mapping == {lb: float(i) for i, lb in enumerate(ordered)}
