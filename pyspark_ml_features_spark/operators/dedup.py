@@ -269,3 +269,43 @@ def e2b_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
             .select("d1", "d2", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= 6))
+
+
+@register(
+    "e1b_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT lower(trim(text)) AS norm_text FROM documents WHERE doc_id < 250
+), incoming AS (
+    SELECT doc_id, lower(trim(text)) AS norm_text
+    FROM documents WHERE doc_id >= 250
+), first_in_batch AS (
+    SELECT doc_id, norm_text,
+           row_number() OVER (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn
+    FROM incoming
+)
+SELECT f.doc_id, f.norm_text
+FROM first_in_batch f
+WHERE f.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm_text = f.norm_text)
+""",
+    tags=("north-star", "E1", "dedup", "incremental"),
+)
+def e1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape of E1: an incoming batch is
+    deduped within itself (keep first doc per normalized text) and against
+    the existing corpus (anti join on the normalized key). At 100 TB the
+    corpus side is just its fingerprint column (8-byte keys), partitioned by
+    key range so each incremental batch touches only matching partitions.
+    Fixture: corpus = doc_id < 250, incoming = doc_id >= 250."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text"))).alias("norm_text")
+    corpus = d.filter(F.col("doc_id") < 250).select(norm)
+    incoming = d.filter(F.col("doc_id") >= 250).select("doc_id", norm)
+    w = Window.partitionBy("norm_text").orderBy(F.asc("doc_id"))
+    first = (incoming.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).drop("rn"))
+    return first.join(corpus, "norm_text", "left_anti").select(
+        "doc_id", "norm_text")

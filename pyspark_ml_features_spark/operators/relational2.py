@@ -199,3 +199,43 @@ def d26_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("band")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("o_totalprice").alias("total")))
+
+
+@register(
+    "d28_null_handling",
+    oracle="""
+WITH with_nulls AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS disc_or_null,
+           CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS flag_or_null
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       coalesce(disc_or_null, -1.0) AS disc_filled,
+       coalesce(flag_or_null, 'unknown') AS flag_filled,
+       (disc_or_null IS NULL)::INT + (flag_or_null IS NULL)::INT AS n_nulls
+FROM with_nulls
+WHERE NOT (disc_or_null IS NULL AND flag_or_null IS NULL)
+""",
+    tags=("engine", "null-handling"),
+)
+def d28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna/dropna data-cleaning surface: nulls synthesized from sentinel
+    values, filled per-column with na.fill, rows with all-interesting-null
+    dropped with na.drop(thresh) — the standard pre-training cleaning pass."""
+    li = table(spark, sf_dir, "lineitem")
+    with_nulls = li.select(
+        "l_orderkey", "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"))
+    n_nulls = (F.col("disc_or_null").isNull().cast("int")
+               + F.col("flag_or_null").isNull().cast("int"))
+    cleaned = (with_nulls
+               .withColumn("n_nulls", n_nulls)
+               .na.drop(thresh=1, subset=["disc_or_null", "flag_or_null"]))
+    filled = cleaned.na.fill({"disc_or_null": -1.0, "flag_or_null": "unknown"})
+    return filled.select(
+        "l_orderkey", "l_linenumber",
+        F.col("disc_or_null").alias("disc_filled"),
+        F.col("flag_or_null").alias("flag_filled"),
+        "n_nulls")

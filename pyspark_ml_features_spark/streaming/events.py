@@ -97,3 +97,22 @@ def s1_streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame
 def s2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization on the stream (30 min gap)."""
     return run_stream_to_memory(streaming_sessions(events_stream(spark, sf_dir)))
+
+
+def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
+    """Drain a streaming DataFrame into partitioned parquet via
+    foreachBatch — the production sink pattern when the target needs
+    batch-only writers (merge/upsert, JDBC, bucketed tables). Each
+    micro-batch arrives as a batch DataFrame with exactly-once semantics
+    under AvailableNow + checkpointing."""
+    import tempfile
+
+    checkpoint = tempfile.mkdtemp(prefix="pmfs_ckpt_")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (df.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

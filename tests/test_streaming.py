@@ -50,3 +50,20 @@ def test_streaming_sessions_match_batch_sessionize(spark):
                   F.sum("n_events").alias("n_events"))
              .toPandas())
     assert_frames_match(stream, batch, "streaming_sessions_vs_batch")
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch parquet drain must contain exactly the batch rows."""
+    from pyspark_ml_features_spark.sources import table
+    from pyspark_ml_features_spark.streaming.events import (
+        events_stream,
+        run_stream_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "events_out")
+    run_stream_foreach_batch_parquet(events_stream(spark, SF_DIR), out)
+    written = spark.read.parquet(out)
+    batch = table(spark, SF_DIR, "events")
+    assert written.count() == batch.count()
+    assert (written.agg(F.sum("event_id")).collect()[0][0]
+            == batch.agg(F.sum("event_id")).collect()[0][0])
