@@ -239,3 +239,111 @@ def d28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc_or_null").alias("disc_filled"),
         F.col("flag_or_null").alias("flag_filled"),
         "n_nulls")
+
+
+@register(
+    "d8b_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       first_value(c_custkey) OVER w AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+    tags=("engine", "D8"),
+)
+def d8b_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist,
+    first_value — percent_rank/cume_dist are exact rationals of row counts,
+    so they compare bit-exactly."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_custkey"))
+
+
+@register(
+    "d13b_fuzzy_match",
+    oracle="""
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       levenshtein(a.p_name, b.p_name)::INT AS edit_distance
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+  AND levenshtein(a.p_name, b.p_name) <= 4
+""",
+    tags=("engine", "dedup", "fuzzy"),
+)
+def d13b_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: edit-distance pairs (levenshtein ≤ 4) on a
+    deterministic 10% sample — the string-similarity leg of the dedup
+    ladder. At scale, candidates come from a cheap blocking key (first
+    token / fingerprint band) before any pairwise distance."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    a = p.select(F.col("p_partkey").alias("p1"), F.col("p_name").alias("n1"))
+    b = p.select(F.col("p_partkey").alias("p2"), F.col("p_name").alias("n2"))
+    return (a.join(F.broadcast(b), F.col("p1") < F.col("p2"))
+            .select("p1", "p2",
+                    F.levenshtein("n1", "n2").alias("edit_distance"))
+            .filter(F.col("edit_distance") <= 4))
+
+
+@register(
+    "d29_date_spine",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('day', min(o_orderdate)) AS lo,
+           date_trunc('day', max(o_orderdate)) AS hi
+    FROM orders
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+), daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT s.day, coalesce(d.n_orders, 0)::BIGINT AS n_orders
+FROM spine s LEFT JOIN daily d USING (day)
+""",
+    tags=("engine", "timeseries"),
+)
+def d29_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily time series: a generated date spine left-joined to
+    the daily aggregate — the standard densification pattern (a training
+    pipeline's per-day example counts must include empty days). sequence()
+    generates the spine engine-side; no driver round-trip."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (spine.join(daily, "day", "left")
+            .select("day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+
+
+@register("d30_moment_stats", tags=("engine", "stats"))
+def d30_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics per group: stddev, variance, correlation,
+    covariance, skewness, kurtosis. Rows-only: moment formulas differ in
+    summation strategy across engines (Welford vs two-pass), so exact
+    hashes are not portable; range invariants asserted in
+    tests/test_invariants.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("price_stddev"),
+        F.var_samp("l_extendedprice").alias("price_var"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.skewness("l_extendedprice").alias("price_skew"),
+        F.kurtosis("l_extendedprice").alias("price_kurt"))

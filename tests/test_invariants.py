@@ -163,3 +163,29 @@ def test_robust_scale_eager_matches_expr(spark):
             for r in robust_scale_expr(li, ["l_quantity"])
             .distinct().collect()}
     assert eager == lazy
+
+
+def test_moment_stats_invariants(run, ddb):
+    """Spark moment stats must agree with DuckDB within float tolerance
+    (exact hashing is not portable for these — see d30 docstring)."""
+    rows = {r["l_returnflag"]: r for r in run("d30_moment_stats").collect()}
+    want = {r[0]: r for r in ddb.execute(
+        """SELECT l_returnflag, stddev_samp(l_extendedprice),
+                  corr(l_quantity, l_extendedprice),
+                  skewness(l_extendedprice)
+           FROM lineitem GROUP BY 1""").fetchall()}
+    for flag, r in rows.items():
+        assert math.isclose(r["price_stddev"], want[flag][1], rel_tol=1e-9)
+        assert math.isclose(r["qty_price_corr"], want[flag][2], rel_tol=1e-6)
+        # skewness bias-correction conventions differ slightly across engines
+        assert math.isclose(r["price_skew"], want[flag][3], abs_tol=1e-5)
+        assert -1.0 <= r["qty_price_corr"] <= 1.0
+
+
+def test_unknown_table_raises(spark):
+    import pytest as _pytest
+
+    from pyspark_ml_features_spark.sources import table
+
+    with _pytest.raises(KeyError):
+        table(spark, SF_DIR, "not_a_table")
