@@ -1,0 +1,160 @@
+"""Training-data preparation operators: embedding quantization, sequence
+packing, hash-based dataset splits, vocabulary construction — the batch
+steps between a cleaned corpus and a training run.
+
+All four are pure SQL expressions with exact oracles: quantization and
+splits are integer arithmetic; packing is a per-partition running sum
+(deterministic order); vocab is label_index generalized to tokens.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash, rolling_hash, tokens
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+PACK_TARGET_TOKENS = 256
+
+
+@register(
+    "e15_embedding_quantize",
+    oracle="""
+WITH scaled AS (
+    SELECT vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(embedding::DOUBLE[], x -> abs(x))),
+               (acc, x) -> greatest(acc, x)) AS max_abs
+    , embedding::DOUBLE[] AS emb
+    FROM embeddings
+)
+SELECT vec_id, max_abs,
+       list_transform(emb, x -> round(x * 127.0 / max_abs)::BIGINT) AS q_embedding
+FROM scaled
+""",
+    tags=("north-star", "quantization"),
+)
+def e15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings: scale by 127/max|x| per
+    vector, round to integers — 8× storage reduction for ANN shortlists.
+    Deterministic fold for max_abs; round() ties resolve identically on
+    positive/negative values across engines (away from zero)."""
+    from pyspark_ml_features_spark.functions.arrays import to_double_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    max_abs = F.aggregate(
+        F.transform(F.col("emb"), lambda x: F.abs(x)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    e = e.withColumn("max_abs", max_abs)
+    return e.select(
+        "vec_id", "max_abs",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.round(x * 127.0 / F.col("max_abs"), 0).cast("bigint")
+        ).alias("q_embedding"))
+
+
+@register(
+    "e16_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, len(str_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, lang, n_tokens,
+           ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - 1)
+            // {PACK_TARGET_TOKENS})::BIGINT AS pack_id
+    FROM toks
+)
+SELECT lang, pack_id,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, pack_id
+""",
+    tags=("north-star", "packing"),
+)
+def e16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents (per language,
+    in doc_id order) to ~{target}-token packs via a running token sum —
+    the deterministic streaming-friendly packing rule (a doc goes to the
+    pack its cumulative end lands in). One window shuffle on lang; at
+    100 TB the partition key is (lang, shard) and packs are written as
+    row groups."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_TARGET_TOKENS))
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+
+
+@register(
+    "e17_hash_split",
+    oracle=f"""
+WITH hashed AS (
+    SELECT doc_id, {duckdb_rolling_hash('text')} % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed
+""",
+    tags=("north-star", "split"),
+)
+def e17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on a content hash —
+    stable under re-runs, re-partitioning, and corpus growth (a document's
+    split never changes), unlike rand()-based splits. The B9 modulo split
+    generalized to the content-addressed form used for training corpora."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(rolling_hash("text"), F.lit(100))
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+         .when(bucket < 90, "val")
+         .otherwise("test").alias("split"))
+
+
+@register(
+    "e18_vocab_build",
+    oracle="""
+WITH counts AS (
+    SELECT unnest(str_split(text, ' ')) AS token FROM documents
+), freq AS (
+    SELECT token, count(*) AS freq FROM counts GROUP BY token
+)
+SELECT token, freq,
+       (dense_rank() OVER (ORDER BY freq DESC, token ASC) - 1)::BIGINT AS token_id
+FROM freq
+""",
+    tags=("north-star", "vocab"),
+)
+def e18_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: token → (freq, id) with ids assigned by
+    descending frequency (lexical ties) — label_index generalized to the
+    token domain. The shuffle is bounded by vocabulary size after map-side
+    partial counts; the id-assignment window runs over the vocab table,
+    never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.select(
+        "token", "freq",
+        (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))

@@ -11,6 +11,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     features,
     ml,
     multimodal,
+    packing,
     python_udfs,
     relational,
     relational2,
