@@ -134,3 +134,46 @@ def e10b_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "n_events", "total_value"))
+
+
+@register(
+    "e19_incremental_rollup",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("north-star", "E10", "incremental"),
+)
+def e19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (continuous-aggregate pattern): the
+    hourly rollup of an existing corpus (event_id < N/2) is MERGED with the
+    rollup of a new batch (event_id >= N/2) by summing partial aggregates
+    per (window, type) — never rescanning history. The oracle is the full
+    recompute: merged partials must equal it. total_value rounded to 6 dp
+    (partial-sum association differs from the direct sum in the last ulp).
+
+    At 100 TB the stored rollup is partitioned by window date; a new batch
+    touches only the partitions its watermark spans — the batch analogue of
+    the streaming twin's state store."""
+    e = table(spark, sf_dir, "events")
+    half = e.agg((F.max("event_id") / 2).cast("bigint").alias("m")).first()["m"]
+
+    def rollup(df):
+        return (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value").alias("sum_value")))
+
+    existing = rollup(e.filter(F.col("event_id") < half))
+    delta = rollup(e.filter(F.col("event_id") >= half))
+    merged = (existing.unionByName(delta)
+              .groupBy("w", "event_type")
+              .agg(F.sum("n_events").alias("n_events"),
+                   F.sum("sum_value").alias("sum_value")))
+    return merged.select(
+        F.col("w.start").alias("window_start"),
+        "event_type", "n_events",
+        F.round("sum_value", 6).alias("total_value"))

@@ -189,3 +189,23 @@ def test_unknown_table_raises(spark):
 
     with _pytest.raises(KeyError):
         table(spark, SF_DIR, "not_a_table")
+
+
+def test_pipeline_model_persistence(spark, tmp_path):
+    """MLlib model lifecycle: fit → save → load → identical transforms."""
+    from pyspark.ml import PipelineModel
+
+    from pyspark_ml_features_spark.operators.ml import (
+        FEATURE_COLS,
+        build_feature_pipeline,
+    )
+    from pyspark_ml_features_spark.sources import table
+
+    li = table(spark, SF_DIR, "lineitem").limit(1000)
+    model = build_feature_pipeline(FEATURE_COLS, "l_returnflag").fit(li)
+    path = str(tmp_path / "feature_pipeline")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    a = model.transform(li).select("label").groupBy("label").count().collect()
+    b = loaded.transform(li).select("label").groupBy("label").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
