@@ -202,3 +202,49 @@ def a10_display_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (n.orderBy(F.asc("n_nationkey"))
             .select("n_nationkey", "n_name").limit(5))
+
+
+def _json_sample_path() -> str:
+    """Deterministic JSON-lines sample written once to a stable temp path."""
+    path = os.path.join(tempfile.gettempdir(), "pmfs_sample.jsonl")
+    if not os.path.exists(path):
+        import json
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for i, (sl, sw, pl, pw, sp) in enumerate(_IRIS_ROWS):
+                fh.write(json.dumps({
+                    "row_id": i, "sepal_length": sl, "sepal_width": sw,
+                    "petal_length": pl, "petal_width": pw, "species": sp,
+                }, sort_keys=True) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "a11_json_scan",
+    oracle=f"""
+SELECT row_id, sepal_length, sepal_width, petal_length, petal_width, species
+FROM read_json_auto('{_json_sample_path()}')
+""",
+    tags=("reference", "source", "json"),
+)
+def a11_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with an explicit schema (inference on JSON is a
+    full pre-scan — never used at scale)."""
+    return spark.read.schema(
+        "row_id bigint, sepal_length double, sepal_width double, "
+        "petal_length double, petal_width double, species string"
+    ).json(_json_sample_path()).select(
+        "row_id", "sepal_length", "sepal_width", "petal_length",
+        "petal_width", "species")
+
+
+@register("a12_orc_roundtrip", tags=("reference", "source", "orc"))
+def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (rows-only: DuckDB has no ORC reader).
+    Row-count/schema equality with the parquet original is asserted in
+    tests/test_io.py."""
+    out = os.path.join(tempfile.gettempdir(), "pmfs_nation_orc")
+    table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -347,3 +347,46 @@ def d30_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
         F.skewness("l_extendedprice").alias("price_skew"),
         F.kurtosis("l_extendedprice").alias("price_kurt"))
+
+
+@register(
+    "e20_upsert_merge",
+    oracle="""
+WITH updates AS (
+    SELECT c_custkey, c_acctbal * 2 AS new_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+), inserts AS (
+    SELECT 1000000 + r_regionkey AS c_custkey, 0.0 AS new_acctbal FROM region
+), changes AS (
+    SELECT * FROM updates UNION ALL SELECT * FROM inserts
+)
+SELECT coalesce(c.c_custkey, ch.c_custkey) AS c_custkey,
+       coalesce(ch.new_acctbal, c.c_acctbal) AS c_acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+            WHEN ch.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM customer c FULL OUTER JOIN changes ch USING (c_custkey)
+""",
+    tags=("engine", "merge", "upsert"),
+)
+def e20_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD-1) without a table format: target FULL OUTER JOIN
+    changes, coalesce per column, action tag. At 100 TB both sides
+    hash-partition on the key and only changed partitions rewrite
+    (partition-overwrite mode); a lakehouse format (Delta/Iceberg) replaces
+    this plan with its native MERGE INTO but the join shape is identical."""
+    c = table(spark, sf_dir, "customer")
+    updates = (c.filter(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey", (F.col("c_acctbal") * 2).alias("new_acctbal")))
+    inserts = table(spark, sf_dir, "region").select(
+        (F.lit(1000000) + F.col("r_regionkey").cast("bigint")).alias("c_custkey"),
+        F.lit(0.0).alias("new_acctbal"))
+    changes = updates.unionByName(inserts)
+    target = c.select("c_custkey", "c_acctbal")
+    merged = target.join(changes, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("new_acctbal", "c_acctbal").alias("c_acctbal"),
+        F.when(F.col("c_acctbal").isNull(), "inserted")
+         .when(F.col("new_acctbal").isNull(), "unchanged")
+         .otherwise("updated").alias("merge_action"))

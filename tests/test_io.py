@@ -45,3 +45,20 @@ def test_plot_validation_curves(tmp_path):
     except NotImplementedError:
         pytest.skip("matplotlib not installed")
     assert target.exists() and target.stat().st_size > 0
+
+
+def test_orc_roundtrip_matches_parquet(spark):
+    from pyspark_ml_features_spark import registry
+
+    orc = registry.all_queries()["a12_orc_roundtrip"].fn(spark, SF_DIR)
+    parquet = table(spark, SF_DIR, "nation")
+    assert orc.count() == parquet.count()
+    assert set(orc.columns) == set(parquet.columns)
+
+
+def test_parquet_zstd_compression(spark, tmp_path):
+    d = table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "zstd_out")
+    d.write.option("compression", "zstd").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
