@@ -309,3 +309,77 @@ def e1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rn") == 1).drop("rn"))
     return first.join(corpus, "norm_text", "left_anti").select(
         "doc_id", "norm_text")
+
+
+@register(
+    "e21_dedup_clusters",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), edges AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.8
+), sym AS (
+    SELECT d1 AS a, d2 AS b FROM edges
+    UNION ALL SELECT d2, d1 FROM edges
+), reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM sub
+    UNION
+    SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT node AS doc_id,
+       min(r) AS cluster_id,
+       (node = min(r)) AS is_kept
+FROM reach GROUP BY node
+""",
+    tags=("north-star", "dedup", "clustering", "iterative"),
+)
+def e21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the J ≥ 0.8
+    similarity graph via iterative min-label propagation (the step that
+    turns pairwise dedup output into keep/drop decisions — one canonical
+    survivor per component). The oracle is a recursive-CTE transitive
+    closure: both converge to cluster_id = min reachable doc_id.
+
+    Scale shape: each iteration is one join + one aggregate on the
+    (node, label) table, O(E) per round, rounds = graph diameter (near-dup
+    graphs are shallow); labels are cached and localCheckpoint'd every few
+    rounds to truncate lineage — the standard large-graph CC pattern when a
+    graph library isn't available."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    edges = (jaccard_pairs(d, tokens("text"), threshold=0.8)
+             .select("d1", "d2").cache())
+    sym = (edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr"))
+           .unionAll(edges.select(F.col("d2").alias("node"),
+                                  F.col("d1").alias("nbr"))))
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    for i in range(20):
+        nbr_min = (sym.join(labels, sym.nbr == labels.doc_id)
+                   .groupBy("node").agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels.join(nbr_min, labels.doc_id == nbr_min.node, "left")
+                      .select(labels.doc_id,
+                              F.least("cluster_id", "nbr_min").alias("cluster_id"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"))
