@@ -390,3 +390,34 @@ def e20_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal").isNull(), "inserted")
          .when(F.col("new_acctbal").isNull(), "unchanged")
          .otherwise("updated").alias("merge_action"))
+
+
+@register(
+    "d9b_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 6) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("engine", "D9"),
+)
+def d9b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-user trailing-hour count/sum keyed on the
+    event-time VALUE (not row offsets — simultaneous and unevenly spaced
+    events are handled correctly, unlike a ROWS frame). Ordering key is
+    integer microseconds so the frame bounds are engine-exact; the trailing
+    sum is rounded 6 dp (accumulation order within a frame differs across
+    engines)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(us.cast("long"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id", "ts", "value",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("value_last_hour"))
