@@ -240,3 +240,30 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         rolling_hash("text").alias("fingerprint"),
         rolling_hash(F.lower(F.trim(F.col("text")))).alias("fingerprint_normalized"))
+
+
+@register(
+    "t6_regex_tokenize",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9]{1,4}'))::BIGINT AS n_pieces,
+       regexp_extract_all(text, '[a-z0-9]{1,4}')[1] AS first_piece,
+       len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_words
+FROM documents
+""",
+    tags=("north-star", "text-analysis", "tokenize"),
+)
+def t6_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization: greedy ≤4-char word pieces (the BPE-ish chunking
+    proxy — real BPE needs a merges table, which would ride the same
+    regexp_extract_all plumbing) plus alpha-word extraction. Simple
+    character-class patterns behave identically under Java regex and RE2,
+    so the oracle is exact."""
+    d = table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit("[a-z0-9]{1,4}"), 0)
+    words = F.regexp_extract_all("text", F.lit("[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        pieces.getItem(0).alias("first_piece"),
+        F.size(words).cast("bigint").alias("n_words"))
