@@ -121,3 +121,47 @@ def d27_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.token "
         "FROM udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t")
+
+
+@register("d31_per_group_regression", tags=("engine", "udf", "ml", "grouped"))
+def d31_per_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model fitting via applyInPandas: closed-form OLS
+    (slope/intercept of extendedprice ~ quantity) per returnflag — the
+    grouped-map pattern for training one model per segment (each group fits
+    on one executor; thousands of segment models fit in parallel, no driver
+    loop). Rows-only: float summation order differs across engines;
+    agreement with DuckDB regr_slope/regr_intercept is asserted with
+    tolerance in tests/test_invariants.py."""
+
+    def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy(dtype=float)
+        y = pdf["l_extendedprice"].to_numpy(dtype=float)
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "slope": [slope],
+            "intercept": [(sy - slope * sx) / n],
+            "n": [n],
+        })
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        _ols, schema="l_returnflag string, slope double, "
+                     "intercept double, n bigint")
+
+
+@register("d32_stratified_sample", tags=("engine", "D19", "rng", "stratified"))
+def d32_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling via sampleBy — the class-balancing
+    primitive for training sets (downsample majority classes). Seeded;
+    rows-only (engine RNG), per-stratum fraction bounds asserted in
+    tests/test_invariants.py."""
+    li = table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", fractions={"A": 0.1, "N": 0.5, "R": 0.1}, seed=42)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"))

@@ -209,3 +209,26 @@ def test_pipeline_model_persistence(spark, tmp_path):
     a = model.transform(li).select("label").groupBy("label").count().collect()
     b = loaded.transform(li).select("label").groupBy("label").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_per_group_regression_matches_duckdb(run, ddb):
+    got = {r["l_returnflag"]: r for r in run("d31_per_group_regression").collect()}
+    want = {r[0]: r for r in ddb.execute(
+        """SELECT l_returnflag,
+                  regr_slope(l_extendedprice, l_quantity),
+                  regr_intercept(l_extendedprice, l_quantity),
+                  count(*)
+           FROM lineitem GROUP BY 1""").fetchall()}
+    for flag, r in got.items():
+        assert math.isclose(r["slope"], want[flag][1], rel_tol=1e-9)
+        assert math.isclose(r["intercept"], want[flag][2], rel_tol=1e-6)
+        assert r["n"] == want[flag][3]
+
+
+def test_stratified_sample_fractions(run, ddb):
+    got = {r["l_returnflag"]: r["n_sampled"]
+           for r in run("d32_stratified_sample").collect()}
+    totals = {r[0]: r[1] for r in ddb.execute(
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").fetchall()}
+    for flag, frac in {"A": 0.1, "N": 0.5, "R": 0.1}.items():
+        assert math.isclose(got[flag] / totals[flag], frac, abs_tol=0.03)
