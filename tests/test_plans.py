@@ -66,3 +66,31 @@ def test_whole_stage_codegen_on_aggregate(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
     assert "*(" in executed and "HashAggregate" in executed
+
+
+def test_lsh_bucket_join_is_hash_join_on_bucket(spark):
+    """e4b must join on the bucket key with the query side broadcast —
+    the plan shape that makes LSH scale (no corpus shuffle)."""
+    plan = _plan(spark, "e4b_lsh_bucket_knn")
+    assert "BroadcastHashJoin [bucket" in plan.replace("#", " ").replace(
+        "bucket 0", "bucket") or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_in_subquery_becomes_semi_join(spark):
+    plan = _plan(spark, "d25_sql_subqueries")
+    assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    """e1's groupBy must partial-aggregate before the shuffle (map-side
+    combine) — shuffle rows bounded by distinct count, not input size."""
+    plan = _plan(spark, "e1_exact_dedup")
+    assert plan.count("HashAggregate") >= 2, "expected partial+final aggregate"
+
+
+def test_window_topk_uses_group_limit(spark):
+    """d10's rank<=k filter should push into the window sort
+    (WindowGroupLimit) instead of ranking every row."""
+    plan = _plan(spark, "d10_topk_orders_per_priority")
+    assert "WindowGroupLimit" in plan
