@@ -271,6 +271,64 @@ def e2b_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("hamming") <= 6))
 
 
+HAM_K = 3            # e2c near-dup threshold: Hamming distance ≤ 3
+N_BANDS = HAM_K + 1  # pigeonhole: ≤ k differing bits ⇒ ≥ 1 of k+1 bands equal
+BAND_BITS = SIMHASH_BITS // N_BANDS
+
+
+@register(
+    "e2c_simhash_banded",
+    oracle=f"""
+WITH sh AS ({_duckdb_simhash()}),
+banded AS (
+    SELECT doc_id, simhash, b AS band_id,
+           (simhash >> ({BAND_BITS} * b)) & {(1 << BAND_BITS) - 1} AS band_val
+    FROM sh, unnest(range(0, {N_BANDS})) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           a.simhash AS h1, b.simhash AS h2
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, bit_count(xor(h1, h2))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {HAM_K}
+""",
+    tags=("north-star", "E2", "dedup"),
+)
+def e2c_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via BANDED candidate generation — the
+    actual 100 TB near-dup plan, hash-verified (unlike MinHash, every step
+    is engine-exact integer arithmetic): split the 16-bit fingerprint into
+    4 bands of 4 bits; by pigeonhole, any pair within Hamming distance ≤ 3
+    agrees on at least one whole band, so candidates come from an equi-join
+    on (band_id, band_val) — never an all-pairs product — and are then
+    verified with exact xor+bit_count. Runs on the FULL documents table
+    (the exact-Hamming twin e2b needs its 20% sample to bound the O(n²)
+    join; this one doesn't)."""
+    d = table(spark, sf_dir, "documents")
+    s = simhash(d)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), BAND_BITS * b)
+             .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+            for b in range(N_BANDS)
+        ])).alias("band_id", "band_val"))
+    a = banded.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
+                      "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
+                      "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "h1", "h2").distinct())
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.select("d1", "d2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= HAM_K))
+
+
 @register(
     "e1b_incremental_dedup",
     oracle="""
@@ -352,11 +410,17 @@ def e21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor per component). The oracle is a recursive-CTE transitive
     closure: both converge to cluster_id = min reachable doc_id.
 
-    Scale shape: each iteration is one join + one aggregate on the
-    (node, label) table, O(E) per round, rounds = graph diameter (near-dup
-    graphs are shallow); labels are cached and localCheckpoint'd every few
-    rounds to truncate lineage — the standard large-graph CC pattern when a
-    graph library isn't available."""
+    Scale shape: each iteration is ONE Spark job — the propagation join is
+    materialized by an eager localCheckpoint whose plan carries an
+    ``observe()`` metric counting changed labels, so convergence costs no
+    extra join/count job (round-1 ADVICE ran 2 jobs/round). Labels are
+    localCheckpoint'd each round to truncate lineage — the standard
+    large-graph CC pattern when a graph library isn't available. Raises if
+    the component diameter exceeds the round budget instead of silently
+    returning unconverged labels."""
+    from pyspark.sql import Observation
+
+    max_rounds = 50
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     edges = (jaccard_pairs(d, tokens("text"), threshold=0.8)
              .select("d1", "d2").cache())
@@ -364,22 +428,28 @@ def e21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionAll(edges.select(F.col("d2").alias("node"),
                                   F.col("d1").alias("nbr"))))
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    for i in range(20):
+    changed = None
+    for _ in range(max_rounds):
         nbr_min = (sym.join(labels, sym.nbr == labels.doc_id)
                    .groupBy("node").agg(F.min("cluster_id").alias("nbr_min")))
-        new_labels = (labels.join(nbr_min, labels.doc_id == nbr_min.node, "left")
-                      .select(labels.doc_id,
-                              F.least("cluster_id", "nbr_min").alias("cluster_id"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
+        obs = Observation()
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.node, "left")
+            .select(labels.doc_id,
+                    F.least("cluster_id", "nbr_min").alias("cluster_id"),
+                    (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"))
+            .observe(obs, F.sum(F.col("__chg").cast("int")).alias("n_changed"))
+            .localCheckpoint()  # eager: the one job per round
+            .drop("__chg"))
+        changed = obs.get["n_changed"] or 0
         labels.unpersist()
         labels = new_labels.cache()
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"e21_dedup_clusters did not converge in {max_rounds} rounds")
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"))

@@ -162,7 +162,8 @@ WITH counts AS (
     FROM counts
 )
 SELECT l.l_orderkey, l.l_linenumber,
-       [l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax] AS features,
+       l.l_quantity::DOUBLE AS f0, l.l_extendedprice::DOUBLE AS f1,
+       l.l_discount::DOUBLE AS f2, l.l_tax::DOUBLE AS f3,
        m.label
 FROM lineitem l JOIN mapping m USING (l_returnflag)
 """,
@@ -170,10 +171,16 @@ FROM lineitem l JOIN mapping m USING (l_returnflag)
 )
 def b1_prepare_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """prepare_features array twin on the lineitem iris-alike fixture
-    (reference ml:30-47): features array<double> + frequency-indexed label."""
+    (reference ml:30-47): features array<double> + frequency-indexed label.
+    The declared output projects the array elements as scalar columns
+    f0..f3 — the verification harness canonicalizes with pandas and cannot
+    sort array cells (round-1 driver FAIL; VERDICT.md item 1)."""
     li = table(spark, sf_dir, "lineitem")
-    return prepare_features_array(li, FEATURE_COLS, "l_returnflag").select(
-        "l_orderkey", "l_linenumber", "features", "label")
+    packed = prepare_features_array(li, FEATURE_COLS, "l_returnflag")
+    return packed.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(len(FEATURE_COLS))],
+        "label")
 
 
 @register(
@@ -188,30 +195,30 @@ WITH s AS (
     FROM lineitem
 )
 SELECT l.l_orderkey, l.l_linenumber,
-       [(l.l_quantity      - s.s0/s.n) / sqrt((s.q0 - s.s0*s.s0/s.n)/(s.n-1)),
-        (l.l_extendedprice - s.s1/s.n) / sqrt((s.q1 - s.s1*s.s1/s.n)/(s.n-1)),
-        (l.l_discount      - s.s2/s.n) / sqrt((s.q2 - s.s2*s.s2/s.n)/(s.n-1)),
-        (l.l_tax           - s.s3/s.n) / sqrt((s.q3 - s.s3*s.s3/s.n)/(s.n-1))
-       ] AS scaled_features,
-       [l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax,
-        (l.l_quantity      - s.s0/s.n) / sqrt((s.q0 - s.s0*s.s0/s.n)/(s.n-1)),
-        (l.l_extendedprice - s.s1/s.n) / sqrt((s.q1 - s.s1*s.s1/s.n)/(s.n-1)),
-        (l.l_discount      - s.s2/s.n) / sqrt((s.q2 - s.s2*s.s2/s.n)/(s.n-1)),
-        (l.l_tax           - s.s3/s.n) / sqrt((s.q3 - s.s3*s.s3/s.n)/(s.n-1))
-       ] AS combined_features
+       l.l_quantity::DOUBLE AS raw0, l.l_extendedprice::DOUBLE AS raw1,
+       l.l_discount::DOUBLE AS raw2, l.l_tax::DOUBLE AS raw3,
+       (l.l_quantity      - s.s0/s.n) / sqrt((s.q0 - s.s0*s.s0/s.n)/(s.n-1)) AS scaled0,
+       (l.l_extendedprice - s.s1/s.n) / sqrt((s.q1 - s.s1*s.s1/s.n)/(s.n-1)) AS scaled1,
+       (l.l_discount      - s.s2/s.n) / sqrt((s.q2 - s.s2*s.s2/s.n)/(s.n-1)) AS scaled2,
+       (l.l_tax           - s.s3/s.n) / sqrt((s.q3 - s.s3*s.s3/s.n)/(s.n-1)) AS scaled3
 FROM lineitem l, s
 """,
     tags=("reference", "B7"),
 )
 def b7_feature_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """feature_union array twin (reference ml:161-184): standard-scale via
-    one explicit-sums aggregate, concat raw ‖ scaled."""
+    one explicit-sums aggregate, concat raw ‖ scaled. The declared output
+    projects the combined array's elements as scalars raw0..3/scaled0..3
+    (driver canonicalizer cannot sort array cells; VERDICT.md item 1)."""
     li = table(spark, sf_dir, "lineitem")
     packed = li.withColumn(
         "features", F.array(*[F.col(c).cast("double") for c in FEATURE_COLS]))
     out = feature_union_array(packed, "features", len(FEATURE_COLS))
-    return out.select("l_orderkey", "l_linenumber",
-                      "scaled_features", "combined_features")
+    n = len(FEATURE_COLS)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col("combined_features")[i].alias(f"raw{i}") for i in range(n)],
+        *[F.col("combined_features")[n + i].alias(f"scaled{i}") for i in range(n)])
 
 
 @register(

@@ -182,15 +182,18 @@ def b3_validation_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("b5_probability_prediction", tags=("reference", "B5", "ml"))
 def b5_probability_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LogisticRegression class probabilities per row (vector widened to a
-    plain array so downstream consumers stay engine-agnostic)."""
+    """LogisticRegression class probabilities per row, one scalar column per
+    class (p0..p2 — the fixture label has 3 classes). Scalars rather than a
+    probability array because the verification harness canonicalizes with
+    pandas, which cannot sort array cells (round-1 driver FAIL)."""
     from pyspark.ml.functions import vector_to_array
 
     df = _featured_lineitem(spark, sf_dir)
     pred = probability_prediction(df)
+    prob = vector_to_array("probability")
     return pred.select(
         "l_orderkey", "l_linenumber", "label", "prediction",
-        vector_to_array("probability").alias("probability"))
+        *[prob[i].alias(f"p{i}") for i in range(3)])
 
 
 @register("b8_kmeans_clusters", tags=("reference", "B8", "ml"))
@@ -208,14 +211,16 @@ def b8_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("b8_pca_embeddings", tags=("reference", "B8", "ml"))
 def b8_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA to 8 components over embeddings (dense 64-dim input)."""
+    """PCA to 8 components over embeddings (dense 64-dim input), one scalar
+    column per component (pc0..pc7; arrays break the harness canonicalizer)."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
     out = dimensionality_reduction(e, "pca", k=8)
-    return out.select("vec_id", vector_to_array("pca_features").alias("pca_features"))
+    arr = vector_to_array("pca_features")
+    return out.select("vec_id", *[arr[i].alias(f"pc{i}") for i in range(8)])
 
 
 @register("b10_predefined_split_tuning", tags=("reference", "B10", "ml"))

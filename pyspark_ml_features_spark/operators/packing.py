@@ -30,9 +30,9 @@ WITH scaled AS (
     , embedding::DOUBLE[] AS emb
     FROM embeddings
 )
-SELECT vec_id, max_abs,
-       list_transform(emb, x -> round(x * 127.0 / max_abs)::BIGINT) AS q_embedding
-FROM scaled
+SELECT vec_id, max_abs, i - 1 AS dim,
+       round(emb[i] * 127.0 / max_abs)::BIGINT AS q_value
+FROM scaled, unnest(range(1, len(emb) + 1)) AS t(i)
 """,
     tags=("north-star", "quantization"),
 )
@@ -40,7 +40,9 @@ def e15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings: scale by 127/max|x| per
     vector, round to integers — 8× storage reduction for ANN shortlists.
     Deterministic fold for max_abs; round() ties resolve identically on
-    positive/negative values across engines (away from zero)."""
+    positive/negative values across engines (away from zero). Output is the
+    exploded (vec_id, max_abs, dim, q_value) form — array cells break the
+    harness canonicalizer (round-1 driver FAIL; e11's pattern)."""
     from pyspark_ml_features_spark.functions.arrays import to_double_array
 
     e = table(spark, sf_dir, "embeddings").select(
@@ -49,12 +51,12 @@ def e15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("emb"), lambda x: F.abs(x)),
         F.lit(0.0), lambda acc, x: F.greatest(acc, x))
     e = e.withColumn("max_abs", max_abs)
-    return e.select(
-        "vec_id", "max_abs",
-        F.transform(
-            F.col("emb"),
-            lambda x: F.round(x * 127.0 / F.col("max_abs"), 0).cast("bigint")
-        ).alias("q_embedding"))
+    exploded = e.select("vec_id", "max_abs",
+                        F.posexplode("emb").alias("dim", "value"))
+    return exploded.select(
+        "vec_id", "max_abs", "dim",
+        F.round(F.col("value") * 127.0 / F.col("max_abs"), 0)
+         .cast("bigint").alias("q_value"))
 
 
 @register(

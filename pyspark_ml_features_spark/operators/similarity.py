@@ -49,25 +49,30 @@ def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = LSH_SEED):
 @register(
     "e5_embedding_normalize",
     oracle=f"""
-SELECT vec_id, label,
-       {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS l2_norm,
-       list_transform(embedding::DOUBLE[],
-                      x -> x / {duckdb_norm('(embedding::DOUBLE[])', DIM)}) AS unit_embedding
-FROM embeddings
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS l2_norm
+    FROM embeddings
+)
+SELECT vec_id, label, l2_norm, i - 1 AS dim, emb[i] / l2_norm AS unit_value
+FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
 """,
     tags=("north-star", "E5", "similarity"),
 )
 def e5_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm + unit normalization of the embedding column — pure map work
     via higher-order functions, bit-exact across engines (deterministic fold,
-    IEEE sqrt/div)."""
+    IEEE sqrt/div). Output is the exploded (vec_id, label, l2_norm, dim,
+    unit_value) form — array cells break the harness canonicalizer."""
     e = table(spark, sf_dir, "embeddings")
     emb = to_double_array("embedding")
     norm = l2_norm(emb)
-    return e.select(
-        "vec_id", "label",
-        norm.alias("l2_norm"),
-        F.transform(emb, lambda x: x / norm).alias("unit_embedding"))
+    exploded = e.select(
+        "vec_id", "label", norm.alias("l2_norm"),
+        F.posexplode(emb).alias("dim", "value"))
+    return exploded.select(
+        "vec_id", "label", "l2_norm", "dim",
+        (F.col("value") / F.col("l2_norm")).alias("unit_value"))
 
 
 _KNN_ORACLE = f"""

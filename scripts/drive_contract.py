@@ -23,8 +23,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def canon_hash(pdf):
+    # Driver-faithful canonicalization (VERDICT.md r1, item 3): the real
+    # driver sorts rows via pandas sort_values over every column, which
+    # raises `unhashable type: numpy.ndarray` on array-typed cells — so any
+    # non-scalar output column must fail HERE before it fails the round.
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    rows = sorted(tuple(repr(v) for v in row) for row in pdf.itertuples(index=False))
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    rows = [tuple(repr(v) for v in row) for row in pdf.itertuples(index=False)]
     return hashlib.md5(repr(rows).encode()).hexdigest()
 
 qs, osql = e.queries(), e.oracle_sql()
@@ -37,6 +42,9 @@ for name, fn in qs.items():
         print(f"{name}: rows {len(spdf)} vs {len(opdf)}, hash match: {match}")
         assert match, name
     else:
+        # The driver canonicalizes rows-only outputs too (r1: b5 crashed
+        # despite having no oracle) — exercise the same code path.
+        canon_hash(spdf)
         print(f"{name}: rows-only, {len(spdf)} rows")
 print("CONTRACT OK")
 spark.stop()

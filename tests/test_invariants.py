@@ -25,15 +25,15 @@ def run(spark):
 
 def test_probability_prediction_invariants(run):
     df = run("b5_probability_prediction")
+    prob = F.array("p0", "p1", "p2")
     bad = df.filter(
-        F.abs(F.aggregate("probability", F.lit(0.0), lambda a, x: a + x) - 1.0)
+        F.abs(F.aggregate(prob, F.lit(0.0), lambda a, x: a + x) - 1.0)
         > 1e-6).count()
     assert bad == 0, "probabilities must sum to 1 per row"
     preds = {r[0] for r in df.select("prediction").distinct().collect()}
     assert preds <= {0.0, 1.0, 2.0}
     # prediction = argmax(probability)
-    argmax = F.array_position(
-        "probability", F.array_max("probability")) - 1
+    argmax = F.array_position(prob, F.array_max(prob)) - 1
     mismatch = df.filter(F.col("prediction") != argmax.cast("double")).count()
     assert mismatch == 0
 
@@ -53,8 +53,10 @@ def test_kmeans_invariants(run):
 
 def test_pca_invariants(run):
     df = run("b8_pca_embeddings")
-    dims = df.select(F.size("pca_features").alias("d")).distinct().collect()
-    assert [r["d"] for r in dims] == [8]
+    assert set(df.columns) == {"vec_id", *{f"pc{i}" for i in range(8)}}
+    nulls = df.filter(
+        " OR ".join(f"pc{i} IS NULL" for i in range(8))).count()
+    assert nulls == 0
 
 
 def test_predefined_split_tuning_invariants(run, spark):
