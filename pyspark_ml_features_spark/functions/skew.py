@@ -21,7 +21,16 @@ def salted_join(large: DataFrame, small: DataFrame, on: str,
 
     The salt is random (seeded) — correctness never depends on which salt a
     row gets, only that each (key, salt) pair meets its replicated partner.
+
+    Only ``inner`` and ``left`` are equivalent to the plain join: replicating
+    the small side n_salts times would emit each unmatched small-side row
+    once per salt under right/full outer semantics, and semi/anti flip
+    meaning entirely.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            f"replicated small side breaks right/full/semi/anti semantics")
     salted_large = large.withColumn(
         SALT_COL, F.floor(F.rand(seed) * n_salts).cast("int"))
     salts = F.explode(

@@ -61,3 +61,28 @@ def e11_robust_scale_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "dim", "value",
                     F.when(iqr > IQR_EPS,
                            (F.col("value") - F.col("med")) / iqr).alias("scaled")))
+
+
+@register("e11b_robust_scale_array_approx", tags=("north-star", "E11", "approx"))
+def e11b_robust_scale_array_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 scale path: per-dimension ``percentile_approx`` (KLL-style sketch,
+    bounded memory per group) instead of exact ``percentile`` (which buffers
+    every value of a dimension in its aggregation state — the 100 TB hazard).
+    Same plan shape otherwise: one 64-group aggregate, stats broadcast back
+    over the exploded rows. Approx quantiles are engine-specific → rows-only;
+    agreement with the exact e11 within tolerance is asserted in
+    tests/test_invariants.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    exploded = e.select(
+        "vec_id", F.posexplode("emb").alias("dim", "value"))
+    acc = 10_000  # 1/accuracy relative-error bound ⇒ ~1e-4
+    stats = exploded.groupBy("dim").agg(
+        F.percentile_approx("value", F.lit(0.25), F.lit(acc)).alias("q1"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("med"),
+        F.percentile_approx("value", F.lit(0.75), F.lit(acc)).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    return (exploded.join(F.broadcast(stats), "dim")
+            .select("vec_id", "dim", "value",
+                    F.when(iqr > IQR_EPS,
+                           (F.col("value") - F.col("med")) / iqr).alias("scaled")))

@@ -100,6 +100,129 @@ def e12_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(payload)
 
 
+# --- real codec-free header parsing ----------------------------------------
+# PNG/BMP/GIF geometry lives in fixed-offset header fields — plain struct
+# reads, no codec library needed. This is the honest slice of image decode
+# that CAN run in this container; pixel decode stays stubbed below.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → channel count (spec: greyscale, RGB, palette, grey+alpha,
+# RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse (format, width, height, bit_depth, n_channels) from the raw
+    header bytes of a PNG / BMP / GIF payload — pure struct reads at the
+    offsets the specs fix, no image library.
+
+    PNG: 8-byte signature, then the IHDR chunk (length+type at 8..16, width
+    and height big-endian at 16..24, bit depth and color type at 24..26).
+    BMP: 'BM' signature, BITMAPINFOHEADER width/height little-endian at
+    18..26 (height may be negative for top-down rows), bits-per-pixel at
+    28..30. GIF: 'GIF87a'/'GIF89a', logical screen w/h little-endian at
+    6..10.
+    """
+    import struct
+
+    if payload[:8] == PNG_MAGIC:
+        width, height = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type = payload[24], payload[25]
+        return ("png", width, height, bit_depth,
+                _PNG_CHANNELS.get(color_type, 0))
+    if payload[:2] == b"BM":
+        width, height = struct.unpack("<ii", payload[18:26])
+        bpp, = struct.unpack("<H", payload[28:30])
+        return ("bmp", width, abs(height), bpp, max(1, bpp // 8))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = struct.unpack("<HH", payload[6:10])
+        return ("gif", width, height, 8, 1)
+    raise ValueError("unrecognized image format (not PNG/BMP/GIF)")
+
+
+def synth_png_header(width: int, height: int, bit_depth: int = 8,
+                     color_type: int = 2) -> bytes:
+    """Byte-exact PNG signature + IHDR chunk (with real CRC32) and no pixel
+    data — enough for any header parser, buildable without a codec. Used by
+    the e13b fixture builder and the parser unit tests."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (PNG_MAGIC + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def synth_bmp_header(width: int, height: int, bpp: int = 24) -> bytes:
+    """14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, no pixel data."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 0,
+                       2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40, 0, 0, 14 + 40)
+    return file_hdr + info
+
+
+IMAGE_HEADER_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("bit_depth", LongType()),
+    StructField("n_channels", LongType()),
+])
+
+
+@register(
+    "e13b_image_header_parse",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       (1 + n_chars % 1024)::BIGINT AS width,
+       (1 + doc_id % 768)::BIGINT AS height,
+       (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END)::BIGINT AS bit_depth,
+       3::BIGINT AS n_channels
+FROM documents
+""",
+    tags=("north-star", "multimodal", "udf"),
+)
+def e13b_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header extraction, oracle-checked end to end: build a
+    byte-exact PNG or BMP header per document (geometry derived from doc
+    columns), push it through the binary column → Arrow mapInPandas path,
+    and parse it back with :func:`parse_image_header` (actual struct reads
+    of actual header bytes). The DuckDB oracle recomputes the geometry
+    arithmetically, so any drift in the builder OR the parser breaks the
+    hash. This is the codec-free slice of e13 made honest; pixel decode
+    remains the documented stub."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_png_header(1 + n % 1024, 1 + int(i) % 768)
+                if i % 2 == 0 else
+                synth_bmp_header(1 + n % 1024,
+                                 # negative height = top-down BMP; the parser
+                                 # must abs() it
+                                 -(1 + int(i) % 768))
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            parsed = [parse_image_header(p) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "format": [p[0] for p in parsed],
+                "width": pd.Series([p[1] for p in parsed], dtype="int64"),
+                "height": pd.Series([p[2] for p in parsed], dtype="int64"),
+                "bit_depth": pd.Series([p[3] for p in parsed], dtype="int64"),
+                "n_channels": pd.Series([p[4] for p in parsed], dtype="int64"),
+            })
+
+    return d.mapInPandas(_build_and_parse, schema=IMAGE_HEADER_SCHEMA)
+
+
 # --- stubbed media decode (codecs not present in this environment) ---------
 
 IMAGE_FEATURES_SCHEMA = StructType([
@@ -127,9 +250,23 @@ def fake_decode_image(payload: bytes) -> tuple[int, int, int, int]:
     return (64 + n % 64, 64 + (n // 64) % 64, 3, sum(payload[:16]) % 256)
 
 
+def decode_image_auto(payload: bytes) -> tuple[int, int, int, int]:
+    """Real-first decode: parse actual PNG/BMP/GIF header bytes when the
+    payload is one (struct reads, no codec), fall back to the deterministic
+    fake for anything else (e.g. the text-bytes fixture). mean_luma needs
+    pixel decode, which stays stubbed — it comes from the fake either way."""
+    import struct
+
+    try:
+        _, width, height, _, n_channels = parse_image_header(payload)
+        return (width, height, n_channels, fake_decode_image(payload)[3])
+    except (ValueError, struct.error):
+        return fake_decode_image(payload)
+
+
 def extract_image_features(df: DataFrame, id_col: str = "doc_id",
                            payload_col: str = "payload",
-                           decoder=fake_decode_image) -> DataFrame:
+                           decoder=decode_image_auto) -> DataFrame:
     """mapInPandas image feature extraction — same batch shape as a real
     decoder would use (one row per image, metadata columns out)."""
 

@@ -227,6 +227,50 @@ def test_per_group_regression_matches_duckdb(run, ddb):
         assert r["n"] == want[flag][3]
 
 
+def test_approx_array_scale_close_to_exact(run):
+    """E11 approx path (percentile_approx sketch) must track exact e11
+    per (vec_id, dim) — nulls in the same places, values within tolerance
+    (approx quantiles land on actual order statistics instead of
+    interpolating, so the per-dim median/IQR can shift by one sample gap)."""
+    exact = run("e11_robust_scale_array").select(
+        "vec_id", "dim", F.col("scaled").alias("s_exact"))
+    approx = run("e11b_robust_scale_array_approx").select(
+        "vec_id", "dim", F.col("scaled").alias("s_approx"))
+    j = exact.join(approx, ["vec_id", "dim"]).cache()
+    assert j.filter(F.col("s_exact").isNull() != F.col("s_approx").isNull()
+                    ).count() == 0
+    worst = j.agg(F.max(F.abs(F.col("s_exact") - F.col("s_approx")))
+                  ).collect()[0][0]
+    j.unpersist()
+    assert worst is None or worst < 0.1, f"approx scaled drifted {worst}"
+
+
+def test_tfidf_scores_clear_of_rounding_boundary(ddb):
+    """e8 rounds summed tf·idf scores to 6 dp on both engines to absorb
+    order-of-summation and ln() last-ulp differences (~1e-12 relative). That
+    only works if no PRE-round score sits within that slack of a 0.5e-6
+    rounding boundary — verify the actual margin on the graded fixture is
+    orders of magnitude wider than the absorbed error (the e8 ranking itself
+    is safe: it orders by the already-rounded score with a term tiebreak).
+    Documented residual-risk check, ADVICE r1."""
+    scores = [r[0] for r in ddb.execute("""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, lang, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, lang, term
+        ), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+        SELECT sum(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1)) AS score
+        FROM tf JOIN df USING (term), n
+        GROUP BY tf.lang, tf.term""").fetchall()]
+    margin = min(abs((s * 1e6) % 1.0 - 0.5) for s in scores)
+    assert margin > 1e-3, (
+        f"a tf-idf score sits {margin} from a 6-dp rounding boundary — the "
+        f"round could flip between engines; widen rounding or rework idf")
+
+
 def test_stratified_sample_fractions(run, ddb):
     got = {r["l_returnflag"]: r["n_sampled"]
            for r in run("d32_stratified_sample").collect()}

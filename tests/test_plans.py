@@ -77,6 +77,16 @@ def test_lsh_bucket_join_is_hash_join_on_bucket(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_band_join_is_hash_join(spark):
+    """e2c's candidate generation must be an equi-join on (band_id,
+    band_val) — a hash join, never an all-pairs product. This is the plan
+    property that makes banded near-dup linear-ish at 100 TB."""
+    plan = _plan(spark, "e2c_simhash_banded")
+    assert "HashJoin" in plan, "band join must be hash-based"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_in_subquery_becomes_semi_join(spark):
     plan = _plan(spark, "d25_sql_subqueries")
     assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")

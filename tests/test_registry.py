@@ -23,6 +23,9 @@ DEFERRED_ORACLES = {
     # §2-D17 already carries a graded oracle row via d17_json_functions;
     # the window is full and every other slot covers an unverified operator.
     "d17b_from_json",
+    # New this round (added after the round-2 window was frozen at 50);
+    # locally hash-verified by drive_contract.py, rotate in next round.
+    "e13b_image_header_parse",
 }
 
 

@@ -24,6 +24,19 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b
 
 
+def test_salted_join_rejects_unsafe_how(spark):
+    """Right/full/semi/anti are NOT equivalent under small-side replication
+    (unmatched small rows would multiply n_salts×) — must raise up front."""
+    import pytest
+
+    li = table(spark, SF_DIR, "lineitem").select("l_partkey")
+    p = (table(spark, SF_DIR, "part").select("p_partkey")
+         .withColumnRenamed("p_partkey", "l_partkey"))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(li, p, "l_partkey", how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Bucketed+sorted tables on the join key co-locate: the join plan must
     contain no Exchange on either side — the bucketing contract that makes
