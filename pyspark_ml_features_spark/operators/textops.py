@@ -267,3 +267,105 @@ def t6_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).cast("bigint").alias("n_pieces"),
         pieces.getItem(0).alias("first_piece"),
         F.size(words).cast("bigint").alias("n_words"))
+
+
+@register(
+    "t7_repetition_ratio",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, str_split(text, ' ') AS tok FROM documents
+), g AS (
+    SELECT doc_id, tok, len(tok) AS n_tok,
+           list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                          i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS g3
+    FROM t
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       CASE WHEN n_tok > 0
+            THEN (n_tok - len(list_distinct(tok)))::DOUBLE / n_tok END
+           AS dup_token_frac,
+       CASE WHEN len(g3) > 0
+            THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END
+           AS dup_3gram_frac
+FROM g
+""",
+    tags=("north-star", "text-analysis", "quality"),
+)
+def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): fraction
+    of duplicated tokens and duplicated word-3-grams per document — high
+    values flag boilerplate/spam for corpus filtering. Pure codegen (split +
+    array ops + integer ratios), so the oracle is exact and the op is
+    embarrassingly parallel map work at any scale."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tok = F.size(t)
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1),
+                              F.element_at(t, i + 2)))
+    n_g3 = F.size(g3)
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.when(n_tok > 0,
+               (n_tok - F.size(F.array_distinct(t))).cast("double") / n_tok)
+         .alias("dup_token_frac"),
+        F.when(n_g3 > 0,
+               (n_g3 - F.size(F.array_distinct(g3))).cast("double") / n_g3)
+         .alias("dup_3gram_frac"))
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "t8_pii_redact",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact user' || doc_id::VARCHAR
+                     || '@example.com or 555-01' || lpad((doc_id % 10)::VARCHAR, 1, '0')
+                     || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM seeded
+""",
+    tags=("north-star", "text-analysis", "pii"),
+)
+def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email addresses
+    and phone numbers via regexp_replace — the standard pre-training
+    hygiene pass. The fixture has no organic PII, so every 10th document is
+    deterministically seeded with a synthetic email + phone first (same
+    arithmetic in the oracle), proving redaction actually fires. Plain
+    character-class regexes behave identically under Java regex and RE2, so
+    the oracle is exact. At 100 TB this is pure codegen map work."""
+    d = table(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or 555-01"),
+                 F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"),
+                 F.lit("-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.col("text"))
+    text = seeded.alias("text")
+    return d.select("doc_id", text).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+         .cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>").alias("redacted"))

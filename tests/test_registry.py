@@ -26,6 +26,8 @@ DEFERRED_ORACLES = {
     # New this round (added after the round-2 window was frozen at 50);
     # locally hash-verified by drive_contract.py, rotate in next round.
     "e13b_image_header_parse",
+    "t7_repetition_ratio",
+    "t8_pii_redact",
 }
 
 
