@@ -160,3 +160,81 @@ def e18_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         "token", "freq",
         (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))
+
+
+@register(
+    "e22_source_mix",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           100 - 4 * regexp_extract(source, 'src([0-9]+)', 1)::INT AS weight_pct
+    FROM documents
+)
+SELECT doc_id, source, weight_pct::BIGINT AS weight_pct
+FROM w
+WHERE doc_id % 100 < weight_pct
+""",
+    tags=("north-star", "mixing"),
+)
+def e22_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: down-sample each source to a configured
+    weight (here weight_pct = 100 - 4·source_index, i.e. src0 keeps 100%,
+    src19 keeps 24%) using a deterministic id-modulo gate instead of rand()
+    — the selection is reproducible run-to-run and engine-exact, which is
+    what makes corpus mixes auditable. At 100 TB this is a pure codegen
+    filter: no shuffle, no state, prunes at the scan when sources are
+    partition columns."""
+    d = table(spark, sf_dir, "documents")
+    weight = (F.lit(100)
+              - 4 * F.regexp_extract("source", "src([0-9]+)", 1).cast("int"))
+    return (d.select("doc_id", "source",
+                     weight.cast("bigint").alias("weight_pct"))
+            .filter(F.col("doc_id") % 100 < F.col("weight_pct")))
+
+
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 64
+
+
+@register(
+    "e23_chunk_documents",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, str_split(text, ' ') AS tok FROM documents
+), c AS (
+    SELECT doc_id, tok, i AS chunk_id
+    FROM t, unnest(range(0, (len(tok) - 1) // {CHUNK_STRIDE} + 1)) AS u(i)
+    WHERE len(tok) > 0
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       len(list_slice(tok, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}))::BIGINT
+           AS n_chunk_tokens,
+       array_to_string(list_slice(tok, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}),
+                       ' ') AS chunk_text
+FROM c
+""",
+    tags=("north-star", "chunking"),
+)
+def e23_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    128-token windows with stride 64 — the standard pre-tokenization step
+    for fixed-context training and RAG indexing.
+    Implemented as sequence→transform→posexplode (one shuffle-free flatMap;
+    row count grows ~2× with 50% overlap, bounded and predictable). Output
+    rows are (doc_id, chunk_id, n_chunk_tokens, chunk_text) scalars with an
+    exact oracle (pure integer slicing)."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tok = F.size(t)
+    n_chunks = (F.floor((n_tok - 1) / CHUNK_STRIDE) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(t, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
+    return (d.filter(n_tok > 0)
+            .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+            .select("doc_id",
+                    F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                    F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", "chunk").alias("chunk_text")))

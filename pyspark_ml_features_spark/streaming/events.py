@@ -116,3 +116,22 @@ def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+@register("s4_streaming_dedup", tags=("north-star", "E1", "streaming", "dedup"))
+def s4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the events stream
+    unioned with itself (every event delivered twice — the redelivery
+    pattern a Kafka consumer must survive) flows through
+    ``dropDuplicatesWithinWatermark`` keyed on event_id, so each event is
+    emitted exactly once. State holds only ids inside the 10-minute
+    watermark horizon — bounded regardless of stream length, which is what
+    makes this the production dedup gate in front of an append sink.
+    Rows-only (streaming execution isn't SQL-oracle-able); equality with
+    the batch distinct is asserted in tests/test_streaming.py."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionAll(events_stream(spark, sf_dir))
+    deduped = (doubled.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "ts", "user_id", "event_type", "value"))
+    return run_stream_to_memory(deduped, mode="append")

@@ -28,6 +28,8 @@ DEFERRED_ORACLES = {
     "e13b_image_header_parse",
     "t7_repetition_ratio",
     "t8_pii_redact",
+    "e22_source_mix",
+    "e23_chunk_documents",
 }
 
 

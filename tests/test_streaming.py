@@ -52,6 +52,19 @@ def test_streaming_sessions_match_batch_sessionize(spark):
     assert_frames_match(stream, batch, "streaming_sessions_vs_batch")
 
 
+def test_streaming_dedup_equals_batch_distinct(spark):
+    """s4 doubles the stream (at-least-once redelivery) then dedups on
+    event_id — the output must be exactly the original event set."""
+    from pyspark_ml_features_spark.sources import table
+
+    stream = ALL["s4_streaming_dedup"].fn(spark, SF_DIR)
+    batch = table(spark, SF_DIR, "events")
+    assert stream.count() == batch.count()
+    assert (stream.agg(F.sum("event_id")).collect()[0][0]
+            == batch.agg(F.sum("event_id")).collect()[0][0])
+    assert stream.select("event_id").distinct().count() == batch.count()
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch parquet drain must contain exactly the batch rows."""
     from pyspark_ml_features_spark.sources import table
