@@ -192,6 +192,48 @@ def e22_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 100 < F.col("weight_pct")))
 
 
+@register(
+    "e24_tokenize_to_ids",
+    oracle="""
+WITH counts AS (
+    SELECT unnest(str_split(text, ' ')) AS token FROM documents
+), freq AS (
+    SELECT token, count(*) AS freq FROM counts GROUP BY token
+), vocab AS (
+    SELECT token,
+           (dense_rank() OVER (ORDER BY freq DESC, token ASC) - 1)::BIGINT
+               AS token_id
+    FROM freq
+), t AS (
+    SELECT doc_id, str_split(text, ' ') AS tok FROM documents
+), p AS (
+    SELECT doc_id, tok[i + 1] AS token, i AS pos
+    FROM t, unnest(range(0, len(tok))) AS u(i)
+)
+SELECT p.doc_id, p.pos::BIGINT AS pos, v.token_id
+FROM p JOIN vocab v ON v.token = p.token
+""",
+    tags=("north-star", "vocab", "tokenize"),
+)
+def e24_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary APPLICATION — encode every document as token ids using the
+    e18_vocab_build id assignment: (doc_id, pos, token_id) rows, the
+    materialized form a training dataloader consumes. The vocab is
+    vocabulary-bounded (fits in memory at any corpus size) and broadcast, so
+    the corpus side never shuffles — encoding 100 TB is a map-only stage
+    after one vocab-sized aggregation."""
+    d = table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    vocab = freq.select(
+        "token", (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))
+    toks = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    return (toks.join(F.broadcast(vocab), "token")
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    "token_id"))
+
+
 CHUNK_SIZE = 128
 CHUNK_STRIDE = 64
 

@@ -118,6 +118,51 @@ def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
     q.awaitTermination()
 
 
+def _attribution_sides(spark: SparkSession, sf_dir: str, streaming: bool):
+    src = (events_stream(spark, sf_dir) if streaming
+           else table(spark, sf_dir, "events"))
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (
+        (events_stream(spark, sf_dir) if streaming else src)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("purchase_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value")))
+    return clicks, purchases
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Inner join: each purchase to every click by the same user in the
+    preceding hour — the classic stream-stream attribution shape."""
+    return (purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")))
+        .select("purchase_id", F.col("purchase_user").alias("user_id"),
+                "purchase_ts", "purchase_value", "click_id", "click_ts"))
+
+
+@register("s5_streaming_attribution_join",
+          tags=("north-star", "streaming", "join"))
+def s5_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases ⋈ clicks by user within a
+    1-hour attribution window, both sides watermarked so the state store
+    retains only rows inside watermark + join-window horizon — bounded
+    state, the property that lets the join run forever on an unbounded
+    stream. Rows-only (streaming execution isn't SQL-oracle-able);
+    equality with the batch twin is asserted in tests/test_streaming.py."""
+    clicks, purchases = _attribution_sides(spark, sf_dir, streaming=True)
+    joined = attribution_join(
+        clicks.withWatermark("click_ts", "10 minutes"),
+        purchases.withWatermark("purchase_ts", "10 minutes"))
+    return run_stream_to_memory(joined, mode="append")
+
+
 @register("s4_streaming_dedup", tags=("north-star", "E1", "streaming", "dedup"))
 def s4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under at-least-once delivery: the events stream

@@ -87,6 +87,14 @@ def test_simhash_band_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tokenize_vocab_join_broadcasts(spark):
+    """e24's vocab join must broadcast the vocab side — the corpus never
+    shuffles, so encoding stays a map-only stage at any corpus size."""
+    plan = _plan(spark, "e24_tokenize_to_ids")
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus side must not shuffle for the join"
+
+
 def test_in_subquery_becomes_semi_join(spark):
     plan = _plan(spark, "d25_sql_subqueries")
     assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")

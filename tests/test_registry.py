@@ -30,6 +30,7 @@ DEFERRED_ORACLES = {
     "t8_pii_redact",
     "e22_source_mix",
     "e23_chunk_documents",
+    "e24_tokenize_to_ids",
 }
 
 

@@ -65,6 +65,18 @@ def test_streaming_dedup_equals_batch_distinct(spark):
     assert stream.select("event_id").distinct().count() == batch.count()
 
 
+def test_streaming_attribution_join_equals_batch(spark):
+    """s5's stream-stream interval join must produce exactly the batch
+    join's rows (the watermark horizon exceeds the fixture's disorder)."""
+    from pyspark_ml_features_spark.streaming.events import (
+        _attribution_sides, attribution_join)
+
+    stream = ALL["s5_streaming_attribution_join"].fn(spark, SF_DIR).toPandas()
+    clicks, purchases = _attribution_sides(spark, SF_DIR, streaming=False)
+    batch = attribution_join(clicks, purchases).toPandas()
+    assert_frames_match(stream, batch, "streaming_attribution_vs_batch")
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch parquet drain must contain exactly the batch rows."""
     from pyspark_ml_features_spark.sources import table
