@@ -1,0 +1,104 @@
+"""Advanced SQL surface: UNPIVOT (long-form reshaping), recursive CTEs
+(engine-scheduled iteration, new in Spark 4), and one-pass data profiling.
+
+These close out the relational surface a warehouse user expects beyond the
+D1–D20 operator families: d33 is the inverse of d23_pivot, d34 exercises
+``WITH RECURSIVE`` (bounded-depth, acyclic — Spark 4 recursive CTEs support
+UNION ALL only, so cyclic reachability stays on the iterative e21 path),
+and d35 is the schema-profiling pass run before ingesting a new source.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "d33_unpivot_measures",
+    oracle=" UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+        f"{m} AS value FROM lineitem" for m in _MEASURES),
+    tags=("engine", "unpivot"),
+)
+def d33_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long), the inverse of d23_pivot: the four lineitem
+    measures become (measure, value) rows. Spark compiles unpivot to a
+    single Expand over one scan — row count grows 4× but the input is read
+    once, no shuffle, no join; the standard reshaping step in front of
+    generic per-metric aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", *_MEASURES)
+            .unpivot(["l_orderkey", "l_linenumber"], list(_MEASURES),
+                     "measure", "value"))
+
+
+INSTALLMENT = 25000.0
+_RECURSIVE_SQL = """
+WITH RECURSIVE pay AS (
+    SELECT o_orderkey, 0 AS period, o_totalprice AS remaining
+    FROM {orders} WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, period + 1, remaining - 25000.0
+    FROM pay WHERE remaining > 25000.0
+)
+SELECT o_orderkey, CAST(period AS BIGINT) AS period, remaining FROM pay
+"""
+
+
+@register(
+    "d34_recursive_installments",
+    oracle=_RECURSIVE_SQL.format(orders="orders"),
+    tags=("engine", "recursive-cte"),
+)
+def d34_recursive_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): amortize each large order into fixed
+    25 000-per-period installments — (order, period, remaining balance)
+    until the balance is paid down. The recursion is acyclic with depth
+    ≤ ceil(max_price/25 000) ≈ 20, far under the engine's recursion limit;
+    each level is one self-join-free projection of the previous level, so
+    the work per level is a map over the still-open orders. Subtraction of
+    an exactly-representable installment is IEEE-exact, giving a bit-exact
+    DuckDB oracle on the same SQL text."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("d34_orders")
+    return spark.sql(_RECURSIVE_SQL.format(orders="d34_orders"))
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "d35_profile_orders",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS),
+    tags=("engine", "profiling"),
+)
+def d35_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling: per-column row/null/distinct counts — the
+    first query run against any new source. All columns profile in a single
+    aggregate (Spark plans one Expand + two-phase aggregate; the table is
+    scanned once, unlike the naive per-column loop). Exact distincts
+    multiply shuffle volume by the column count, so at 100 TB swap
+    count_distinct for approx_count_distinct (d6) — same plan shape."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("n_rows"),
+                 (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                 F.col(f"nd_{c}").alias("n_distinct"))
+        for c in _PROFILE_COLS])
+    return wide.select(F.explode(rows).alias("s")).select("s.*")

@@ -8,6 +8,7 @@ carry the queries whose CORRECTNESS rows matter most this round.
 
 from pyspark_ml_features_spark import registry
 from pyspark_ml_features_spark.operators import (  # noqa: F401
+    advanced_sql,
     array_scaling,
     basic,
     dedup,

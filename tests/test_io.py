@@ -19,9 +19,15 @@ def test_parquet_sink_partitioned_roundtrip(spark):
     back = spark.read.parquet(out)
     assert back.count() == d.count()
     assert sorted(p for p in os.listdir(out) if p.startswith("lang="))
-    # partition pruning works on the written layout
+    # partition pruning works on the written layout — and is visible in the
+    # plan: the lang predicate must prune directories, not filter rows
     en = back.filter(F.col("lang") == "en")
     assert en.count() == d.filter(F.col("lang") == "en").count()
+    plan = en._sc._jvm.PythonSQLUtils.explainString(
+        en._jdf.queryExecution(), "formatted")
+    flat = plan.replace("\n", " ")
+    assert "PartitionFilters" in flat and "lang" in flat.split(
+        "PartitionFilters", 1)[1][:120], "lang= filter must prune partitions"
 
 
 def test_csv_sink_roundtrip(spark):

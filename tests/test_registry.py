@@ -31,6 +31,9 @@ DEFERRED_ORACLES = {
     "e22_source_mix",
     "e23_chunk_documents",
     "e24_tokenize_to_ids",
+    "d33_unpivot_measures",
+    "d34_recursive_installments",
+    "d35_profile_orders",
 }
 
 
