@@ -34,6 +34,28 @@ def d7b_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d7c_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    tags=("engine", "D7"),
+)
+def d7c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE lower to:
+    only the (flag) and (status) marginals, no cross or grand total. One
+    Expand over a single scan, like d7/d7b."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "d23_pivot",
     oracle="""
 SELECT l_linestatus,

@@ -118,6 +118,54 @@ def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
     q.awaitTermination()
 
 
+def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
+                                      target_dir: str,
+                                      n_source_files: int = 4) -> DataFrame:
+    """Maintain a MATERIALIZED hourly rollup from a stream via foreachBatch
+    merge — the continuous-aggregate pattern (e19's batch logic) driven by
+    the streaming engine. The events table is staged as ``n_source_files``
+    files and streamed with ``maxFilesPerTrigger=1``, so the rollup target
+    is built across several micro-batches, each merging partial aggregates
+    by (window, type) — history is never rescanned. At 100 TB the target is
+    a partitioned table and each merge touches only the window partitions
+    the batch spans; the sum-merge itself is associative, which is what
+    makes the incremental result equal the full recompute."""
+    stage = tempfile.mkdtemp(prefix="events_staged_")
+    table(spark, sf_dir, "events").repartition(n_source_files) \
+        .write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df.groupBy(F.window("ts", "1 hour").alias("w"),
+                                 "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value").alias("sum_value"))
+                .select(F.col("w.start").alias("window_start"),
+                        "event_type", "n_events", "sum_value"))
+        s = batch_df.sparkSession
+        try:
+            cur = s.read.parquet(target_dir)
+        except Exception:
+            cur = None
+        if cur is not None:
+            part = (cur.unionByName(part)
+                    .groupBy("window_start", "event_type")
+                    .agg(F.sum("n_events").alias("n_events"),
+                         F.sum("sum_value").alias("sum_value")))
+        out = tempfile.mkdtemp(prefix="rollup_out_")
+        part.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).write.mode("overwrite").parquet(target_dir)
+
+    checkpoint = tempfile.mkdtemp(prefix="pmfs_ckpt_")
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(target_dir)
+
+
 def _attribution_sides(spark: SparkSession, sf_dir: str, streaming: bool):
     src = (events_stream(spark, sf_dir) if streaming
            else table(spark, sf_dir, "events"))

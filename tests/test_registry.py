@@ -34,6 +34,7 @@ DEFERRED_ORACLES = {
     "d33_unpivot_measures",
     "d34_recursive_installments",
     "d35_profile_orders",
+    "d7c_grouping_sets",
 }
 
 

@@ -77,6 +77,27 @@ def test_streaming_attribution_join_equals_batch(spark):
     assert_frames_match(stream, batch, "streaming_attribution_vs_batch")
 
 
+def test_streaming_materialized_rollup_equals_full_recompute(spark, tmp_path):
+    """The foreachBatch-merged rollup, built one micro-batch at a time,
+    must equal the one-shot batch rollup of the whole table (values rounded
+    6 dp — partial-sum association differs in the last ulp)."""
+    from pyspark_ml_features_spark.sources import table
+    from pyspark_ml_features_spark.streaming.events import (
+        run_streaming_materialized_rollup)
+
+    target = str(tmp_path / "rollup")
+    got = run_streaming_materialized_rollup(spark, SF_DIR, target)
+    want = (table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+    got = got.withColumn("sum_value", F.round("sum_value", 6)).toPandas()
+    want = want.withColumn("sum_value", F.round("sum_value", 6)).toPandas()
+    assert_frames_match(got, want, "materialized_rollup_vs_recompute")
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch parquet drain must contain exactly the batch rows."""
     from pyspark_ml_features_spark.sources import table
