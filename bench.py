@@ -56,10 +56,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # min of 2 runs: first run pays whole-stage-codegen compilation,
-        # which is a per-query-shape constant, not a data cost
+        # min of 3 runs: the first pays whole-stage-codegen compilation (a
+        # per-query-shape constant, not a data cost) and the min also rides
+        # out transient machine noise (cold page cache after other jobs was
+        # observed to inflate single runs ~70%)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             queries[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
