@@ -248,3 +248,31 @@ def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "pmfs_nation_orc")
     table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "a13_python_datasource",
+    oracle="""
+SELECT i AS doc_id,
+       ['en','de','fr'][(i % 3) + 1] AS lang,
+       CAST(i % 5 + 3 AS BIGINT) AS n_tokens,
+       array_to_string([printf('w%d', (i*7 + j) % 13)
+                        FOR j IN range(0, (i % 5) + 3)], ' ') AS text
+FROM range(0, 1000) t(i)
+""",
+    tags=("reference", "source", "python-datasource"),
+)
+def a13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4): a
+    deterministic synthetic-docs source read through
+    ``spark.read.format("synthetic_docs")``. The source declares 8 input
+    partitions (contiguous id ranges), so the read is scheduled as 8
+    parallel Python tasks streaming Arrow batches — the extension shape for
+    any system without a JVM connector. Every value is integer arithmetic
+    on doc_id, so DuckDB reproduces the rows from range() — the oracle
+    checks the full partition-planning + Arrow path bit-exactly."""
+    from pyspark_ml_features_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    return (spark.read.format("synthetic_docs")
+            .option("n", 1000).option("partitions", 8).load())

@@ -122,6 +122,34 @@ def d17b_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") % 10).alias("k_mod"))
 
 
+@register(
+    "d17c_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+    tags=("engine", "D17", "variant"),
+)
+def d17c_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the VARIANT type (Spark 4): parse_json once
+    into Variant's binary encoding, then typed variant_get path extraction —
+    at 100 TB this is the open-schema path (no fixed from_json schema
+    needed, fields stay typed, and the binary encoding avoids re-parsing
+    text per path the way get_json_object does). try_variant_get returns
+    NULL for absent paths instead of failing — mirrored by DuckDB's NULL
+    extraction semantics."""
+    e = table(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    return (v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("missing"))
+        .filter(F.col("k") >= 50))
+
+
 _D25_SQL = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal
 FROM customer c

@@ -1,0 +1,66 @@
+"""Custom source via the Python Data Source API (Spark 4) — the extension
+point for reading systems Spark has no built-in connector for.
+
+``SyntheticDocsDataSource`` generates a deterministic document corpus:
+every value is pure integer arithmetic on ``doc_id``, so the source is
+exactly reproducible (and oracle-checkable from DuckDB ``range()`` with the
+same formulas — no files involved on either side).
+
+Scale shape: ``partitions()`` declares the parallel split (one
+``InputPartition`` per contiguous id range); Spark schedules one Python
+worker task per partition and streams rows back as Arrow batches. A real
+connector (REST API, internal KV store, tile server) keeps this exact
+structure — partition by shard/page/key-range, yield rows per partition —
+and inherits distributed execution without any JVM code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+N_DOCS_DEFAULT = 1000
+N_PARTITIONS_DEFAULT = 8
+LANGS = ("en", "de", "fr")
+
+
+def _doc(i: int) -> tuple[int, str, int, str]:
+    n_tok = i % 5 + 3
+    toks = [f"w{(i * 7 + j) % 13}" for j in range(n_tok)]
+    return i, LANGS[i % 3], n_tok, " ".join(toks)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", N_DOCS_DEFAULT))
+        self.n_parts = int(options.get("partitions", N_PARTITIONS_DEFAULT))
+
+    def partitions(self):
+        step = -(-self.n // self.n_parts)
+        return [_RangePartition(s, min(s + step, self.n))
+                for s in range(0, self.n, step)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _doc(i)
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, n_tokens bigint, text string"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the package's Python data sources."""
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -73,3 +73,82 @@ def s3_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = streaming_user_totals(events_stream(spark, sf_dir))
     return run_stream_to_memory(stream, mode="update")
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; without the google.protobuf package the driver-side
+    Python worker crashes at init. Gate on the import (the container this
+    engine is validated in ships without protobuf, so the s7 twin registers
+    only where the dependency exists — pip install protobuf enables it)."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def make_user_totals_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 6)]})
+
+        def close(self) -> None:
+            pass
+
+    return UserTotalsProcessor()
+
+
+def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
+    """s3's running totals on the transformWithState API (Spark 4): typed
+    per-key state handles (value/list/map state, timers, TTL) instead of a
+    single state tuple — the forward-looking custom-operator surface.
+    Requires the RocksDB state store provider."""
+    return (events
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=make_user_totals_processor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))
+
+
+def s7_transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the Spark 4
+    arbitrary-state API (typed state handles + timers + TTL; RocksDB state
+    store). Same semantics as s3; equality with the batch groupBy is
+    asserted in tests/test_streaming.py. Rows-only for the driver."""
+    from pyspark_ml_features_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = streaming_user_totals_tws(events_stream(spark, sf_dir))
+        return run_stream_to_memory(stream, mode="update")
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+if transform_with_state_available():  # pragma: no cover — env-dependent
+    register("s7_transform_with_state_totals",
+             tags=("north-star", "streaming", "stateful"))(
+        s7_transform_with_state_totals)

@@ -30,6 +30,23 @@ def test_parquet_sink_partitioned_roundtrip(spark):
         "PartitionFilters", 1)[1][:120], "lang= filter must prune partitions"
 
 
+def test_python_datasource_partition_planning(spark):
+    """The custom Python source must be read as the partition count it
+    declares — the property that makes it a distributed source, not a
+    single-task generator."""
+    from pyspark_ml_features_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("n", 1000).option("partitions", 8).load())
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # ragged final partition: n not divisible by partitions still covers all
+    df2 = (spark.read.format("synthetic_docs")
+           .option("n", 10).option("partitions", 4).load())
+    assert df2.count() == 10
+
+
 def test_csv_sink_roundtrip(spark):
     n = table(spark, SF_DIR, "nation")
     out = os.path.join(tempfile.mkdtemp(), "nation_csv")

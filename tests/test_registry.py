@@ -35,6 +35,8 @@ DEFERRED_ORACLES = {
     "d34_recursive_installments",
     "d35_profile_orders",
     "d7c_grouping_sets",
+    "d17c_variant_json",
+    "a13_python_datasource",
 }
 
 

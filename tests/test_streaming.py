@@ -77,6 +77,26 @@ def test_streaming_attribution_join_equals_batch(spark):
     assert_frames_match(stream, batch, "streaming_attribution_vs_batch")
 
 
+def test_transform_with_state_totals_equals_batch(spark):
+    """s7 (transformWithStateInPandas) must match the batch per-user totals.
+    Skipped where google.protobuf is absent — the API's state-server
+    protocol requires it (see transform_with_state_available)."""
+    import pytest
+
+    from pyspark_ml_features_spark.sources import table
+    from pyspark_ml_features_spark.streaming.stateful import (
+        s7_transform_with_state_totals, transform_with_state_available)
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed in this environment")
+    stream = (s7_transform_with_state_totals(spark, SF_DIR)
+              .groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+              .toPandas())
+    batch = (table(spark, SF_DIR, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events")).toPandas())
+    assert_frames_match(stream, batch, "tws_totals_vs_batch")
+
+
 def test_streaming_materialized_rollup_equals_full_recompute(spark, tmp_path):
     """The foreachBatch-merged rollup, built one micro-batch at a time,
     must equal the one-shot batch rollup of the whole table (values rounded
