@@ -280,3 +280,117 @@ def e23_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("chunk_id").cast("bigint").alias("chunk_id"),
                     F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
                     F.concat_ws(" ", "chunk").alias("chunk_text")))
+
+
+@register(
+    "e25_corpus_curation",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, lang, source, text,
+           len(str_split(text, ' '))::DOUBLE AS n_tokens,
+           len(list_distinct(str_split(text, ' ')))::DOUBLE AS n_distinct,
+           len(list_filter(str_split(text, ' '),
+               t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)))::DOUBLE
+               AS n_stop,
+           list_sum(list_transform(str_split(text, ' '),
+                                   t -> length(t)))::DOUBLE AS total_chars
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, source, text,
+           0.3 * (n_distinct / n_tokens)
+             + 0.3 * (1.0 - n_stop / n_tokens)
+             + 0.4 * least((total_chars / n_tokens) / 10.0, 1.0)
+               AS quality_score,
+           100 - 4 * regexp_extract(source, 'src([0-9]+)', 1)::INT AS weight_pct
+    FROM m
+)
+SELECT doc_id, lang, source, quality_score,
+       CASE WHEN {duckdb_rolling_hash('text')} % 100 < 80 THEN 'train'
+            WHEN {duckdb_rolling_hash('text')} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM scored
+WHERE quality_score >= 0.5 AND doc_id % 100 < weight_pct
+""",
+    tags=("north-star", "curation", "pipeline"),
+)
+def e25_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composition a training-data run
+    actually executes: quality-gate (t2's score >= 0.5), source mixing
+    (e22's deterministic weight gate), then content-hash split assignment
+    (e17). One pass, zero shuffles: every stage is a codegen'd map/filter
+    over the same scan, which is the point — curation of 100 TB is
+    embarrassingly parallel when each policy is expressed as a
+    deterministic column expression instead of a sampling pass. The score
+    comparison is safe behind an exact oracle because t2's arithmetic is
+    bit-identical across engines (fixed evaluation order, no libm)."""
+    from pyspark_ml_features_spark.functions.text import STOPWORDS
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    quality = (F.lit(0.3) * (n_distinct / n_tokens)
+               + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tokens)
+               + F.lit(0.4) * F.least((total_chars / n_tokens) / 10.0,
+                                      F.lit(1.0)))
+    weight = (F.lit(100)
+              - 4 * F.regexp_extract("source", "src([0-9]+)", 1).cast("int"))
+    bucket = F.pmod(rolling_hash("text"), F.lit(100))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (d.select("doc_id", "lang", "source",
+                     quality.alias("quality_score"), split.alias("split"),
+                     weight.alias("w"))
+            .filter((F.col("quality_score") >= 0.5)
+                    & (F.col("doc_id") % 100 < F.col("w")))
+            .drop("w"))
+
+
+@register(
+    "e26_bigram_lm",
+    oracle="""
+WITH t AS (
+    SELECT str_split(text, ' ') AS tok FROM documents
+), b AS (
+    SELECT tok[i] AS w1, tok[i + 1] AS w2
+    FROM t, unnest(range(1, len(tok))) AS u(i)
+), c12 AS (
+    SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2
+)
+SELECT w1, w2, n_pair,
+       (sum(n_pair) OVER (PARTITION BY w1))::BIGINT AS n_w1,
+       n_pair / (sum(n_pair) OVER (PARTITION BY w1))::DOUBLE AS cond_p
+FROM c12
+""",
+    tags=("north-star", "text-analysis", "lm"),
+)
+def e26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: corpus-wide pair counts and the
+    conditional probability p(w2|w1) = n(w1,w2)/n(w1·) — the foundation of
+    LM-based quality filtering and classic perplexity scoring. Bigram
+    extraction is a shuffle-free flatMap (zip the token array with its own
+    tail); the aggregate and window both run over the vocabulary² space,
+    which is bounded regardless of corpus size — the same
+    "shuffle the statistics, not the corpus" shape as e18. The probability
+    is one exact double division (no logs — libm stays out of oracle
+    paths)."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    pairs = F.arrays_zip(F.slice(t, 1, n - 1).alias("w1"),
+                         F.slice(t, 2, n - 1).alias("w2"))
+    b = (d.filter(n >= 2)
+         .select(F.explode(pairs).alias("p"))
+         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    w = Window.partitionBy("w1")
+    n_w1 = F.sum("n_pair").over(w)
+    return c12.select(
+        "w1", "w2", "n_pair", n_w1.alias("n_w1"),
+        (F.col("n_pair") / n_w1.cast("double")).alias("cond_p"))

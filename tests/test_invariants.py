@@ -278,3 +278,36 @@ def test_stratified_sample_fractions(run, ddb):
         "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").fetchall()}
     for flag, frac in {"A": 0.1, "N": 0.5, "R": 0.1}.items():
         assert math.isclose(got[flag] / totals[flag], frac, abs_tol=0.03)
+
+
+def test_chunking_invariants(run, spark):
+    """e23: every chunk within size bounds, chunk ids dense from 0, and the
+    per-document chunk count matches floor((n-1)/stride)+1 coverage."""
+    from pyspark_ml_features_spark.operators.packing import (
+        CHUNK_SIZE, CHUNK_STRIDE)
+    from pyspark_ml_features_spark.sources import table
+
+    chunks = run("e23_chunk_documents").toPandas()
+    assert chunks["n_chunk_tokens"].between(1, CHUNK_SIZE).all()
+    g = chunks.groupby("doc_id")["chunk_id"]
+    assert (g.min() == 0).all()
+    docs = (table(spark, SF_DIR, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+            .toPandas().set_index("doc_id")["n"])
+    import numpy as np
+
+    expect = ((docs[docs > 0] - 1) // CHUNK_STRIDE + 1)
+    got = (g.max() + 1).reindex(expect.index)
+    assert np.array_equal(got.values, expect.values)
+
+
+def test_curation_is_subset_with_consistent_split(run):
+    """e25 rows must be a subset of e22's mix selection, and each kept doc's
+    split must equal e17's assignment for that doc."""
+    cur = run("e25_corpus_curation").toPandas()
+    mix = run("e22_source_mix").toPandas()
+    split = run("e17_hash_split").toPandas()
+    assert set(cur["doc_id"]) <= set(mix["doc_id"])
+    merged = cur.merge(split, on="doc_id", suffixes=("", "_e17"))
+    assert (merged["split"] == merged["split_e17"]).all()
+    assert (cur["quality_score"] >= 0.5).all()

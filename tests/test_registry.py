@@ -37,6 +37,8 @@ DEFERRED_ORACLES = {
     "d7c_grouping_sets",
     "d17c_variant_json",
     "a13_python_datasource",
+    "e25_corpus_curation",
+    "e26_bigram_lm",
 }
 
 
