@@ -1,0 +1,86 @@
+"""Physical-plan audit: the scale properties this engine cares about,
+extracted from a DataFrame's optimized plan as data instead of eyeballs.
+
+``audit(df)`` parses ``explain("formatted")`` output into a ``PlanAudit``;
+``assert_scale_safe(df)`` raises with every violation listed — the
+programmatic form of the checklist in tests/test_plans.py, usable as a CI
+gate on any pipeline built on this engine ("no Cartesian products, no
+row-at-a-time Python, at most N shuffles entered production").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@dataclass
+class PlanAudit:
+    cartesian_products: int = 0
+    nested_loop_joins: int = 0
+    broadcast_hash_joins: int = 0
+    sort_merge_joins: int = 0
+    shuffles: int = 0
+    python_row_udfs: int = 0
+    arrow_python_nodes: int = 0
+    take_ordered: int = 0
+    window_group_limits: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    plan = plan_text(df)
+    a = PlanAudit(
+        cartesian_products=plan.count("CartesianProduct"),
+        nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
+        broadcast_hash_joins=plan.count("BroadcastHashJoin"),
+        sort_merge_joins=plan.count("SortMergeJoin"),
+        # broadcast exchanges are not shuffles — count only repartitions
+        shuffles=len(re.findall(r"Exchange (?:hash|range|rebalance|"
+                                r"RoundRobin|SinglePartition)", plan)),
+        python_row_udfs=plan.count("BatchEvalPython"),
+        arrow_python_nodes=(plan.count("ArrowEvalPython")
+                            + plan.count("FlatMapGroupsInPandas")
+                            + plan.count("MapInPandas")),
+        take_ordered=plan.count("TakeOrderedAndProject"),
+        window_group_limits=plan.count("WindowGroupLimit"),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        read_schemas=re.findall(r"ReadSchema: (\S+)", plan),
+    )
+    return a
+
+
+def assert_scale_safe(df: DataFrame, *, max_shuffles: int | None = None,
+                      allow_python: bool = True,
+                      allow_sort_merge: bool = True) -> PlanAudit:
+    """Raise if the plan has scale-killers; returns the audit otherwise.
+
+    Cartesian/nested-loop joins are always violations (all-pairs work);
+    ``max_shuffles`` caps Exchange nodes, ``allow_python=False`` forbids any
+    Python eval in the plan (hot-path JVM-only contract), and
+    ``allow_sort_merge=False`` demands every join broadcast."""
+    a = audit(df)
+    problems = []
+    if a.cartesian_products:
+        problems.append(f"{a.cartesian_products} CartesianProduct node(s)")
+    if a.nested_loop_joins:
+        problems.append(f"{a.nested_loop_joins} BroadcastNestedLoopJoin(s)")
+    if max_shuffles is not None and a.shuffles > max_shuffles:
+        problems.append(f"{a.shuffles} shuffles (max {max_shuffles})")
+    if not allow_python and (a.python_row_udfs or a.arrow_python_nodes):
+        problems.append(
+            f"Python eval in plan ({a.python_row_udfs} row-UDF, "
+            f"{a.arrow_python_nodes} Arrow node(s))")
+    if not allow_sort_merge and a.sort_merge_joins:
+        problems.append(f"{a.sort_merge_joins} SortMergeJoin(s)")
+    if problems:
+        raise AssertionError("plan not scale-safe: " + "; ".join(problems))
+    return a

@@ -87,6 +87,17 @@ def test_simhash_band_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q3_pushes_filters_and_takes_ordered(spark):
+    """d36: date/segment predicates must reach the scans and the top-10
+    must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "d36_tpch_q3_shipping_priority")
+    flat = plan.replace("\n", " ")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in flat
+    assert "BUILDING" in flat, "segment filter must push to the customer scan"
+    assert "CartesianProduct" not in plan
+
+
 def test_tokenize_vocab_join_broadcasts(spark):
     """e24's vocab join must broadcast the vocab side — the corpus never
     shuffles, so encoding stays a map-only stage at any corpus size."""
@@ -112,3 +123,24 @@ def test_window_topk_uses_group_limit(spark):
     (WindowGroupLimit) instead of ranking every row."""
     plan = _plan(spark, "d10_topk_orders_per_priority")
     assert "WindowGroupLimit" in plan
+
+
+def test_plan_audit_counts(spark):
+    """audit() must see the broadcast join + single agg shuffle in d1 and
+    the Cartesian-free, Python-free shape of the JVM-only queries."""
+    from pyspark_ml_features_spark.plans import assert_scale_safe, audit
+
+    d1 = ALL["d1_broadcast_join_revenue"].fn(spark, SF_DIR)
+    a = audit(d1)
+    assert a.broadcast_hash_joins >= 1
+    assert a.cartesian_products == 0
+    assert a.python_row_udfs == 0
+    assert a.pushed_filters and a.read_schemas
+    assert_scale_safe(d1, max_shuffles=2, allow_python=False,
+                      allow_sort_merge=False)
+
+    import pytest
+
+    udf = ALL["d22_row_udf"].fn(spark, SF_DIR)
+    with pytest.raises(AssertionError, match="Python eval"):
+        assert_scale_safe(udf, allow_python=False)

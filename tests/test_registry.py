@@ -39,6 +39,8 @@ DEFERRED_ORACLES = {
     "a13_python_datasource",
     "e25_corpus_curation",
     "e26_bigram_lm",
+    "d36_tpch_q3_shipping_priority",
+    "d37_tpch_q10_returned_items",
 }
 
 
