@@ -61,6 +61,55 @@ class SyntheticDocsDataSource(DataSource):
         return SyntheticDocsReader(self.options)
 
 
+def _event(i: int) -> tuple[int, int, str, float]:
+    return i, i % 7, ("view", "click", "purchase")[i % 3], float(i % 100) / 4.0
+
+
+def make_stream_reader_cls():
+    """Build the SimpleDataSourceStreamReader subclass lazily (the base
+    import stays out of module top so importing pyds never requires the
+    streaming API): emits ``batch_size`` deterministic events per
+    micro-batch up to ``n`` total. Offsets are plain dicts checkpointed by
+    the engine; readBetweenOffsets replays any committed range
+    bit-identically — the property that gives exactly-once on recovery."""
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.batch = int(options.get("batch_size", 25))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            end = min(i + self.batch, self.n)
+            return iter([_event(j) for j in range(i, end)]), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([_event(j) for j in range(start["i"], end["i"])])
+
+    return _Reader
+
+
+class SyntheticEventsDataSource(DataSource):
+    """Streaming twin of SyntheticDocsDataSource: a rate-limited,
+    deterministic event stream — the shape of a custom queue/CDC connector
+    written in pure Python (offset management + replay, no JVM code)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema):
+        return make_stream_reader_cls()(self.options)
+
+
 def register_python_sources(spark) -> None:
     """Idempotently register the package's Python data sources."""
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -85,3 +85,31 @@ def test_parquet_zstd_compression(spark, tmp_path):
     d.write.option("compression", "zstd").mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     assert back.count() == d.count()
+
+
+def test_python_streaming_datasource_drains_exactly(spark):
+    """The custom Python stream source must deliver each event exactly once
+    across micro-batches (offset-tracked), and the drained rows must equal
+    the deterministic generator formula."""
+    import time
+
+    from pyspark_ml_features_spark.sources.pyds import (
+        _event, register_python_sources)
+
+    register_python_sources(spark)
+    stream = (spark.readStream.format("synthetic_events")
+              .option("n", 100).option("batch_size", 25).load())
+    q = (stream.writeStream.format("memory").queryName("pyds_events")
+         .outputMode("append").trigger(processingTime="250 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pyds_events").count() >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("pyds_events").collect())
+    want = sorted(_event(i) for i in range(100))
+    assert got == want

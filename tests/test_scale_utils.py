@@ -67,3 +67,60 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange" not in plan, "bucketed join must not shuffle"
     assert joined.count() == orders.join(
         customer, orders.o_custkey == customer.c_custkey).count()
+
+
+def test_interleave_bits_matches_reference(spark):
+    """Morton key must equal the bit-twiddling reference on known values."""
+    from pyspark_ml_features_spark.functions.layout import interleave_bits
+
+    def ref(x, y, bits):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y",
+        interleave_bits([F.col("x"), F.col("y")], 8)).collect()
+    for r in got:
+        assert r["__zkey"] == ref(r["x"], r["y"], 8), (r["x"], r["y"])
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Files written by write_zordered must carry narrow min/max ranges on
+    BOTH clustered columns — the property parquet scan pruning feeds on.
+    A single-column sort would leave the second column's per-file range at
+    ~100% of global; z-order keeps both well below."""
+    import glob
+
+    from pyspark_ml_features_spark.functions.layout import write_zordered
+
+    li = table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    out = str(tmp_path / "zordered")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=16)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 8
+
+    import pyarrow.parquet as pq
+
+    glo = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey")).first()
+    g_part = glo[1] - glo[0]
+    g_supp = glo[3] - glo[2]
+    ratios_part, ratios_supp = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["l_partkey", "l_suppkey"])
+        pk = t.column("l_partkey").to_pylist()
+        sk = t.column("l_suppkey").to_pylist()
+        if not pk:
+            continue
+        ratios_part.append((max(pk) - min(pk)) / g_part)
+        ratios_supp.append((max(sk) - min(sk)) / g_supp)
+    mean_part = sum(ratios_part) / len(ratios_part)
+    mean_supp = sum(ratios_supp) / len(ratios_supp)
+    assert mean_part < 0.7, f"l_partkey per-file range {mean_part:.2f} too wide"
+    assert mean_supp < 0.7, f"l_suppkey per-file range {mean_supp:.2f} too wide"
