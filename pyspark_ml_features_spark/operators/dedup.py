@@ -453,3 +453,53 @@ def e21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"))
+
+
+@register(
+    "e27_decontaminate",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM tok
+), ev AS (
+    SELECT list_distinct(flatten(list(sh))) AS esh
+    FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+       len(list_distinct(list_intersect(g.sh, ev.esh)))::BIGINT AS n_overlap,
+       len(list_distinct(list_intersect(g.sh, ev.esh))) > 0 AS contaminated
+FROM g, ev
+WHERE g.doc_id % 97 <> 0
+""",
+    tags=("north-star", "dedup", "decontamination"),
+)
+def e27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with a held-out eval set (deterministic ``doc_id % 97`` split —
+    the stand-in for a benchmark suite). Real pipelines use 13-grams; this
+    fixture's ~100-token docs make 3 the informative length.
+
+    100 TB shape: eval-set shingles are tiny (benchmarks are MBs), so they
+    collapse to ONE broadcast row; the corpus is never shuffled at all —
+    each document computes its overlap with the broadcast shingle set in a
+    single codegen map pass. Contrast with a shingle-join design, which
+    would shuffle corpus-cardinality exploded rows."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    sh3 = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1),
+                              F.element_at(t, i + 2))))
+    docs = d.select("doc_id", sh3.alias("sh"))
+    eval_set = (docs.filter(F.col("doc_id") % 97 == 0)
+                .select(F.explode("sh").alias("s")).distinct()
+                .agg(F.collect_list("s").alias("esh")))
+    n_overlap = F.size(F.array_intersect("sh", "esh")).cast("bigint")
+    return (docs.filter(F.col("doc_id") % 97 != 0)
+            .crossJoin(F.broadcast(eval_set))
+            .select("doc_id", n_overlap.alias("n_overlap"),
+                    (n_overlap > 0).alias("contaminated")))

@@ -1,0 +1,111 @@
+"""Mergeable-sketch operators (SURVEY §2-D approximate-aggregation family).
+
+At 100 TB the only viable distinct-count / frequency architecture is a
+MERGEABLE summary: each partition builds a small sketch, partial combine
+happens map-side, and only sketch bytes cross the wire — never raw keys.
+Two canonical instances:
+
+ - ``d38_hll_distinct_rollup``: Apache DataSketches HLL via the built-in
+   ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` —
+   month-level sketches are aggregated ONCE, then re-rolled to year level
+   by unioning the stored sketches, never rescanning the fact table. This
+   is the materialized-rollup pattern (precompute fine-grained sketches,
+   answer any coarser grain from them) that makes interactive distinct
+   counts possible over 100 TB.
+ - ``d39_heavy_hitters``: Misra-Gries frequency summaries built
+   per-partition in an Arrow-batched ``mapInPandas``, merged by the
+   classic summary merge (sum counters, subtract the (k+1)-th largest,
+   drop non-positive). The MG guarantee — any key with global frequency
+   > n/k survives every merge — makes the candidate set a superset of the
+   true heavy hitters, so one exact recount of the (tiny, broadcast)
+   candidate set yields EXACTLY ``{key : count(key) > n/k}``. The sketch
+   pass is approximate; the declared output is deterministic and carries
+   a plain GROUP BY / HAVING oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+MG_K = 150  # Misra-Gries counter budget: heavy hitter = freq > n/K
+
+
+@register(
+    "d38_hll_distinct_rollup",
+    tags=("north-star", "D6", "sketch", "approx"),
+)
+def d38_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-year, estimated by unioning per-month
+    DataSketches HLL sketches — the fact table is scanned once at month
+    grain; the year grain is answered purely from stored sketch bytes
+    (``hll_union_agg``). Estimates are engine-specific → rows-only;
+    tests/test_invariants.py asserts ≤5% relative error vs the exact
+    distinct count."""
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_custkey")
+    monthly = o.groupBy("o_year", "o_month").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"))
+    return (monthly.groupBy("o_year")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .select("o_year",
+                    F.hll_sketch_estimate("sk").alias("est_customers")))
+
+
+def _mg_partition(batches: Iterator) -> Iterator:
+    """Misra-Gries summary of one partition's ``user_id`` stream, merged
+    batch-by-batch: add each Arrow batch's value counts, and when more than
+    ``MG_K`` counters are live, subtract the (K+1)-th largest count from all
+    and drop the non-positive — the standard mergeable-summaries reduction,
+    vectorized over pandas instead of per-row decrement loops."""
+    import pandas as pd
+
+    agg = None
+    for pdf in batches:
+        vc = pdf["user_id"].value_counts()
+        agg = vc if agg is None else agg.add(vc, fill_value=0)
+        if len(agg) > MG_K:
+            cut = agg.nlargest(MG_K + 1).iloc[-1]
+            agg = agg[agg > cut] - cut
+    if agg is not None and len(agg):
+        yield pd.DataFrame({"user_id": agg.index.astype("int64")})
+
+
+@register(
+    "d39_heavy_hitters",
+    oracle=f"""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) > (SELECT count(*) FROM events) / {MG_K}.0
+""",
+    tags=("north-star", "D20", "sketch"),
+)
+def d39_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (users with > n/K of all events) via two passes:
+    (1) per-partition Misra-Gries in ``mapInPandas`` emits candidate keys —
+    by the MG guarantee a superset of every key with frequency > n/K;
+    (2) an exact recount restricted to the broadcast candidate set, filtered
+    by the threshold. Deterministic output (candidate noise is filtered by
+    the exact HAVING), hence the exact oracle.
+
+    100 TB shape: pass 1 moves only ≤K counters per partition; pass 2
+    shuffles only rows matching the broadcast semi-filter, keyed on the few
+    candidate keys. Raw key cardinality never crosses the wire. (This
+    fixture's distinct-user count is ≤K, so MG prunes nothing locally; the
+    plan shape, not the fixture, is the point.)"""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cand = ev.mapInPandas(_mg_partition, "user_id long").distinct()
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    return (ev.join(F.broadcast(cand), "user_id")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n_events") > F.col("__n") / MG_K)
+            .drop("__n"))

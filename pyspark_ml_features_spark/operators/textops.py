@@ -369,3 +369,73 @@ def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
             _PHONE_RE, "<PHONE>").alias("redacted"))
+
+
+@register(
+    "t9_lm_quality",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), bi AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM tok, unnest(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+), c12 AS (
+    SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, count(*) AS n_w1 FROM bi GROUP BY w1
+), voc AS (
+    SELECT count(DISTINCT w)::BIGINT AS v_size
+    FROM (SELECT unnest(t) AS w FROM tok)
+), probs AS (
+    SELECT doc_id,
+           (c12.n_pair + 1)::DOUBLE / (c1.n_w1 + voc.v_size)::DOUBLE AS p
+    FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc
+), ps AS (
+    SELECT doc_id, list_sort(list(p)) AS ps FROM probs GROUP BY doc_id
+)
+SELECT doc_id, len(ps)::BIGINT AS n_bigrams,
+       list_reduce(list_prepend(0.0::DOUBLE, ps), (a, x) -> a + x) / len(ps)
+           AS lm_score
+FROM ps
+""",
+    tags=("north-star", "text-analysis", "lm", "quality"),
+)
+def t9_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based document quality score (the CCNet-perplexity-filter family):
+    mean add-one-smoothed bigram probability
+    ``avg((n(w1,w2)+1) / (n(w1·)+|V|))`` under the corpus's own bigram model
+    (e26). Mean probability is used instead of log-perplexity so the score
+    stays in exact integer-division arithmetic — no libm transcendentals
+    behind the oracle; the ranking it induces is monotone in the geometric
+    statistics that matter for filtering.
+
+    100 TB shape: the model tables (c12/c1/|V|) live in vocabulary² space —
+    bounded regardless of corpus size — and broadcast; the only
+    corpus-cardinality shuffle is the per-doc regather keyed on doc_id.
+    Per-doc sums fold over a SORTED probability array, making the double
+    summation order-independent and bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    pairs = F.arrays_zip(F.slice(t, 1, n - 1).alias("w1"),
+                         F.slice(t, 2, n - 1).alias("w2"))
+    bi = (d.filter(n >= 2).select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    vocab = (d.select(F.explode(t).alias("w"))
+             .agg(F.countDistinct("w").alias("v_size")))
+    p = ((F.col("n_pair") + 1).cast("double")
+         / (F.col("n_w1") + F.col("v_size")).cast("double"))
+    ps = (bi.join(F.broadcast(c12), ["w1", "w2"])
+          .join(F.broadcast(c1), "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("doc_id", p.alias("p"))
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list("p")).alias("ps")))
+    fold = F.aggregate("ps", F.lit(0.0), lambda a, x: a + x)
+    return ps.select(
+        "doc_id", F.size("ps").cast("bigint").alias("n_bigrams"),
+        (fold / F.size("ps")).alias("lm_score"))

@@ -22,6 +22,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     scaling,
     sessionize,
     similarity,
+    sketches,
     textops,
 )
 from pyspark_ml_features_spark.streaming import events, stateful  # noqa: F401

@@ -228,3 +228,44 @@ def s4_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "ts", "user_id", "event_type", "value"))
     return run_stream_to_memory(deduped, mode="append")
+
+
+@register("s7_python_source_stream",
+          tags=("north-star", "streaming", "source"))
+def s7_python_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals over the custom pure-Python streaming connector
+    (``synthetic_events``: a SimpleDataSourceStreamReader with dict offsets
+    and deterministic replay — the shape of a queue/CDC connector with no
+    JVM code). The engine checkpoints the connector's offsets per
+    micro-batch, so the aggregate sees each event exactly once even though
+    delivery is batched. Drained with a bounded processingTime poll
+    (AvailableNow only plans the connector's initial prefetch), complete
+    mode; rows-only for the driver — the input never exists as a table.
+    tests/test_io.py asserts the exactly-once drain row-for-row."""
+    import time
+
+    from pyspark_ml_features_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    n_total = 200
+    stream = (spark.readStream.format("synthetic_events")
+              .option("n", n_total).option("batch_size", 50).load())
+    agg = (stream.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value")))
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(processingTime="200 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = (spark.table(name).agg(F.sum("n_events")).first()[0] or 0)
+            if got >= n_total:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("s7 stream did not drain in 120 s")
+    finally:
+        q.stop()
+    return spark.table(name)

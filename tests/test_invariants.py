@@ -311,3 +311,20 @@ def test_curation_is_subset_with_consistent_split(run):
     merged = cur.merge(split, on="doc_id", suffixes=("", "_e17"))
     assert (merged["split"] == merged["split_e17"]).all()
     assert (cur["quality_score"] >= 0.5).all()
+
+
+def test_hll_rollup_close_to_exact(run, spark):
+    """The sketch-union rollup must estimate per-year distinct customers
+    within 5% of the exact count (DataSketches HLL default lgK=12 gives
+    ~1.6% RSE at this cardinality — 5% is 3 sigma of headroom)."""
+    from pyspark_ml_features_spark.sources import table
+
+    est = {r["o_year"]: r["est_customers"]
+           for r in run("d38_hll_distinct_rollup").collect()}
+    exact = {r["o_year"]: r["ex"]
+             for r in table(spark, SF_DIR, "orders")
+             .groupBy(F.year("o_orderdate").alias("o_year"))
+             .agg(F.countDistinct("o_custkey").alias("ex")).collect()}
+    assert est.keys() == exact.keys()
+    for y, ex in exact.items():
+        assert abs(est[y] - ex) / ex < 0.05, (y, est[y], ex)

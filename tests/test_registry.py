@@ -41,6 +41,9 @@ DEFERRED_ORACLES = {
     "e26_bigram_lm",
     "d36_tpch_q3_shipping_priority",
     "d37_tpch_q10_returned_items",
+    "d39_heavy_hitters",
+    "e27_decontaminate",
+    "t9_lm_quality",
 }
 
 
