@@ -144,3 +144,36 @@ def test_plan_audit_counts(spark):
     udf = ALL["d22_row_udf"].fn(spark, SF_DIR)
     with pytest.raises(AssertionError, match="Python eval"):
         assert_scale_safe(udf, allow_python=False)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB a selective dimension filter must propagate to the fact
+    scan as a runtime bloom filter (Spark injects it when the probe side
+    exceeds ``applicationSideScanSizeThreshold`` — 10 GB by default, forced
+    to 0 here because the fixture is tiny). Pin the mechanism so a conf or
+    version change that silently disables it fails loudly."""
+    import pyspark.sql.functions as F
+
+    from pyspark_ml_features_spark.plans.audit import plan_text
+
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "0")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = plan_text(j, "formatted").lower()
+        assert "might_contain" in plan and "bloomfilter" in plan, \
+            "selective shuffle join must inject a runtime bloom filter"
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
