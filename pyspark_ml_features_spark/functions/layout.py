@@ -70,3 +70,42 @@ def write_zordered(df: DataFrame, path: str, columns: Sequence[str],
        .sortWithinPartitions(ZKEY)
        .drop(ZKEY)
        .write.mode("overwrite").parquet(path))
+
+
+def compact_parquet(spark, src: str, dst: str,
+                    target_file_mb: int = 512) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files and return that file count.
+
+    Streaming sinks and over-parallel writers leave thousands of KB-sized
+    files; at 100 TB that multiplies scan task-scheduling overhead and
+    NameNode/listing pressure. Target ~512 MB files ≈ a few row groups, the
+    sweet spot for parquet scans. Sizes come from Spark's own Hadoop
+    FileSystem so the helper works on any supported storage, not just
+    local disks. Coalesce (not repartition) avoids a shuffle — input
+    splits are just grouped into larger write tasks."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    (spark.read.parquet(src).coalesce(n_files)
+     .write.mode("overwrite").parquet(dst))
+    return n_files
+
+
+def write_partitioned(df, path: str, partition_cols, dynamic: bool = True):
+    """Partitioned parquet write with DYNAMIC partition overwrite: only the
+    partitions present in ``df`` are replaced; all others are untouched.
+    This is the idempotent daily-backfill primitive — re-running one day's
+    pipeline rewrites that day's directories only, instead of static
+    overwrite's truncate-everything. (Writer-level option, so the session
+    conf is left alone.)"""
+    cols = [partition_cols] if isinstance(partition_cols, str) \
+        else list(partition_cols)
+    (df.write
+     .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+     .mode("overwrite").partitionBy(*cols).parquet(path))

@@ -471,3 +471,101 @@ def d9b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 6).alias("value_last_hour"))
+
+
+@register(
+    "d40_salted_skew_join",
+    oracle="""
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       sum(l.l_quantity)::DOUBLE AS total_qty
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("north-star", "D1", "skew"),
+)
+def d40_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand totals through a SALTED fact⋈dim join (functions/skew.py): the
+    fact side gets a seeded salt in [0,8), the dim side is replicated once
+    per salt, and the join runs on (key, salt) so a pathologically hot key
+    spreads over 8 tasks. Salting is semantics-preserving for inner joins —
+    which is exactly what the plain-SQL oracle proves, hash-exact.
+
+    100 TB: this is the manual fallback when AQE skew split can't help
+    (one key > one executor's memory). The dim replication multiplies a
+    small broadcastable table, never the fact; the fact is scanned and
+    shuffled once, same as the unsalted plan."""
+    from pyspark_ml_features_spark.functions.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = (table(spark, sf_dir, "part")
+         .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    joined = salted_join(li, p, "l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").cast("double").alias("total_qty"))
+
+
+@register(
+    "d41_corr_single_pass",
+    oracle="""
+WITH s AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(l_quantity)::DOUBLE AS sq,   sum(l_quantity * l_quantity)::DOUBLE AS sqq,
+           sum(l_extendedprice)::DOUBLE AS sp, sum(l_extendedprice * l_extendedprice)::DOUBLE AS spp,
+           sum(l_discount)::DOUBLE AS sd,   sum(l_discount * l_discount)::DOUBLE AS sdd,
+           sum(l_quantity * l_extendedprice)::DOUBLE AS sqp,
+           sum(l_quantity * l_discount)::DOUBLE AS sqd,
+           sum(l_extendedprice * l_discount)::DOUBLE AS spd
+    FROM lineitem
+)
+SELECT 'quantity_extendedprice' AS pair,
+       (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS corr
+FROM s
+UNION ALL
+SELECT 'quantity_discount',
+       (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+FROM s
+UNION ALL
+SELECT 'extendedprice_discount',
+       (n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd))
+FROM s
+""",
+    tags=("north-star", "D15", "stats"),
+)
+def d41_corr_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations of three lineitem measures from a
+    SINGLE scan: one aggregate computes every raw moment (sums, squares,
+    cross-products), then the closed form assembles the matrix — versus the
+    naive one-scan-per-pair (6 scans here, O(k²) scans for k columns).
+    Identical raw sums + IEEE-exact multiply/divide/sqrt on both engines
+    keep the oracle bit-exact (no built-in corr(), whose accumulation
+    differs per engine).
+
+    100 TB: the moment aggregate is a full map-side-combinable reduction to
+    ONE row — network cost is k² doubles, independent of table size."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("sq"), F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"), F.sum(p * p).alias("spp"),
+        F.sum(d).alias("sd"), F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"), F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"))
+
+    def corr(sxy, sx, sxx, sy, syy):
+        n = F.col("n")
+        return ((n * F.col(sxy) - F.col(sx) * F.col(sy))
+                / F.sqrt((n * F.col(sxx) - F.col(sx) * F.col(sx))
+                         * (n * F.col(syy) - F.col(sy) * F.col(sy))))
+
+    pairs = F.array(
+        F.struct(F.lit("quantity_extendedprice").alias("pair"),
+                 corr("sqp", "sq", "sqq", "sp", "spp").alias("corr")),
+        F.struct(F.lit("quantity_discount").alias("pair"),
+                 corr("sqd", "sq", "sqq", "sd", "sdd").alias("corr")),
+        F.struct(F.lit("extendedprice_discount").alias("pair"),
+                 corr("spd", "sp", "spp", "sd", "sdd").alias("corr")))
+    return s.select(F.explode(pairs).alias("x")).select("x.pair", "x.corr")

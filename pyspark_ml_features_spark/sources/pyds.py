@@ -61,20 +61,27 @@ class SyntheticDocsDataSource(DataSource):
         return SyntheticDocsReader(self.options)
 
 
-def _event(i: int) -> tuple[int, int, str, float]:
-    return i, i % 7, ("view", "click", "purchase")[i % 3], float(i % 100) / 4.0
+def _make_events_source():
+    """Build the streaming source with EVERY class and helper defined in
+    closure scope. Unlike batch reader tasks (which run on executors that
+    receive the package zip via addPyFile), the streaming source runner is
+    a separate driver-side Python worker that unpickles the DataSource
+    WITHOUT this package on its path — module-level classes pickle by
+    reference and crash it with ModuleNotFoundError. Dynamic classes make
+    cloudpickle serialize everything by value, so the runner needs nothing
+    but pyspark.
 
+    The reader emits ``batch_size`` deterministic events per micro-batch up
+    to ``n`` total. Offsets are plain dicts checkpointed by the engine;
+    ``readBetweenOffsets`` replays any committed range bit-identically —
+    the property that gives exactly-once on recovery."""
+    from pyspark.sql.datasource import (DataSource,
+                                        SimpleDataSourceStreamReader)
 
-def make_stream_reader_cls():
-    """Build the SimpleDataSourceStreamReader subclass lazily (the base
-    import stays out of module top so importing pyds never requires the
-    streaming API): emits ``batch_size`` deterministic events per
-    micro-batch up to ``n`` total. Offsets are plain dicts checkpointed by
-    the engine; readBetweenOffsets replays any committed range
-    bit-identically — the property that gives exactly-once on recovery."""
-    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+    def _event(i: int) -> tuple[int, int, str, float]:
+        return i, i % 7, ("view", "click", "purchase")[i % 3], float(i % 100) / 4.0
 
-    class _Reader(SimpleDataSourceStreamReader):
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
             self.n = int(options.get("n", 100))
             self.batch = int(options.get("batch_size", 25))
@@ -90,23 +97,27 @@ def make_stream_reader_cls():
         def readBetweenOffsets(self, start, end):
             return iter([_event(j) for j in range(start["i"], end["i"])])
 
-    return _Reader
+    class SyntheticEventsDataSource(DataSource):
+        """Streaming twin of SyntheticDocsDataSource: a rate-limited,
+        deterministic event stream — the shape of a custom queue/CDC
+        connector written in pure Python (offset management + replay,
+        no JVM code)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_events"
+
+        def schema(self) -> str:
+            return ("event_id bigint, user_id bigint, "
+                    "event_type string, value double")
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+    return SyntheticEventsDataSource, _event
 
 
-class SyntheticEventsDataSource(DataSource):
-    """Streaming twin of SyntheticDocsDataSource: a rate-limited,
-    deterministic event stream — the shape of a custom queue/CDC connector
-    written in pure Python (offset management + replay, no JVM code)."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "synthetic_events"
-
-    def schema(self) -> str:
-        return "event_id bigint, user_id bigint, event_type string, value double"
-
-    def simpleStreamReader(self, schema):
-        return make_stream_reader_cls()(self.options)
+SyntheticEventsDataSource, _event = _make_events_source()
 
 
 def register_python_sources(spark) -> None:

@@ -34,17 +34,27 @@ def canon_hash(pdf):
 
 qs, osql = e.queries(), e.oracle_sql()
 print("declared queries:", list(qs))
+failures = []
 for name, fn in qs.items():
-    spdf = fn(spark, SF).toPandas()
-    if name in osql:
-        opdf = con.execute(osql[name]).fetchdf()
-        match = canon_hash(spdf) == canon_hash(opdf)
-        print(f"{name}: rows {len(spdf)} vs {len(opdf)}, hash match: {match}")
-        assert match, name
-    else:
-        # The driver canonicalizes rows-only outputs too (r1: b5 crashed
-        # despite having no oracle) — exercise the same code path.
-        canon_hash(spdf)
-        print(f"{name}: rows-only, {len(spdf)} rows")
+    # Driver-faithful error handling: the real driver records a per-query
+    # `err` and keeps going, so one broken query must not hide the rest.
+    try:
+        spdf = fn(spark, SF).toPandas()
+        if name in osql:
+            opdf = con.execute(osql[name]).fetchdf()
+            match = canon_hash(spdf) == canon_hash(opdf)
+            print(f"{name}: rows {len(spdf)} vs {len(opdf)}, hash match: {match}", flush=True)
+            assert match, "hash mismatch"
+        else:
+            # The driver canonicalizes rows-only outputs too (r1: b5 crashed
+            # despite having no oracle) — exercise the same code path.
+            canon_hash(spdf)
+            print(f"{name}: rows-only, {len(spdf)} rows", flush=True)
+    except Exception as ex:
+        failures.append(name)
+        print(f"{name}: ERR {type(ex).__name__}: {str(ex)[:300]}", flush=True)
+if failures:
+    print("CONTRACT FAILED:", failures)
+    sys.exit(1)
 print("CONTRACT OK")
 spark.stop()

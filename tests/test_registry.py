@@ -44,6 +44,8 @@ DEFERRED_ORACLES = {
     "d39_heavy_hitters",
     "e27_decontaminate",
     "t9_lm_quality",
+    "d40_salted_skew_join",
+    "d41_corr_single_pass",
 }
 
 

@@ -124,3 +124,45 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     mean_supp = sum(ratios_supp) / len(ratios_supp)
     assert mean_part < 0.7, f"l_partkey per-file range {mean_part:.2f} too wide"
     assert mean_supp < 0.7, f"l_suppkey per-file range {mean_supp:.2f} too wide"
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction must collapse a fragmented directory to the computed file
+    count without losing or duplicating rows."""
+    import glob
+
+    from pyspark_ml_features_spark.functions.layout import compact_parquet
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, dst)
+    assert len(glob.glob(dst + "/part-*.parquet")) == n < 64
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+        spark, tmp_path):
+    """Rewriting one partition's data must leave sibling partitions intact
+    (dynamic mode) — the property static overwrite destroys."""
+    import pyspark.sql.functions as F
+
+    from pyspark_ml_features_spark.functions.layout import write_partitioned
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "event_type",
+                                               "value")
+    out = str(tmp_path / "by_type")
+    write_partitioned(ev, out, "event_type")
+    before = spark.read.parquet(out)
+    n_click = before.filter(F.col("event_type") == "click").count()
+    n_view = before.filter(F.col("event_type") == "view").count()
+
+    patch = (ev.filter(F.col("event_type") == "click")
+             .withColumn("value", F.lit(0.0)).limit(10))
+    write_partitioned(patch, out, "event_type")
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("event_type") == "view").count() == n_view
+    assert after.filter(F.col("event_type") == "click").count() == 10 < n_click
