@@ -177,3 +177,64 @@ def e19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("window_start"),
         "event_type", "n_events",
         F.round("sum_value", 6).alias("total_value"))
+
+
+@register(
+    "d42_funnel_stages",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT '2_view_click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT '3_view_click_purchase', (SELECT count(*) FROM p)
+""",
+    tags=("north-star", "E9", "funnel"),
+)
+def d42_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users whose first view precedes a later click
+    that precedes a later purchase — the min-timestamp cascade (each stage's
+    anchor is the EARLIEST qualifying event, the standard product-analytics
+    definition, immune to repeated events).
+
+    100 TB shape: each stage scans the fact with its event_type pushed to
+    parquet (selective → most row groups skip), and joins the previous
+    stage's per-user anchors — user-cardinality, broadcastable after the
+    first stage filter. Nothing user-unbounded shuffles. The alternative
+    single-shuffle design (collect_list per user + fold) moves every event
+    through one shuffle; at 100 TB three pruned scans beat one full
+    shuffle."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev, etype, tcol_prev, tcol):
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = (s.join(F.broadcast(prev), "user_id")
+                 .filter(F.col("ts") > F.col(tcol_prev)))
+        return s.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = stage(None, "view", None, "t1")
+    c = stage(v, "click", "t1", "t2")
+    p = stage(c, "purchase", "t2", "t3")
+    counts = [v.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("1_view").alias("stage"), "n_users"),
+              c.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("2_view_click").alias("stage"), "n_users"),
+              p.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("3_view_click_purchase").alias("stage"),
+                      "n_users")]
+    out = counts[0]
+    for c_ in counts[1:]:
+        out = out.unionAll(c_)
+    return out

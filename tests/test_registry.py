@@ -46,6 +46,7 @@ DEFERRED_ORACLES = {
     "t9_lm_quality",
     "d40_salted_skew_join",
     "d41_corr_single_pass",
+    "d42_funnel_stages",
 }
 
 

@@ -133,3 +133,27 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert written.count() == batch.count()
     assert (written.agg(F.sum("event_id")).collect()[0][0]
             == batch.agg(F.sum("event_id")).collect()[0][0])
+
+
+def test_rocksdb_state_store_equals_default(spark):
+    """The RocksDB state store provider (disk-backed state — the 100 TB
+    posture when aggregation state outgrows executor heaps) must produce
+    the same windowed aggregate as the default in-memory provider."""
+    from pyspark_ml_features_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state"
+             ".RocksDBStateStoreProvider")
+    baseline = run_stream_to_memory(
+        streaming_tumbling_counts(events_stream(spark, SF_DIR))).toPandas()
+    spark.conf.set(key, rocks)
+    try:
+        got = run_stream_to_memory(
+            streaming_tumbling_counts(events_stream(spark, SF_DIR))).toPandas()
+    finally:
+        spark.conf.unset(key)
+    assert_frames_match(got, baseline, "rocksdb_vs_default_state_store")
