@@ -186,3 +186,59 @@ def d37_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (1 - F.col("l_discount"))), 6).alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+@register(
+    "d43_tpch_q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("engine", "tpch", "headline"),
+)
+def d43_tpch_q5_local_supplier_volume(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table join where the
+    customer's and supplier's nations must MATCH — the classic cyclic join
+    graph that stresses join ordering. Region/nation/supplier/customer are
+    dimension-sized → broadcast; the year predicate pushes to the orders
+    scan; only orders⋈lineitem is a genuine shuffle join, which AQE can
+    re-plan from runtime stats. The c_nationkey = s_nationkey equi-term
+    rides the lineitem join as a post-condition instead of forcing a
+    second fact shuffle."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    r = (table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s),
+                  (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue")))

@@ -238,3 +238,46 @@ def d42_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c_ in counts[1:]:
         out = out.unionAll(c_)
     return out
+
+
+@register(
+    "d44_sequence_pattern",
+    oracle="""
+WITH j AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(journey)::BIGINT AS journey_len,
+       len(regexp_extract_all(journey, 'vcp'))::BIGINT AS n_conversions
+FROM j
+""",
+    tags=("north-star", "E9", "pattern"),
+)
+def d44_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining (the MATCH_RECOGNIZE family, composed
+    from primitives): each user's events collapse — in (ts, event_id)
+    order — into a journey string of event-type initials, and conversions
+    are counted as non-overlapping ``view→click→purchase`` runs via
+    ``regexp_count``. Event-type initials are unique in this schema, so
+    the encoding is lossless.
+
+    100 TB shape: one shuffle keyed on user_id; per-user state is the
+    journey string (events-per-user bounded), and the regex runs once per
+    user in codegen — no joins, no reshuffling, trivially
+    watermark-windowable for the streaming twin."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts",
+                                               "event_type")
+    step = F.struct(F.col("ts"), F.col("event_id"),
+                    F.substring("event_type", 1, 1).alias("c"))
+    journey = F.concat_ws(
+        "", F.transform(F.array_sort(F.collect_list(step)),
+                        lambda x: x["c"]))
+    return (ev.groupBy("user_id")
+            .agg(journey.alias("journey"))
+            .select("user_id",
+                    F.length("journey").cast("bigint").alias("journey_len"),
+                    F.regexp_count("journey", F.lit("vcp")).cast("bigint")
+                    .alias("n_conversions")))

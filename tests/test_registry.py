@@ -47,6 +47,8 @@ DEFERRED_ORACLES = {
     "d40_salted_skew_join",
     "d41_corr_single_pass",
     "d42_funnel_stages",
+    "d43_tpch_q5_local_supplier_volume",
+    "d44_sequence_pattern",
 }
 
 
