@@ -242,3 +242,69 @@ def d43_tpch_q5_local_supplier_volume(spark: SparkSession,
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 6)
                  .alias("revenue")))
+
+
+@register(
+    "d45_tpch_q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name IN ('NATION_7', 'NATION_17')
+  AND n2.n_name IN ('NATION_7', 'NATION_17')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+""",
+    tags=("engine", "tpch", "headline"),
+)
+def d45_tpch_q7_volume_shipping(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations, grouped by direction and ship year. The classic disjunctive
+    pair predicate ((A,B) or (B,A)) is rewritten to the pushdown-friendly
+    equivalent ``n1 IN {A,B} AND n2 IN {A,B} AND n1 <> n2`` so each
+    nation dimension filters BEFORE its join: supplier and customer
+    shrink to two nations' worth before touching the fact. The ship-date
+    range pushes to the lineitem scan. Only lineitem⋈orders genuinely
+    shuffles; supplier/customer/nation are broadcast."""
+    two = ("NATION_7", "NATION_17")
+    n1 = (table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(*two))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(*two))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    s = (table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")))
+    c = (table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")))
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1995-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue")))

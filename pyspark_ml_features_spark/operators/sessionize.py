@@ -281,3 +281,60 @@ def d44_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length("journey").cast("bigint").alias("journey_len"),
                     F.regexp_count("journey", F.lit("vcp")).cast("bigint")
                     .alias("n_conversions")))
+
+
+@register(
+    "e28_session_funnel",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+    SELECT user_id, event_id, ts, event_type,
+           (sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) + 1)::BIGINT
+               AS session_id
+    FROM flagged
+), per_session AS (
+    SELECT user_id, session_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(CASE WHEN journey LIKE '%v%c%p%' THEN 1 ELSE 0 END)::BIGINT
+           AS n_converted
+FROM per_session
+GROUP BY user_id
+""",
+    tags=("north-star", "E9", "funnel"),
+)
+def e28_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN session bounds: a session converts when it contains a
+    view, then a click, then a purchase in order (subsequence match on the
+    per-session journey string — the sessionized refinement of d42's
+    lifetime funnel).
+
+    100 TB shape: sessionization shuffles once on user_id; the
+    per-(user, session) aggregate and the final per-user rollup both
+    reuse that partitioning (hash(user_id) co-locates every finer key),
+    so the whole funnel is ONE shuffle + codegen string work."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts",
+                                              "event_type")
+    s = sessionized(e)
+    step = F.struct(F.col("ts"), F.col("event_id"),
+                    F.substring("event_type", 1, 1).alias("c"))
+    journey = F.concat_ws(
+        "", F.transform(F.array_sort(F.collect_list(step)),
+                        lambda x: x["c"]))
+    per_session = (s.groupBy("user_id", "session_id")
+                   .agg(journey.alias("journey")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("journey").like("%v%c%p%"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_converted")))

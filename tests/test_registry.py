@@ -49,6 +49,8 @@ DEFERRED_ORACLES = {
     "d42_funnel_stages",
     "d43_tpch_q5_local_supplier_volume",
     "d44_sequence_pattern",
+    "d45_tpch_q7_volume_shipping",
+    "e28_session_funnel",
 }
 
 
