@@ -308,3 +308,55 @@ def d45_tpch_q7_volume_shipping(spark: SparkSession,
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 6)
                  .alias("revenue")))
+
+
+@register(
+    "d47_tpch_q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+""",
+    tags=("engine", "tpch", "headline"),
+)
+def d47_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose total line
+    quantity exceeds 300, joined back to their customer and re-aggregated.
+
+    100 TB shape: the HAVING subquery is one hash aggregate over lineitem
+    (map-side partial combine shrinks it to order-cardinality); the
+    qualifying set (~0.1% of orders) broadcasts into a semi filter on
+    orders AND — via the join-key transitivity lineitem.l_orderkey =
+    o_orderkey — Spark's InferFiltersFromConstraints + runtime filters
+    prune the second lineitem scan too, so the re-aggregation touches
+    only qualifying rows. The final global top-100 is
+    TakeOrderedAndProject (per-partition heaps, no global sort). Ties are
+    impossible: o_orderkey is unique, making the LIMIT deterministic."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__s"))
+           .filter(F.col("__s") > 300)
+           .select("l_orderkey"))
+    o = (table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+         .join(F.broadcast(big),
+               F.col("o_orderkey") == big.l_orderkey, "left_semi"))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))

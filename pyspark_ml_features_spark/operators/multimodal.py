@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -292,3 +293,201 @@ def e13_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return extract_image_features(payload)
+
+
+# --- real audio feature extraction (WAV/PCM is codec-free) ------------------
+# A canonical RIFF/WAVE file with 16-bit PCM is plain struct reads + raw
+# int16 samples — no codec library involved. Unlike image pixel decode
+# (stubbed above), the FULL audio path — header parse AND sample-domain
+# features — runs for real in this container.
+
+WAV_SAMPLE_RATE = 16000
+
+
+def synth_wav(doc_id: int, n_samples: int, period: int,
+              amplitude: int = 1000) -> bytes:
+    """Byte-exact mono 16-bit PCM WAV: canonical 44-byte RIFF header plus a
+    square wave of the given period (samples +A for even blocks, -A for odd).
+    Deterministic in (doc_id, n_samples, period) so an arithmetic oracle can
+    recompute every downstream feature."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples)
+    samples = np.where((i // period) % 2 == 0, amplitude,
+                       -amplitude).astype("<i2")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ",
+        16, 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16, b"data",
+        len(data))
+    return hdr + data
+
+
+def parse_wav_features(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Parse a canonical PCM WAV and compute sample-domain features:
+    (sample_rate, n_samples, n_zero_crossings, max_abs, mean_abs). Header
+    fields are struct reads at spec offsets; features are vectorized int16
+    math over the raw data chunk — real audio analysis, no codec."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (_, _, _, _, fmt_size, audio_fmt, n_channels, sample_rate, _, _,
+     bits, _, data_size) = struct.unpack("<4sI4s4sIHHIIHH4sI", payload[:44])
+    if (fmt_size, audio_fmt, n_channels, bits) != (16, 1, 1, 16):
+        raise ValueError("only canonical mono 16-bit PCM supported")
+    samples = np.frombuffer(payload[44:44 + data_size], dtype="<i2")
+    signs = np.sign(samples)
+    crossings = int(np.count_nonzero(signs[1:] != signs[:-1]))
+    abs_s = np.abs(samples.astype("int64"))
+    return (sample_rate, len(samples), crossings, int(abs_s.max()),
+            float(abs_s.mean()))
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("n_zero_crossings", LongType()),
+    StructField("max_abs", LongType()),
+    StructField("mean_abs", DoubleType()),
+])
+
+
+@register(
+    "e29_audio_features",
+    oracle=f"""
+SELECT doc_id,
+       {WAV_SAMPLE_RATE}::BIGINT AS sample_rate,
+       (256 + n_chars % 256)::BIGINT AS n_samples,
+       ((256 + n_chars % 256 - 1) // (1 + doc_id % 16))::BIGINT
+           AS n_zero_crossings,
+       1000::BIGINT AS max_abs,
+       1000.0::DOUBLE AS mean_abs
+FROM documents
+""",
+    tags=("north-star", "multimodal", "udf"),
+)
+def e29_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, oracle-checked end to end: build a
+    byte-exact mono 16-bit PCM WAV per document (square wave whose length
+    and period derive from doc columns), push it through the binary-column
+    → Arrow ``mapInPandas`` path, then parse the RIFF header AND compute
+    sample-domain features (zero crossings, peak, mean |amplitude|) with
+    vectorized int16 math over the raw PCM chunk — WAV needs no codec, so
+    unlike image pixel decode (e13) nothing here is faked. The DuckDB
+    oracle recomputes every feature arithmetically (a period-p square wave
+    of n samples crosses zero exactly (n-1)//p times and has |s| = A
+    everywhere), so drift in the builder OR the parser breaks the hash.
+
+    100 TB shape: identical to every media extractor here — binary
+    payloads stream batch-by-batch through Arrow; output is narrow typed
+    metadata; embarrassingly parallel, no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _synth_and_extract(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                parse_wav_features(synth_wav(int(i), 256 + int(n) % 256,
+                                             1 + int(i) % 16))
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.Series([f[0] for f in feats],
+                                         dtype="int64"),
+                "n_samples": pd.Series([f[1] for f in feats], dtype="int64"),
+                "n_zero_crossings": pd.Series([f[2] for f in feats],
+                                              dtype="int64"),
+                "max_abs": pd.Series([f[3] for f in feats], dtype="int64"),
+                "mean_abs": pd.Series([f[4] for f in feats],
+                                      dtype="float64"),
+            })
+
+    return d.mapInPandas(_synth_and_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --- video frame sampling (every k-th frame of a raw frame stack) -----------
+
+FRAME_W, FRAME_H = 16, 9          # raw 8-bit greyscale frames
+FRAME_SAMPLE_EVERY = 3            # keep frames 0, 3, 6, ...
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("byte_sum", LongType()),
+])
+
+
+def synth_video(doc_id: int, n_frames: int) -> bytes:
+    """Raw 'video': n_frames stacked uncompressed 8-bit greyscale frames of
+    FRAME_W x FRAME_H, frame f filled with byte value (doc_id + f) % 256 —
+    deterministic so the sampler's per-frame reduction has an arithmetic
+    oracle."""
+    import numpy as np
+
+    f = np.arange(n_frames, dtype="int64")
+    frames = ((doc_id + f) % 256).astype("uint8")
+    return np.repeat(frames, FRAME_W * FRAME_H).tobytes()
+
+
+def sample_video_frames(payload: bytes, doc_id: int) -> list:
+    """Slice every FRAME_SAMPLE_EVERY-th frame out of the raw stack and
+    reduce it (byte sum) — the frame-sampling access pattern a real video
+    featurizer uses (decode only the sampled frames), on codec-free raw
+    frames."""
+    import numpy as np
+
+    stack = np.frombuffer(payload, dtype="uint8")
+    n_frames = len(stack) // (FRAME_W * FRAME_H)
+    out = []
+    for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+        frame = stack[idx * FRAME_W * FRAME_H:(idx + 1) * FRAME_W * FRAME_H]
+        out.append((doc_id, idx, int(frame.astype("int64").sum())))
+    return out
+
+
+@register(
+    "e30_video_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       u.f::BIGINT AS frame_idx,
+       ({FRAME_W * FRAME_H} * ((doc_id + u.f) % 256))::BIGINT AS byte_sum
+FROM documents,
+     unnest(range(0, 8 + doc_id % 9, {FRAME_SAMPLE_EVERY})) AS u(f)
+""",
+    tags=("north-star", "multimodal", "udf"),
+)
+def e30_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, oracle-checked end to end: build a raw frame
+    stack per document (8-16 uncompressed greyscale frames, contents
+    derived from doc_id), push it through the binary-column Arrow path,
+    slice out every 3rd frame, and reduce each sampled frame (byte sum).
+    One input row fans out to one row PER SAMPLED FRAME — the schema shape
+    a frame-level training pipeline needs. The DuckDB oracle recomputes
+    the sampled indices and frame sums arithmetically, so the slicing
+    offsets and the reduction are both hash-verified.
+
+    100 TB shape: frame extraction is embarrassingly parallel mapInPandas
+    over binary payloads; only sampled-frame metadata (3 narrow columns)
+    leaves Python, never pixels. A real deployment swaps synth_video for
+    the container's demuxer and keeps everything else."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth_and_sample(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows.extend(sample_video_frames(
+                    synth_video(i, 8 + i % 9), i))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "byte_sum"]).astype("int64")
+
+    return d.mapInPandas(_synth_and_sample, schema=VIDEO_FRAME_SCHEMA)

@@ -28,12 +28,13 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
 MG_K = 150  # Misra-Gries counter budget: heavy hitter = freq > n/K
+KMV_K = 256  # k-minimum-values budget: RSE ~ 1/sqrt(K-1) ~ 6.3%
 
 
 @register(
@@ -109,3 +110,65 @@ def d39_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(total))
             .filter(F.col("n_events") > F.col("__n") / MG_K)
             .drop("__n"))
+
+
+@register(
+    "d46_kmv_setops",
+    tags=("north-star", "D6", "sketch", "approx"),
+)
+def d46_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates via KMV / theta sketches — the capability
+    HLL fundamentally lacks: HLL unions but cannot intersect, while a KMV
+    sketch (the k smallest uniform hashes of each set) supports
+    intersection and Jaccard in the theta framework. Sets here: parts
+    with a 1995 return (l_returnflag = 'R') vs parts with a 1995 bulk
+    shipment (l_quantity >= 45) — at sf0.01 these have ~1500 / ~800
+    distinct keys (both > K) with ~40% Jaccard, so the sketch genuinely
+    estimates a partial overlap rather than degenerating to exact.
+
+    Estimator: with theta = min over sets of (K-th smallest hash, or 1.0
+    when the set kept < K values), every hash below theta is a uniform
+    sample with inclusion probability theta, so |S| ~ n_sample/theta and
+    |A∩B| ~ n_both/theta; Jaccard = n_both/n_union_sample needs no theta.
+    Estimates are hash-distribution-specific -> rows-only; the invariant
+    test pins each estimate within 5 sigma of the exact answer.
+
+    100 TB shape: the per-set k-smallest is a dense_rank window that Spark
+    lowers to WindowGroupLimit — each input partition ships only its local
+    top-K hashes per set (map-side group limit, NO distinct-cardinality
+    shuffle); everything after the window touches <= 2K rows. That is the
+    mergeable-summary contract: sketch bytes cross the wire, raw keys
+    never do."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_returnflag", "l_quantity", "l_shipdate")
+          .filter(F.year("l_shipdate") == 1995))
+    tagged = (li.where(li.l_returnflag == "R")
+              .select(F.lit("a").alias("s"), "l_partkey")
+              .unionByName(li.where(li.l_quantity >= 45)
+                           .select(F.lit("b").alias("s"), "l_partkey")))
+    h = (F.xxhash64("l_partkey").cast("double") / F.lit(float(2 ** 64))
+         + F.lit(0.5))
+    w = Window.partitionBy("s").orderBy("h")
+    kept = (tagged.withColumn("h", h)
+            .withColumn("rk", F.dense_rank().over(w))
+            .filter(F.col("rk") <= KMV_K)
+            .dropDuplicates(["s", "l_partkey"]))
+    theta_per_set = kept.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax"))
+    theta = theta_per_set.agg(
+        F.min(F.when(F.col("n") >= KMV_K, F.col("hmax"))
+              .otherwise(F.lit(1.0))).alias("theta"))
+    samp = (kept.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") < F.col("theta")))
+    memb = samp.groupBy("l_partkey", "theta").agg(
+        F.max(F.when(F.col("s") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("s") == "b", 1).otherwise(0)).alias("in_b"))
+    return (memb.groupBy("theta").agg(
+        F.sum("in_a").alias("na"), F.sum("in_b").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("ni"),
+        F.count(F.lit(1)).alias("nu"))
+        .select((F.col("na") / F.col("theta")).alias("est_returned_parts"),
+                (F.col("nb") / F.col("theta")).alias("est_bulk_parts"),
+                (F.col("ni") / F.col("theta")).alias("est_overlap"),
+                (F.col("ni").cast("double") / F.col("nu"))
+                .alias("jaccard_est")))

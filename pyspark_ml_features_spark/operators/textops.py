@@ -439,3 +439,44 @@ def t9_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ps.select(
         "doc_id", F.size("ps").cast("bigint").alias("n_bigrams"),
         (fold / F.size("ps")).alias("lm_score"))
+
+
+@register("t10_perplexity", tags=("north-star", "text-analysis", "lm",
+                                  "approx"))
+def t10_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram perplexity ``exp(-mean(ln p))`` under the same
+    add-one-smoothed corpus bigram model as t9 — the conventional
+    log-space CCNet/KenLM-style filter score. Rows-only by design: ln/exp
+    are libm transcendentals, which this repo never puts behind an exact
+    cross-engine oracle (JVM StrictMath vs DuckDB libm can differ 1 ulp).
+    Invariant tests pin it to t9 instead: perplexity >= 1 always (add-one
+    smoothing bounds p <= 1) and per-doc bigram counts match t9 exactly.
+
+    100 TB shape: identical to t9 — the model tables are vocabulary²-
+    bounded broadcasts; the single corpus-cardinality shuffle is the
+    per-doc regather on doc_id. The log-sum folds over a SORTED
+    probability array, so the double summation is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    pairs = F.arrays_zip(F.slice(t, 1, n - 1).alias("w1"),
+                         F.slice(t, 2, n - 1).alias("w2"))
+    bi = (d.filter(n >= 2).select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    vocab = (d.select(F.explode(t).alias("w"))
+             .agg(F.countDistinct("w").alias("v_size")))
+    log_p = F.log((F.col("n_pair") + 1).cast("double")
+                  / (F.col("n_w1") + F.col("v_size")).cast("double"))
+    ps = (bi.join(F.broadcast(c12), ["w1", "w2"])
+          .join(F.broadcast(c1), "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("doc_id", log_p.alias("lp"))
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list("lp")).alias("lps")))
+    fold = F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+    return ps.select(
+        "doc_id", F.size("lps").cast("bigint").alias("n_bigrams"),
+        F.exp(-fold / F.size("lps")).alias("perplexity"))

@@ -328,3 +328,41 @@ def test_hll_rollup_close_to_exact(run, spark):
     assert est.keys() == exact.keys()
     for y, ex in exact.items():
         assert abs(est[y] - ex) / ex < 0.05, (y, est[y], ex)
+
+
+def test_perplexity_invariants(run):
+    """t10 must agree with its exact-arithmetic twin t9 on the per-doc
+    bigram counts, and add-one smoothing bounds every probability at <= 1,
+    so exp(-mean(ln p)) >= 1 for every document."""
+    ppl = run("t10_perplexity").toPandas()
+    t9 = run("t9_lm_quality").toPandas()
+    assert (ppl["perplexity"] >= 1.0).all()
+    assert ppl["perplexity"].notna().all()
+    merged = ppl.merge(t9, on="doc_id", suffixes=("", "_t9"))
+    assert len(merged) == len(ppl) == len(t9)
+    assert (merged["n_bigrams"] == merged["n_bigrams_t9"]).all()
+
+
+def test_kmv_setops_close_to_exact(run, spark):
+    """KMV/theta estimates must land within 5 sigma (RSE ~ 1/sqrt(K-1))
+    of the exact set sizes, and Jaccard within 5 sigma of its sampling
+    error, on the 1995 returned-parts vs bulk-parts sets."""
+    import math as m
+
+    from pyspark_ml_features_spark.operators.sketches import KMV_K
+    from pyspark_ml_features_spark.sources import table
+
+    est = run("d46_kmv_setops").collect()[0]
+    li = (table(spark, SF_DIR, "lineitem")
+          .filter(F.year("l_shipdate") == 1995).cache())
+    a = li.filter("l_returnflag = 'R'").select("l_partkey").distinct()
+    b = li.filter("l_quantity >= 45").select("l_partkey").distinct()
+    na, nb = a.count(), b.count()
+    ni = a.join(b, "l_partkey").count()
+    li.unpersist()
+    tol = 5.0 / m.sqrt(KMV_K - 1)
+    assert abs(est["est_returned_parts"] - na) / na < tol
+    assert abs(est["est_bulk_parts"] - nb) / nb < tol
+    assert abs(est["est_overlap"] - ni) / ni < tol
+    jac = ni / (na + nb - ni)
+    assert abs(est["jaccard_est"] - jac) < tol

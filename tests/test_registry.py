@@ -51,6 +51,9 @@ DEFERRED_ORACLES = {
     "d44_sequence_pattern",
     "d45_tpch_q7_volume_shipping",
     "e28_session_funnel",
+    "d47_tpch_q18_large_orders",
+    "e29_audio_features",
+    "e30_video_frame_sample",
 }
 
 
