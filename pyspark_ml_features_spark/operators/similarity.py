@@ -66,10 +66,15 @@ def e5_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_value) form — array cells break the harness canonicalizer."""
     e = table(spark, sf_dir, "embeddings")
     emb = to_double_array("embedding")
-    norm = l2_norm(emb)
-    exploded = e.select(
-        "vec_id", "label", norm.alias("l2_norm"),
-        F.posexplode(emb).alias("dim", "value"))
+    # Two-step select: materialize the norm in the Generate's CHILD
+    # projection. A single select(norm, posexplode(...)) plans the fold in
+    # the Project ABOVE the Generate — i.e. re-evaluated per exploded row
+    # (64x per vector); measured 5x slower at sf0.1.
+    pre = e.select("vec_id", "label", l2_norm(emb).alias("l2_norm"),
+                   emb.alias("emb"))
+    exploded = pre.select(
+        "vec_id", "label", "l2_norm",
+        F.posexplode("emb").alias("dim", "value"))
     return exploded.select(
         "vec_id", "label", "l2_norm", "dim",
         (F.col("value") / F.col("l2_norm")).alias("unit_value"))
