@@ -360,3 +360,70 @@ def d47_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
                      F.col("o_orderkey").asc())
             .limit(100))
+
+
+@register(
+    "d48_tpch_q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
+    tags=("engine", "tpch", "headline"),
+)
+def d48_tpch_q21_waiting_supplier(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): late line on a
+    finished multi-supplier order where NO other supplier was also late.
+    Lateness is adapted to this schema (no l_receiptdate/l_commitdate) as
+    l_shipdate > o_orderdate + 90 days; the EXISTS / NOT EXISTS structure
+    is the classic one, and the oracle states it in exactly that
+    correlated-subquery form.
+
+    100 TB shape: instead of the textbook pair of lineitem self-joins
+    (three orderkey shuffles of the biggest table), the two correlated
+    subqueries collapse into ONE per-order aggregate — count(distinct
+    supplier) and count(distinct late supplier) — reusing the orderkey
+    partitioning of the main join: EXISTS other-supplier == n_supp > 1,
+    NOT EXISTS other-late == n_late_supp = 1 (the probe row itself is
+    late). Supplier and nation broadcast; the final top-100 is
+    TakeOrderedAndProject with s_name as a total tie-break."""
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    l = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .withColumn("late", F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+         .alias("n_late_supp"))
+    s = (table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_name", "s_nationkey"))
+    n = (table(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_7").select("n_nationkey"))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (l.filter(F.col("late"))
+            .join(per_order, "l_orderkey")
+            .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+            .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(100))

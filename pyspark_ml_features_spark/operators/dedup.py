@@ -503,3 +503,68 @@ def e27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(eval_set))
             .select("doc_id", n_overlap.alias("n_overlap"),
                     (n_overlap > 0).alias("contaminated")))
+
+
+LINE_WORDS = 8  # C4-style "line" granularity on the flat-text fixture
+
+
+@register(
+    "e31_line_dedup",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, str_split(text, ' ') AS tok FROM documents
+), c AS (
+    SELECT doc_id, i AS line_id,
+           array_to_string(list_slice(tok, i * {LINE_WORDS} + 1,
+                                      i * {LINE_WORDS} + {LINE_WORDS}),
+                           ' ') AS line
+    FROM t, unnest(range(0, (len(tok) - 1) // {LINE_WORDS} + 1)) AS u(i)
+    WHERE len(tok) > 0
+), r AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, line_id) AS rn
+    FROM c
+)
+SELECT doc_id, count(*) AS n_lines,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM r GROUP BY doc_id
+""",
+    tags=("north-star", "E1", "dedup", "curation"),
+)
+def e31_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL line-level dedup (the C4/mC4 curation step): every document
+    is split into fixed 8-word lines (LINE_WORDS) (this fixture's flat text
+    has no newlines) and each distinct line survives only at its globally
+    FIRST occurrence — ordered by (doc_id, line_id) — all later copies are
+    dropped. Output is the per-document retention ledger (n_lines,
+    n_kept); ~5% of this fixture's line occurrences are cross-document
+    duplicates.
+
+    100 TB shape: first-occurrence selection is groupBy(line) →
+    min(struct(doc_id, line_id)) — map-side partial combine shrinks each
+    partition to its distinct lines before ONE shuffle on the line key,
+    and the join back rides the same partitioning (no second exchange
+    under AQE). At deployment scale the group/join key becomes
+    xxhash64(line) (8 bytes crossing the wire, not text); the text key
+    here keeps the oracle collision-free by construction. The oracle
+    states the same semantics as a window rank — proving the
+    aggregate+join rewrite IS first-occurrence-keep."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_lines = (F.floor((F.size(t) - 1) / LINE_WORDS) + 1).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * LINE_WORDS + 1,
+                                           LINE_WORDS)))
+    exploded = (d.filter(F.size(t) > 0)
+                .select("doc_id", F.posexplode(lines)
+                        .alias("line_id", "line")))
+    first = exploded.groupBy("line").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("line_id"))).alias("f"))
+    kept = ((F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("line_id") == F.col("f.line_id")))
+    return (exploded.join(first, "line")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(kept.cast("int")).cast("bigint").alias("n_kept")))

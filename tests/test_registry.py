@@ -54,6 +54,8 @@ DEFERRED_ORACLES = {
     "d47_tpch_q18_large_orders",
     "e29_audio_features",
     "e30_video_frame_sample",
+    "d48_tpch_q21_waiting_supplier",
+    "e31_line_dedup",
 }
 
 
