@@ -568,3 +568,68 @@ def e31_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.sum(kept.cast("int")).cast("bigint").alias("n_kept")))
+
+
+@register(
+    "e32_incremental_near_dedup",
+    oracle=f"""
+WITH sh AS ({_duckdb_simhash()}),
+banded AS (
+    SELECT doc_id, simhash, b AS band_id,
+           (simhash >> ({BAND_BITS} * b)) & {(1 << BAND_BITS) - 1} AS band_val
+    FROM sh, unnest(range(0, {N_BANDS})) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           n.simhash AS h1, c.simhash AS h2
+    FROM banded n
+    JOIN banded c ON n.band_id = c.band_id AND n.band_val = c.band_val
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT new_id AS doc_id,
+       count(*) AS n_corpus_matches,
+       min(bit_count(xor(h1, h2)))::INT AS min_hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {HAM_K}
+GROUP BY new_id
+""",
+    tags=("north-star", "E2", "dedup"),
+)
+def e32_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup — the daily-ingest production path that e1b
+    (incremental exact) and e2c (full-corpus banded) compose into: an
+    arriving batch (doc_id % 5 = 0, 20%) is checked for near-duplicates
+    against the existing corpus (the other 80%) via the banded-simhash
+    candidate join, WITHOUT ever generating corpus-internal pairs. Output:
+    each batch document that near-matches the corpus, with its match count
+    and closest Hamming distance — all integer arithmetic, exact oracle.
+
+    100 TB shape: the corpus's (band_id, band_val, simhash) table is a
+    materialized artifact (bucketed by band key in deployment) built once
+    and appended to; each ingest batch computes only its OWN bands and
+    hash-joins them against the bucketed corpus bands — candidates scale
+    with band collisions of the BATCH, corpus pairs are never touched.
+    This is what keeps continuous dedup O(batch), not O(corpus)."""
+    d = table(spark, sf_dir, "documents")
+    s = simhash(d)
+
+    def banded(df: DataFrame, id_alias: str, h_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("simhash").alias(h_alias),
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("simhash"), BAND_BITS * b)
+                 .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                for b in range(N_BANDS)
+            ])).alias("band_id", "band_val"))
+
+    newb = banded(s.filter(F.col("doc_id") % 5 == 0), "new_id", "h1")
+    corpb = banded(s.filter(F.col("doc_id") % 5 != 0), "corpus_id", "h2")
+    cand = (newb.join(corpb, ["band_id", "band_val"])
+            .select("new_id", "corpus_id", "h1", "h2").distinct())
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= HAM_K)
+            .groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_corpus_matches"),
+                 F.min("hamming").alias("min_hamming")))

@@ -56,6 +56,7 @@ DEFERRED_ORACLES = {
     "e30_video_frame_sample",
     "d48_tpch_q21_waiting_supplier",
     "e31_line_dedup",
+    "e32_incremental_near_dedup",
 }
 
 
