@@ -569,3 +569,68 @@ def d41_corr_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("extendedprice_discount").alias("pair"),
                  corr("spd", "sp", "spp", "sd", "sdd").alias("corr")))
     return s.select(F.explode(pairs).alias("x")).select("x.pair", "x.corr")
+
+
+@register(
+    "d49_interpolate_gaps",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day, count(*) AS v
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+), seg AS (
+    SELECT user_id, day, v,
+           lead(day) OVER w AS nday, lead(v) OVER w AS nv
+    FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), filled AS (
+    SELECT user_id, day, v, nday, nv, u.d AS d
+    FROM seg, unnest(CASE WHEN nday IS NULL THEN [day]
+                     ELSE generate_series(day, nday - INTERVAL 1 DAY,
+                                          INTERVAL 1 DAY) END) AS u(d)
+)
+SELECT user_id, d AS day,
+       CASE WHEN nday IS NULL THEN v::DOUBLE
+            ELSE v + (nv - v) * (date_diff('day', day, d)::DOUBLE
+                                 / date_diff('day', day, nday)::DOUBLE)
+       END AS interp_events
+FROM filled
+""",
+    tags=("engine", "timeseries", "D14"),
+)
+def d49_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series gap fill with LINEAR INTERPOLATION: daily event
+    counts densified so every day between a user's first and last active
+    day gets a value — observed days keep their count, gap days get the
+    linear blend between the surrounding observations (the standard
+    feature-store densification before sequence models). Counts are exact
+    integers, so the single blend division is the only float op and is
+    IEEE-identical across engines — exact oracle.
+
+    100 TB shape: one shuffle to the (user, day) aggregate, one window
+    (lead) reusing the user partitioning, then a shuffle-free generator
+    whose fan-out is bounded by the gap length — history is never
+    re-scanned and no driver-side spine materializes."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = (e.groupBy("user_id", F.date_trunc("day", F.col("ts"))
+                       .alias("day"))
+             .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("user_id").orderBy("day")
+    seg = daily.select(
+        "user_id", "day", "v",
+        F.lead("day").over(w).alias("nday"),
+        F.lead("v").over(w).alias("nv"))
+    days = F.when(
+        F.col("nday").isNotNull(),
+        F.sequence(F.col("day"),
+                   F.col("nday") - F.expr("INTERVAL 1 DAY"),
+                   F.expr("INTERVAL 1 DAY"))
+    ).otherwise(F.array(F.col("day")))
+    filled = seg.select("user_id", "day", "v", "nday", "nv",
+                        F.explode(days).alias("d"))
+    k = F.datediff(F.col("d"), F.col("day")).cast("double")
+    n = F.datediff(F.col("nday"), F.col("day")).cast("double")
+    interp = (F.when(F.col("nday").isNull(), F.col("v").cast("double"))
+              .otherwise(F.col("v") + (F.col("nv") - F.col("v")) * (k / n)))
+    return filled.select("user_id", F.col("d").alias("day"),
+                         interp.alias("interp_events"))
