@@ -50,8 +50,13 @@ def zorder_key(df: DataFrame, columns: Sequence[str],
     for c in columns:
         aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
     row = df.agg(*aggs).first()
+    # An all-NULL (or empty) cluster column has lo = hi = None; quantize's
+    # `hi <= lo` would raise TypeError. Degenerate bucket 0 keeps the key
+    # total-ordered and the write valid.
     quantized = [
-        quantize(F.col(c), row[f"lo_{c}"], row[f"hi_{c}"], bits)
+        (F.lit(0).cast("bigint")
+         if row[f"lo_{c}"] is None or row[f"hi_{c}"] is None
+         else quantize(F.col(c), row[f"lo_{c}"], row[f"hi_{c}"], bits))
         for c in columns
     ]
     return interleave_bits(quantized, bits)

@@ -483,26 +483,44 @@ def e27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stand-in for a benchmark suite). Real pipelines use 13-grams; this
     fixture's ~100-token docs make 3 the informative length.
 
-    100 TB shape: eval-set shingles are tiny (benchmarks are MBs), so they
-    collapse to ONE broadcast row; the corpus is never shuffled at all —
-    each document computes its overlap with the broadcast shingle set in a
-    single codegen map pass. Contrast with a shingle-join design, which
-    would shuffle corpus-cardinality exploded rows."""
+    100 TB shape: eval-set shingles are tiny (benchmarks are MBs), so the
+    distinct-shingle side is BROADCAST; each corpus document explodes its
+    shingles map-side and the broadcast hash join filters non-matching
+    shingles immediately — only the (rare) matching rows ever shuffle, into
+    the per-document overlap count. The corpus itself is never shuffled,
+    and no single row holds the whole eval shingle set (a prior design
+    `collect_list`-ed it into one array row — correct but bounded by
+    Spark's 2 GB row limit; this join shape is not)."""
     d = table(spark, sf_dir, "documents")
     t = tokens("text")
-    sh3 = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1),
-                              F.element_at(t, i + 2))))
+    n_tok = F.size(t)
+    # Guard n_tok < 3: sequence(1, 0) is descending and element_at(tok, 0)
+    # throws; oracle's range(1, 1) is empty, so emit an empty shingle list.
+    sh3 = F.when(
+        n_tok >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                  F.element_at(t, i + 1),
+                                  F.element_at(t, i + 2)))),
+    ).otherwise(F.array().cast("array<string>"))
     docs = d.select("doc_id", sh3.alias("sh"))
-    eval_set = (docs.filter(F.col("doc_id") % 97 == 0)
-                .select(F.explode("sh").alias("s")).distinct()
-                .agg(F.collect_list("s").alias("esh")))
-    n_overlap = F.size(F.array_intersect("sh", "esh")).cast("bigint")
-    return (docs.filter(F.col("doc_id") % 97 != 0)
-            .crossJoin(F.broadcast(eval_set))
-            .select("doc_id", n_overlap.alias("n_overlap"),
-                    (n_overlap > 0).alias("contaminated")))
+    eval_sh = (docs.filter(F.col("doc_id") % 97 == 0)
+               .select(F.explode("sh").alias("s")).distinct())
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    # sh is already per-doc distinct, so count(*) == count of overlapping
+    # distinct shingles after the broadcast join.
+    overlaps = (train.select("doc_id", F.explode("sh").alias("s"))
+                .join(F.broadcast(eval_sh), "s")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_overlap")))
+    return (train.select("doc_id")
+            .join(overlaps, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) > 0)
+                     .alias("contaminated")))
 
 
 LINE_WORDS = 8  # C4-style "line" granularity on the flat-text fixture

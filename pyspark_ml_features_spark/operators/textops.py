@@ -84,7 +84,14 @@ def e8_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 terms per language. Scores rounded to 6 dp on both engines — the
     sum across documents is order-dependent in the last ~1e-12, and libm vs
     JVM ln() may differ 1 ulp; 6 dp absorbs both. The hashed-feature scale
-    path (HashingTF/IDF) is the MLlib twin in operators/ml.py."""
+    path (HashingTF/IDF) is the MLlib twin in operators/ml.py.
+
+    Scale note: the document-frequency aggregate has |vocabulary| rows —
+    10^7–10^8 terms on a web corpus — so it must NOT carry a broadcast
+    hint (that pins driver memory to vocab size). AQE picks broadcast at
+    small SF from the runtime size and sort-merge beyond the threshold;
+    both sides already hash-partition on `term`. The single-row n_docs
+    aggregate stays an explicit broadcast."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -92,7 +99,7 @@ def e8_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
     scored = (
-        tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+        tf.join(df, "term").crossJoin(F.broadcast(n))
         .groupBy("lang", "term")
         .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("score")))
     w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
@@ -301,10 +308,17 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     t = tokens("text")
     n_tok = F.size(t)
-    g3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1),
-                              F.element_at(t, i + 2)))
+    # Guard n_tok < 3: sequence(1, 0) yields the DESCENDING [1, 0] and
+    # element_at(tok, 0) throws — the oracle's range(1, 1) is empty, so an
+    # empty array keeps Spark aligned with DuckDB on short documents.
+    g3 = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                  F.element_at(t, i + 1),
+                                  F.element_at(t, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
     n_g3 = F.size(g3)
     return d.select(
         "doc_id",

@@ -30,10 +30,14 @@ def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (TESTDATA.md) from a scale-factor directory.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read nanos as long and truncate
-    to microsecond timestamps — the same truncation DuckDB applies when it
-    narrows TIMESTAMP_NS to its native TIMESTAMP, so oracles line up.
+    ``events.ts`` has shipped in two physical layouts across driver
+    rounds: TIMESTAMP(NANOS) (rounds 1-2), which Spark's vectorized reader
+    rejects outright — read nanos as long and truncate to microsecond
+    timestamps, the same truncation DuckDB applies when narrowing
+    TIMESTAMP_NS — and plain timestamp[us] (round 3+), which both engines
+    read natively. Detect from the loaded dtype and convert only the
+    legacy layout, and normalize TIMESTAMP_NTZ to session-local TIMESTAMP
+    so downstream window/watermark code sees one type either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -43,8 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = parquet_scan(spark, path)
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy nanos layout
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return parquet_scan(spark, path)
 
 

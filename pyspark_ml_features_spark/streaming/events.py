@@ -38,13 +38,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    batch_schema = table(spark, sf_dir, "events").schema  # pre-conversion ts is long
+    # Match the batch reader's layout handling (sources/io.py:table): the
+    # legacy nanos layout must be read as long and truncated; the round-3+
+    # timestamp[us] layout streams natively.
+    raw = spark.read.parquet(src)
+    ts_raw = dict(raw.dtypes)["ts"]
     raw_schema = ", ".join(
-        f"{f.name} {'long' if f.name == 'ts' else f.dataType.simpleString()}"
-        for f in batch_schema.fields)
+        f"{f.name} {f.dataType.simpleString()}" for f in raw.schema.fields)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_raw == "bigint":  # legacy nanos layout
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_raw == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
@@ -137,7 +145,22 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(stage))
 
+    # foreachBatch is at-least-once: a micro-batch replayed after a failure
+    # would be merged twice and double-count. A sidecar ledger of merged
+    # batch_ids (outside target_dir, which each merge overwrites) makes the
+    # merge idempotent — the same transaction-log idea Delta's MERGE uses.
+    ledger = target_dir.rstrip("/") + ".merged_batches"
+
+    def _merged_ids() -> set:
+        try:
+            with open(ledger) as f:
+                return {int(x) for x in f.read().split()}
+        except OSError:
+            return set()
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _merged_ids():
+            return
         part = (batch_df.groupBy(F.window("ts", "1 hour").alias("w"),
                                  "event_type")
                 .agg(F.count(F.lit(1)).alias("n_events"),
@@ -157,6 +180,8 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
         out = tempfile.mkdtemp(prefix="rollup_out_")
         part.write.mode("overwrite").parquet(out)
         s.read.parquet(out).write.mode("overwrite").parquet(target_dir)
+        with open(ledger, "a") as f:
+            f.write(f"{batch_id}\n")
 
     checkpoint = tempfile.mkdtemp(prefix="pmfs_ckpt_")
     q = (stream.writeStream.foreachBatch(merge)

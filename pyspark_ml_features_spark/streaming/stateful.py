@@ -146,6 +146,10 @@ def s7_transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFram
         if prev:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            # Was unset before — restore that, or RocksDB silently leaks
+            # into every later streaming query in this session.
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 if transform_with_state_available():  # pragma: no cover — env-dependent

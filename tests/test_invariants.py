@@ -366,3 +366,30 @@ def test_kmv_setops_close_to_exact(run, spark):
     assert abs(est["est_overlap"] - ni) / ni < tol
     jac = ni / (na + nb - ni)
     assert abs(est["jaccard_est"] - jac) < tol
+
+
+def test_shingle_ops_survive_short_documents(spark, tmp_path):
+    """ADVICE r2: sequence(1, greatest(n-2, 0)) on a <3-token doc yields the
+    DESCENDING [1, 0] and element_at throws INVALID_ARRAY_INDEX — latent
+    because fixture docs have >=10 tokens. t7 and e27 must instead match the
+    oracle's empty-shingle-list semantics on 1- and 2-token documents."""
+    docs = spark.createDataFrame(
+        [(1, "one", "en", "web", 3), (2, "two words", "en", "web", 9),
+         (4, "three words here", "en", "web", 16),
+         (97, "eval doc three words here", "en", "web", 25),
+         (3, "", "en", "web", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    t7 = {r["doc_id"]: r.asDict()
+          for r in ALL["t7_repetition_ratio"].fn(spark, sf_dir).collect()}
+    assert t7[1]["dup_3gram_frac"] is None  # no 3-grams -> NULL, not error
+    assert t7[2]["dup_3gram_frac"] is None
+    assert t7[4]["dup_3gram_frac"] == 0.0
+
+    e27 = {r["doc_id"]: r.asDict()
+           for r in ALL["e27_decontaminate"].fn(spark, sf_dir).collect()}
+    assert set(e27) == {1, 2, 3, 4}  # train docs survive, none error
+    assert e27[1]["n_overlap"] == 0 and not e27[1]["contaminated"]
+    assert e27[4]["n_overlap"] == 1 and e27[4]["contaminated"]

@@ -200,3 +200,22 @@ def test_no_fold_reevaluated_above_generate(spark):
         assert n_folds == 0, (
             f"{name}: {n_folds} fold(s) evaluated above Generate — "
             f"re-evaluated per exploded row")
+
+
+def test_no_broadcast_hint_on_unbounded_aggregates(spark):
+    """VERDICT r2 #3: e8's document-frequency aggregate has |vocabulary|
+    rows (10^7+ on a web corpus) and must not carry an explicit broadcast
+    hint — AQE may still choose broadcast at small SF from the RUNTIME size,
+    which is fine; a hint pins driver memory to vocab size at any scale.
+    The analyzed logical plan shows hints as ResolvedHint before AQE runs,
+    so we count them: exactly one (the single-row n_docs aggregate). Same
+    check for e27, whose only hint is the benchmark-sized eval shingle set
+    (bounded by assumption, documented in its docstring)."""
+    for name, max_hints in (("e8_tfidf_topterms", 1),
+                            ("e27_decontaminate", 1)):
+        df = ALL[name].fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n = analyzed.count("ResolvedHint")
+        assert n <= max_hints, (
+            f"{name}: {n} broadcast hints in logical plan (max {max_hints})"
+            f" — an unbounded aggregate may be pinned to the driver")
