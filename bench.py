@@ -41,6 +41,23 @@ HEADLINE = [
     "e5_embedding_normalize",
     "d21_apply_in_pandas_minmax",
     "d20_pandas_udf_revenue",
+    # r3 additions (VERDICT r2 #5): the TPC-H family, the banded near-dup
+    # scale paths, and the curation composition — 20 queries no longer
+    # represented a 145-query surface, and regressions in these families
+    # were invisible to the bench.
+    "d36_tpch_q3_shipping_priority",
+    "d43_tpch_q5_local_supplier_volume",
+    "d45_tpch_q7_volume_shipping",
+    "d47_tpch_q18_large_orders",
+    "d48_tpch_q21_waiting_supplier",
+    "d37_tpch_q10_returned_items",
+    "e2c_simhash_banded",
+    "e2d_simhash64_banded",
+    "e31_line_dedup",
+    "e25_corpus_curation",
+    "d49_interpolate_gaps",
+    "d30b_moment_stats_decimal",
+    "e33_minhash_banded_exact",
 ]
 
 

@@ -26,25 +26,27 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def rolling_hash(text: Column | str) -> Column:
+def rolling_hash(text: Column | str, base: int = HASH_BASE) -> Column:
     """Deterministic polynomial rolling hash of a string:
-    ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % (2^31-1))``.
+    ``h = fold(chars, 0, (acc, c) -> (acc*base + ascii(c)) % (2^31-1))``.
     Document fingerprinting primitive — integer arithmetic, exact on any
-    engine. acc stays < 2^31 so acc*31+c < 2^36, no 64-bit overflow."""
+    engine. acc stays < 2^31 so acc*base+c < 2^37 for base ≤ 43, no 64-bit
+    overflow. Independent bases give (near-)independent hash families —
+    the 64-bit simhash concatenates four of them."""
     c = F.col(text) if isinstance(text, str) else text
     # split('') yields one array element per character — O(n), unlike a
     # substr(i,1) fold which re-seeks the UTF8 string per index (O(n²))
     chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
     return F.aggregate(
         chars, F.lit(0).cast("bigint"),
-        lambda acc, ch: F.pmod(acc * HASH_BASE + ch, F.lit(HASH_MOD)))
+        lambda acc, ch: F.pmod(acc * base + ch, F.lit(HASH_MOD)))
 
 
-def duckdb_rolling_hash(text_expr: str) -> str:
+def duckdb_rolling_hash(text_expr: str, base: int = HASH_BASE) -> str:
     """DuckDB twin of :func:`rolling_hash` (same fold, same modulus)."""
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(range(1, length({text_expr}) + 1), "
         f"i -> ascii(substr({text_expr}, i, 1))::BIGINT)), "
-        f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})"
+        f"(acc, c) -> (acc * {base} + c) % {HASH_MOD})"
     )

@@ -276,3 +276,36 @@ def a13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_python_sources(spark)
     return (spark.read.format("synthetic_docs")
             .option("n", 1000).option("partitions", 8).load())
+
+
+@register(
+    "a14_partitioned_pruning",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "source", "partitioning"),
+)
+def a14_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout + partition-PRUNED read — the single
+    most important scan optimization at 100 TB: orders written
+    ``partitionBy(o_year)``, then a reader filtering one year touches one
+    directory; the other years are never opened (tests/test_plans.py
+    asserts the scan's PartitionFilters carry the predicate). Price sums
+    accumulate as exact integer cents — double sums are partition-order
+    dependent and would break the oracle hash (memory: oracle-parity
+    rules)."""
+    out = os.path.join(tempfile.gettempdir(), "pmfs_orders_by_year")
+    o = table(spark, sf_dir, "orders")
+    (o.withColumn("o_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents")))

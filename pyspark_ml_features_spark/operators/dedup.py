@@ -175,6 +175,153 @@ def e2_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (1 - F.col("jaccard_dist")).alias("est_jaccard")))
 
 
+# Engine-exact MinHash (e33): K=16 permutations h_i(x) = (a_i·x + b_i) mod p
+# over the prime field p = 2^31-1, applied to token rolling-hashes. Unlike
+# MLlib's MinHashLSH (e2 — engine-specific signatures, rows-only check),
+# every step here is portable integer arithmetic, so the *production MinHash
+# shape* carries an exact DuckDB oracle. Constants are fixed (seeded offline,
+# deterministic): classic MINSTD-family multipliers.
+MINHASH_K = 16
+MINHASH_P = 2147483647
+MINHASH_AFFINE = tuple(
+    (pow(16807, i + 1, MINHASH_P), (48271 * i + 11) % MINHASH_P)
+    for i in range(MINHASH_K))
+MINHASH_BANDS = 8          # 8 bands × 2 rows; P(candidate) = 1-(1-J²)^8
+MINHASH_MIN_MATCH = 8      # report pairs with ≥ 8/16 matching sigs (Ĵ ≥ 0.5)
+MINHASH_SHINGLE_B = 10007  # 3-gram shingle hash: ((h1·B + h2) % p · B + h3) % p
+
+
+def _duckdb_minhash_banded() -> str:
+    """DuckDB twin of :func:`e33_minhash_banded_exact`."""
+    from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
+
+    sig_cols = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AFFINE))
+    band_hi = ("CASE b " + " ".join(
+        f"WHEN {i} THEN s{2 * i}" for i in range(MINHASH_BANDS)) + " END")
+    band_lo = ("CASE b " + " ".join(
+        f"WHEN {i} THEN s{2 * i + 1}" for i in range(MINHASH_BANDS)) + " END")
+    n_match = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K))
+    return f"""
+WITH t0 AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), th AS (
+    SELECT doc_id,
+           list_transform(t, tok -> {duckdb_rolling_hash('tok')}) AS th
+    FROM t0
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+                         i -> (((th[i] * {MINHASH_SHINGLE_B} + th[i+1])
+                                % {MINHASH_P}) * {MINHASH_SHINGLE_B}
+                               + th[i+2]) % {MINHASH_P})) AS sh
+    FROM th
+), hx AS (
+    SELECT doc_id, unnest(sh) AS x FROM shingled
+), sig AS (
+    SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, b AS band_id,
+           ({band_hi}) * 2147483648 + ({band_lo}) AS band_val
+    FROM sig, unnest(range(0, {MINHASH_BANDS})) AS t(b)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, n_sig_match,
+       n_sig_match / {MINHASH_K}.0 AS est_jaccard
+FROM (
+    SELECT d1, d2, ({n_match}) AS n_sig_match
+    FROM cand
+    JOIN sig sa ON sa.doc_id = d1
+    JOIN sig sb ON sb.doc_id = d2
+)
+WHERE n_sig_match >= {MINHASH_MIN_MATCH}
+"""
+
+
+@register(
+    "e33_minhash_banded_exact",
+    oracle=_duckdb_minhash_banded(),
+    tags=("north-star", "E2", "dedup"),
+)
+def e33_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with ENGINE-EXACT signatures — the same
+    shingle→minhash→band→bucket-join shape as MLlib's MinHashLSH (e2), but
+    hand-rolled over the prime field so the whole pipeline carries an exact
+    oracle: word-3-gram shingle rolling-hashes → 16 affine-permutation
+    minima → 8 bands of 2 sigs (band value packs both sigs into one BIGINT:
+    s·2^31 + s') → band equi-join for candidates → exact
+    signature-agreement count as the Jaccard estimate (Ĵ = matches/16,
+    reported for Ĵ ≥ 0.5). Full corpus, never all-pairs: candidates ∝ band
+    collisions ∝ true similarity (P(candidate) = 1-(1-J²)^8 ≈ 0.9 at
+    J = 0.5). Shingles, not unigram tokens, are deliberate: on this fixture
+    ~3/4 of ALL pairs share J ≥ 0.5 of their token SETS (tiny vocabulary),
+    while 3-gram shingles are order-sensitive and selective — which is
+    exactly why production dedup (GPT-3/C4-style) minhashes shingles.
+
+    100 TB: signatures are 128 bytes/doc regardless of doc length; the
+    band join shuffles 16-byte rows; sig lookups for the agreement count
+    hash-join on doc_id (the materialized signature-store shape). Ĵ
+    accuracy (±1/√K) and J ≥ 0.8 recall are validated against exact 3-gram
+    Jaccard in tests/test_invariants.py.
+    Ref: spark_ml_features.py:1 (repo has no dedup; SURVEY §2-E E2)."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash, tokens
+
+    d = table(spark, sf_dir, "documents")
+    # token hashes materialized ONCE per row (own Project — the e5 lesson:
+    # never leave a per-row array aggregate to be re-evaluated per shingle),
+    # then each 3-gram shingle hash is an O(1) numeric combine over the
+    # hash array — no concat-string shingles, no re-folding characters 3×
+    # per overlapping shingle (measured 3.5× faster than string shingling)
+    th_df = d.select("doc_id", F.transform(
+        tokens("text"), lambda tok: rolling_hash(tok)).alias("th"))
+    th = F.col("th")
+    n_tok = F.size(th)
+    combine = lambda i: (  # noqa: E731
+        (F.element_at(th, i) * MINHASH_SHINGLE_B + F.element_at(th, i + 1))
+        % MINHASH_P * MINHASH_SHINGLE_B + F.element_at(th, i + 2)) % MINHASH_P
+    # guarded 3-gram positions (Spark sequence(1,0) is descending — see t7)
+    sh = F.when(
+        n_tok >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_tok - 2), combine)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    tok = th_df.select("doc_id", F.explode(sh).alias("x"))
+    sig = tok.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("x") + b) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_AFFINE)])
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.col(f"s{2 * i}") * F.lit(2147483648) + F.col(f"s{2 * i + 1}")
+            for i in range(MINHASH_BANDS)
+        ])).alias("band_id", "band_val"))
+    a = banded.select(F.col("doc_id").alias("d1"), "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("d2"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    sa = sig.select(F.col("doc_id").alias("d1"),
+                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("d2"),
+                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    n_match = None
+    for i in range(MINHASH_K):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    return (cand.join(sa, "d1").join(sb, "d2")
+            .select("d1", "d2", n_match.alias("n_sig_match"))
+            .filter(F.col("n_sig_match") >= MINHASH_MIN_MATCH)
+            .select("d1", "d2", "n_sig_match",
+                    (F.col("n_sig_match") / MINHASH_K).alias("est_jaccard")))
+
+
 SIMHASH_BITS = 16
 
 
@@ -307,7 +454,13 @@ def e2c_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_id, band_val) — never an all-pairs product — and are then
     verified with exact xor+bit_count. Runs on the FULL documents table
     (the exact-Hamming twin e2b needs its 20% sample to bound the O(n²)
-    join; this one doesn't)."""
+    join; this one doesn't).
+
+    16 bits is the TEACHING width: with 4-bit bands (16 values) buckets are
+    huge and at fixture density ~a quarter of all pairs genuinely sit
+    within Hamming 3, so output grows ~quadratically with corpus size.
+    The plan is right; the width isn't — e2d runs the identical plan at
+    the 64-bit deployment width."""
     d = table(spark, sf_dir, "documents")
     s = simhash(d)
     banded = s.select(
@@ -321,12 +474,174 @@ def e2c_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "band_id", "band_val")
     b = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
                       "band_id", "band_val")
-    cand = (a.join(b, ["band_id", "band_val"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2", "h1", "h2").distinct())
+    # hamming filter BEFORE the pair-dedup: hamming is a pure function of
+    # (h1, h2), so filtering first is semantics-preserving and the distinct
+    # shuffle carries only pairs that pass the threshold. At THIS 16-bit
+    # teaching geometry most band collisions pass anyway (the fixture
+    # clusters heavily), so the true fix for the quadratic pair volume is
+    # fingerprint width — see e2d, where the same plan at 64 bits is ~4×
+    # faster on 10× fewer output rows.
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (cand.select("d1", "d2", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= HAM_K))
+    return (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= HAM_K)
+            .distinct())
+
+
+# 64-bit SimHash — the deployment geometry DESIGN_SCALE.md describes: four
+# pairwise-independent 16-bit simhashes concatenated into one BIGINT
+# fingerprint, banded at width 16. Banding the fingerprint is then
+# literally an equi-join on one of the four sub-hashes. The sub-hash
+# families come from ONE rolling-hash character fold (the expensive O(len)
+# part) followed by four affine maps h_k = (a_k·h + b_k) mod p over the
+# prime field — pairwise independent and ~free, vs 4× the fold cost when
+# each family re-hashed the characters (measured 3× slower at sf0.1).
+SIMHASH64_AFFINE = ((1, 0), (16807, 12345), (48271, 98765), (69621, 54321))
+BAND_BITS_64 = 16
+
+
+def _duckdb_simhash64() -> str:
+    """DuckDB twin of :func:`simhash64` (same fold, same affine maps, same
+    packing)."""
+    from pyspark_ml_features_spark.functions.text import (
+        HASH_MOD,
+        duckdb_rolling_hash,
+    )
+
+    hash_cols = ", ".join(
+        f"(({a} * h + {b}) % {HASH_MOD}) AS h{k}"
+        for k, (a, b) in enumerate(SIMHASH64_AFFINE))
+    sum_cols = ", ".join(
+        f"sum(((h{k} >> {b}) & 1) * 2 - 1) AS s{k}_{b}"
+        for k in range(4) for b in range(BAND_BITS_64))
+    sub_cols = ", ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN s{k}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(BAND_BITS_64)) + f")::BIGINT AS sh{k}"
+        for k in range(4))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS t
+    FROM documents
+), base_hash AS (
+    SELECT doc_id, {duckdb_rolling_hash('t')} AS h FROM toks
+), hashed AS (
+    SELECT doc_id, {hash_cols} FROM base_hash
+), sums AS (
+    SELECT doc_id, {sum_cols} FROM hashed GROUP BY doc_id
+), subs AS (
+    SELECT doc_id, {sub_cols} FROM sums
+)
+SELECT doc_id,
+       (sh0 + sh1 * 65536 + sh2 * 4294967296
+        + (CASE WHEN sh3 >= 32768 THEN sh3 - 65536 ELSE sh3 END)
+          * 281474976710656)::BIGINT AS simhash
+FROM subs
+"""
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprints: four pairwise-independent 16-bit
+    simhashes packed into one BIGINT. One rolling-hash fold per token, then
+    affine maps (a_k·h + b_k) mod (2^31-1) give the four families. The top
+    sub-hash is packed as SIGNED 16-bit — sh3 ≥ 2^15 needs bit 63, and a
+    left shift into the sign bit overflows in DuckDB — so
+    ``(sh3 - 65536) * 2^48`` is the equivalent two's-complement
+    construction, exact in both engines.
+
+    At 100 TB this is the production fingerprint width: 8 bytes/doc, and
+    near-dup candidate generation joins on 16-bit bands of the hash — never
+    on document text."""
+    from pyspark_ml_features_spark.functions.text import (
+        HASH_MOD,
+        rolling_hash,
+        tokens,
+    )
+
+    tok = (df.select("doc_id", F.explode(
+        F.array_distinct(tokens(text_col))).alias("t"))
+        .withColumn("h", rolling_hash(F.col("t"))))
+    for k, (a, b) in enumerate(SIMHASH64_AFFINE):
+        tok = tok.withColumn(f"h{k}", (F.lit(a) * F.col("h") + b) % HASH_MOD)
+    aggs = [
+        F.sum(F.shiftright(F.col(f"h{k}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"s{k}_{b}")
+        for k in range(4) for b in range(BAND_BITS_64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+
+    def sub(k: int):
+        packed = None
+        for b in range(BAND_BITS_64):
+            term = (F.when(F.col(f"s{k}_{b}") > 0, F.lit(1 << b))
+                    .otherwise(F.lit(0)))
+            packed = term if packed is None else packed + term
+        return packed.cast("bigint")
+
+    sh3 = sub(3)
+    sh64 = (sub(0) + sub(1) * F.lit(65536) + sub(2) * F.lit(4294967296)
+            + F.when(sh3 >= 32768, sh3 - 65536).otherwise(sh3)
+            * F.lit(281474976710656))
+    return per_doc.select("doc_id", sh64.cast("bigint").alias("simhash"))
+
+
+@register(
+    "e2d_simhash64_banded",
+    oracle=f"""
+WITH sh AS ({_duckdb_simhash64()}),
+banded AS (
+    SELECT doc_id, simhash, b AS band_id,
+           (simhash >> ({BAND_BITS_64} * b)) & 65535 AS band_val
+    FROM sh, unnest(range(0, {N_BANDS})) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           a.simhash AS h1, b.simhash AS h2
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, bit_count(xor(h1, h2))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {HAM_K}
+""",
+    tags=("north-star", "E2", "dedup"),
+)
+def e2d_simhash64_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e2c at production fingerprint width: 64-bit SimHash, 4 bands of 16
+    bits, Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits ⇒ ≥ 1 of 4 bands
+    equal). Same banded candidate-join plan as e2c — equi-join on
+    (band_id, band_val), exact xor + bit_count verify, full corpus, never
+    all-pairs — but at 64 bits band values have 2^16 range, so bucket
+    sizes (and the candidate count) shrink by orders of magnitude vs the
+    16-bit teaching geometry. Band extraction ``(h >> 16b) & 65535`` is
+    sign-safe: the mask keeps only the 16 original bits, so arithmetic vs
+    logical shift of the (possibly negative) fingerprint is irrelevant.
+    Ref: README near-dedup discussion; geometry per DESIGN_SCALE.md."""
+    d = table(spark, sf_dir, "documents")
+    s = simhash64(d)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), BAND_BITS_64 * b)
+             .bitwiseAND(F.lit(65535))
+            for b in range(N_BANDS)
+        ])).alias("band_id", "band_val"))
+    a = banded.select(F.col("doc_id").alias("d1"),
+                      F.col("simhash").alias("h1"), "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("d2"),
+                      F.col("simhash").alias("h2"), "band_id", "band_val")
+    # filter-before-distinct (see e2c): at 16-bit bands collisions are rare,
+    # so only genuine near-dups ever reach the pair-dedup shuffle — this and
+    # the single-fold affine sub-hashes took e2d from 5.1 s to 2.6 s at
+    # sf0.1, on ~10× fewer output rows than the 16-bit e2c
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= HAM_K)
+            .distinct())
 
 
 @register(
@@ -643,11 +958,13 @@ def e32_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     newb = banded(s.filter(F.col("doc_id") % 5 == 0), "new_id", "h1")
     corpb = banded(s.filter(F.col("doc_id") % 5 != 0), "corpus_id", "h2")
-    cand = (newb.join(corpb, ["band_id", "band_val"])
-            .select("new_id", "corpus_id", "h1", "h2").distinct())
+    # hamming filter BEFORE the pair-dedup (see e2c): only true near-dup
+    # (batch, corpus) pairs reach the distinct shuffle
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (cand.withColumn("hamming", ham.cast("int"))
+    return (newb.join(corpb, ["band_id", "band_val"])
+            .select("new_id", "corpus_id", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= HAM_K)
+            .distinct()
             .groupBy(F.col("new_id").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_corpus_matches"),
                  F.min("hamming").alias("min_hamming")))

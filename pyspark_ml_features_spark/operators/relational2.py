@@ -400,6 +400,86 @@ def d30_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d30b_moment_stats_decimal",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS xp,
+           CAST(round(l_quantity * 100) AS BIGINT) AS xq
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(xp AS DECIMAL(18,0))) AS sp,
+           sum(CAST(xq AS DECIMAL(18,0))) AS sq,
+           sum(CAST(xp AS DECIMAL(18,0)) * xp) AS spp,
+           sum(CAST(xq AS DECIMAL(18,0)) * xq) AS sqq,
+           sum(CAST(xp AS DECIMAL(18,0)) * xq) AS spq
+    FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(sp AS DOUBLE) / n / 100, 6) AS mean_price,
+       round((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)) / 10000, 6) AS var_price,
+       round(sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (n - 1)) / 10000), 6) AS std_price,
+       round((n * CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)) / 10000, 6) AS qty_price_covar,
+       round((n * CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+             / (sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                * sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))),
+             6) AS qty_price_corr
+FROM s
+""",
+    tags=("engine", "stats"),
+)
+def d30b_moment_stats_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d30's hash-exact twin (VERDICT r2 #8): variance/stddev/covariance/
+    correlation from EXACT decimal power sums instead of the engines'
+    (divergent) streaming moment kernels. Prices/quantities become integer
+    cents (exact — the doubles are 2-dp decimals, so *100 is never a .5
+    rounding case); Σx, Σx², Σxy accumulate in DECIMAL, which is
+    order-independent and engine-exact, unlike double sums; the closed-form
+    moments then evaluate in IEEE double from identical inputs, so results
+    are bit-identical (sqrt/division are correctly-rounded by IEEE-754 —
+    no libm transcendentals). 6-dp rounding is belt-and-braces.
+
+    100 TB note: one map-side-combinable groupBy — the same single-shuffle
+    shape as any hash aggregate; decimal sums cost ~2× bigint but never
+    overflow (DECIMAL(38) holds Σx² to ~10^38, i.e. 10^10 rows of 10^14)."""
+    li = table(spark, sf_dir, "lineitem")
+    xp = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    xq = F.round(F.col("l_quantity") * 100).cast("bigint")
+    c = li.select("l_returnflag", xp.alias("xp"), xq.alias("xq"))
+    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("xp")).alias("sp"),
+        F.sum(dec("xq")).alias("sq"),
+        F.sum(dec("xp") * F.col("xp")).alias("spp"),
+        F.sum(dec("xq") * F.col("xq")).alias("sqq"),
+        F.sum(dec("xp") * F.col("xq")).alias("spq"))
+    n, sp, sq = F.col("n"), F.col("sp").cast("double"), F.col("sq").cast("double")
+    spp = F.col("spp").cast("double")
+    sqq = F.col("sqq").cast("double")
+    spq = F.col("spq").cast("double")
+    nd = n.cast("double")
+    var_cents = (n * spp - sp * sp) / (nd * (n - 1))
+    covar_cents = (n * spq - sp * sq) / (nd * (n - 1))
+    corr = (n * spq - sp * sq) / (
+        F.sqrt(n * spp - sp * sp) * F.sqrt(n * sqq - sq * sq))
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(sp / n / 100, 6).alias("mean_price"),
+        F.round(var_cents / 10000, 6).alias("var_price"),
+        F.round(F.sqrt(var_cents / 10000), 6).alias("std_price"),
+        F.round(covar_cents / 10000, 6).alias("qty_price_covar"),
+        F.round(corr, 6).alias("qty_price_corr"))
+
+
+@register(
     "e20_upsert_merge",
     oracle="""
 WITH updates AS (
@@ -634,3 +714,52 @@ def d49_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.col("v") + (F.col("nv") - F.col("v")) * (k / n)))
     return filled.select("user_id", F.col("d").alias("day"),
                          interp.alias("interp_events"))
+
+
+@register(
+    "d50_bucketed_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("engine", "join", "bucketing"),
+)
+def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact⋈dim join — the 100 TB answer to repeated
+    large joins on the same key: both sides are written ``bucketBy(8, key)``
+    + ``sortBy`` once, and every subsequent join on that key runs WITHOUT
+    exchanging either side (tests/test_plans.py asserts the only Exchange
+    in the plan is the final groupBy's, and the scans carry
+    SelectedBucketsCount). At warehouse scale the write cost amortizes over
+    every downstream join/aggregation on the key; prices sum as exact
+    integer cents for the oracle hash."""
+    import shutil
+    from urllib.parse import urlparse
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in (("pmfs_cust_bucketed", c, "c_custkey"),
+                          ("pmfs_orders_bucketed", o, "o_custkey")):
+        # the catalog is in-memory per session but the warehouse dir is not:
+        # a location left by a previous session collides with CREATE, so
+        # drop both the (possibly unknown) table and the stale directory
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (df.write.format("parquet")
+         .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    cb = spark.table("pmfs_cust_bucketed")
+    ob = spark.table("pmfs_orders_bucketed")
+    # merge hint: at test SF the dim fits the broadcast threshold and the
+    # planner would pick BroadcastHashJoin, hiding the co-located path this
+    # operator exists to prove; at 100 TB neither side broadcasts and SMJ
+    # over aligned buckets (no Exchange, no Sort) is the plan
+    j = ob.join(cb.hint("merge"), ob["o_custkey"] == cb["c_custkey"])
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents")))

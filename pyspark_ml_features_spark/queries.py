@@ -27,63 +27,75 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
 )
 from pyspark_ml_features_spark.streaming import events, stateful  # noqa: F401
 
-# Round-2 grading window (the driver checked exactly 50 queries in round 1).
-# Composition: the flagship, the five round-1 canonicalizer FAILs (now
-# flattened to scalar outputs), the new banded-simhash oracle, then every
-# oracle query the round-1 window never reached. Deliberately deferred to
-# after the window: round-1 green queries (already driver-verified) and the
-# rows-only untested ones (weak check only; pytest invariants cover them).
+# Round-3 grading window (the driver grades the first 50 registered queries).
+# Composition (VERDICT r2 task 1): every oracle query that is locally
+# hash-verified (drive_contract.py) but has never had a green driver
+# CORRECTNESS row across rounds 1-2 (34 queries), the two oracles new this
+# round (64-bit banded simhash, decimal-exact moment stats), then the 14
+# rows-only queries that have never even RUN under the driver (approx
+# sketches, seeded sampling, streaming twins). Deferred: all 82 queries
+# already driver-green cumulatively, plus rows-only queries that ran clean
+# in r1/r2 — re-grading them wastes slots.
 DRIVER_WINDOW = [
-    "b6_robust_scaling",
-    "b1_prepare_features",
-    "b7_feature_union",
-    "b5_probability_prediction",
-    "b8_pca_embeddings",
-    "e15_embedding_quantize",
-    "e2c_simhash_banded",
-    "d3_semi_join_parts_ordered",
-    "d4_pricing_summary",
-    "d5_distinct_counts",
-    "d7_rollup_sales",
-    "d7b_cube_sales",
-    "d8_window_rank_customers",
-    "d8b_window_distribution",
-    "d9_window_frame_events",
-    "d9b_range_frame",
-    "d10_topk_orders_per_priority",
-    "d11_global_topn",
-    "d12_set_ops_nations",
-    "d13_string_functions",
-    "d13b_fuzzy_match",
-    "d14_datetime_functions",
-    "d15_math_functions",
-    "d16_array_functions",
-    "d17_json_functions",
-    "d18_conditional_functions",
-    "d20_pandas_udf_revenue",
-    "d23_pivot",
-    "d24_map_functions",
-    "d25_sql_subqueries",
-    "d26_range_join_bands",
-    "d28_null_handling",
-    "d29_date_spine",
-    "e14_asof_attribution",
-    "e20_upsert_merge",
-    "e9_sessionize",
-    "e10_tumbling_windows",
-    "e10b_sliding_windows",
-    "e19_incremental_rollup",
-    "e5_embedding_normalize",
-    "e4_knn_cosine",
-    "e4b_lsh_bucket_knn",
-    "e4c_embedding_near_dup",
-    "e7_text_stats",
-    "e8_tfidf_topterms",
-    "t1_lang_id",
-    "t2_quality_score",
-    "t3_token_count",
-    "t4_fingerprint",
-    "t6_regex_tokenize",
+    # -- oracle queries never graded by the driver (r1 and r2 windows full)
+    "d33_unpivot_measures",
+    "d34_recursive_installments",
+    "d35_profile_orders",
+    "d36_tpch_q3_shipping_priority",
+    "d37_tpch_q10_returned_items",
+    "d39_heavy_hitters",
+    "d40_salted_skew_join",
+    "d41_corr_single_pass",
+    "d42_funnel_stages",
+    "d43_tpch_q5_local_supplier_volume",
+    "d44_sequence_pattern",
+    "d45_tpch_q7_volume_shipping",
+    "d47_tpch_q18_large_orders",
+    "d48_tpch_q21_waiting_supplier",
+    "d49_interpolate_gaps",
+    "d7c_grouping_sets",
+    "d17b_from_json",
+    "d17c_variant_json",
+    "a13_python_datasource",
+    "e13b_image_header_parse",
+    "e22_source_mix",
+    "e23_chunk_documents",
+    "e24_tokenize_to_ids",
+    "e25_corpus_curation",
+    "e26_bigram_lm",
+    "e27_decontaminate",
+    "e28_session_funnel",
+    "e29_audio_features",
+    "e30_video_frame_sample",
+    "e31_line_dedup",
+    "e32_incremental_near_dedup",
+    "t7_repetition_ratio",
+    "t8_pii_redact",
+    "t9_lm_quality",
+    # -- new oracles this round
+    "e2d_simhash64_banded",
+    "d30b_moment_stats_decimal",
+    "e33_minhash_banded_exact",
+    "a14_partitioned_pruning",
+    # -- rows-only queries that have never run under the driver
+    # (d30_moment_stats and e11b stay deferred: d30's semantics are carried
+    # by the exact decimal twin d30b, e11b's by its exact twin e11 (green
+    # r1) — an oracle row is a strictly stronger signal than a rows-only
+    # run, so the new oracles take those slots)
+    "d6_approx_count_distinct",
+    "d19_sampling",
+    "e4d_ivf_knn",
+    "d38_hll_distinct_rollup",
+    # d46_kmv deferred: same approx-sketch family as d38/d6 (weak rows-only
+    # signal); d50's bucketed-join oracle row is strictly stronger
+    "d50_bucketed_join",
+    "t10_perplexity",
+    "s1_streaming_tumbling_windows",
+    "s2_streaming_sessions",
+    "s3_streaming_stateful_totals",
+    "s4_streaming_dedup",
+    "s5_streaming_attribution_join",
+    "s7_python_source_stream",
 ]
 
 registry.reorder(DRIVER_WINDOW)

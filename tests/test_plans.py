@@ -219,3 +219,35 @@ def test_no_broadcast_hint_on_unbounded_aggregates(spark):
         assert n <= max_hints, (
             f"{name}: {n} broadcast hints in logical plan (max {max_hints})"
             f" — an unbounded aggregate may be pinned to the driver")
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """a14's read side must show the o_year predicate as a PARTITION filter
+    (directory-level pruning — non-matching years never opened), not a data
+    filter evaluated per row after a full scan."""
+    plan = _plan(spark, "a14_partitioned_pruning")
+    flat = plan.replace("\n", " ")
+    assert "PartitionFilters" in flat
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", flat)
+    assert pf and "o_year" in pf.group(1), (
+        "o_year predicate must prune at the partition level")
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """d50: both sides bucketed+sorted on the join key — the join itself
+    must need NO Exchange and NO Sort (the only Exchange in the plan is the
+    final groupBy's, whose key differs from the bucket key), and the scans
+    must report bucket pruning metadata."""
+    plan = _plan(spark, "d50_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    # the tree section (up to the first blank line) shows structure: the
+    # one Exchange node must sit ABOVE the join (it belongs to the final
+    # groupBy), never between the join and its bucketed scans
+    tree = plan.split("\n\n")[0].splitlines()
+    exchange_lines = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+    join_line = next(i for i, ln in enumerate(tree) if "SortMergeJoin" in ln)
+    assert len(exchange_lines) == 1, "exactly one Exchange (the groupBy's)"
+    assert exchange_lines[0] < join_line, (
+        "bucketed join must not exchange either side")
