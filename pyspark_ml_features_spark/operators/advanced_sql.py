@@ -427,3 +427,199 @@ def d48_tpch_q21_waiting_supplier(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
             .limit(100))
+
+
+@register(
+    "d51_percentiles_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       median(l_extendedprice) AS med
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("engine", "stats", "percentile"),
+)
+def d51_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's percentile() and
+    DuckDB's quantile_cont use the same linear-interpolation convention and
+    bit-match on doubles (probed before trusting this oracle; memory:
+    parity rules). Exact percentiles buffer each group's values — fine per
+    bounded group; for whole-table quantiles at 100 TB use the banded
+    selection in operators/scaling.py (b6) or approx_percentile (b6b)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
+    return (li.groupBy("l_returnflag")
+            .agg(p.alias("p"),
+                 F.median("l_extendedprice").alias("med"))
+            .select("l_returnflag",
+                    F.element_at("p", 1).alias("p25"),
+                    F.element_at("p", 2).alias("p50"),
+                    F.element_at("p", 3).alias("p75"),
+                    F.element_at("p", 4).alias("p99"),
+                    "med"))
+
+
+@register(
+    "d52_width_bucket_histogram",
+    oracle="""
+SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+            WHEN l_extendedprice >= 105000.0 THEN 21
+            ELSE CAST(floor((l_extendedprice - 900.0)
+                            / (105000.0 - 900.0) * 20) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("engine", "stats", "histogram"),
+)
+def d52_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the one-pass distributed histogram (groupBy
+    on the bucket id, map-side combine), SQL-standard width_bucket
+    semantics (bucket 0 below lo, n+1 above hi). The bucket id is an
+    EXPLICIT shared formula rather than each engine's width_bucket builtin:
+    DuckDB lacks the function and Spark's builtin associates the division
+    differently ((x-lo)/((hi-lo)/n)), which can flip a boundary value's
+    bucket by one ulp — the mirrored expression is ulp-identical by
+    construction. min/max per bucket double-check boundary handling."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    b = (F.when(x < 900.0, 0)
+         .when(x >= 105000.0, 21)
+         .otherwise(F.floor((x - 900.0) / (105000.0 - 900.0) * 20)
+                    .cast("bigint") + 1))
+    return (li.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(x).alias("lo"),
+                 F.max(x).alias("hi")))
+
+
+@register(
+    "d53_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "tpch", "subquery"),
+)
+def d53_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): correlated EXISTS — Catalyst
+    rewrites it to a LEFT SEMI join on l_orderkey with the correlated
+    l_shipdate > o_orderdate predicate as the join condition, so lineitem
+    is never aggregated, only probed. The date filter prunes orders before
+    the join (PushedFilters); at 100 TB the semi join shuffles only the
+    3-month order slice."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o2 = o.filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                  & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date")))
+    joined = o2.join(
+        li, (o2["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o2["o_orderdate"]), "left_semi")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register(
+    "d54_tpch_q6",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("engine", "tpch"),
+)
+def d54_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter+aggregate — every
+    predicate reaches the parquet scan (PushedFilters) and the single
+    partial-aggregated sum is the whole query. Revenue accumulates as exact
+    integer 1e-4 units (price×discount has 4 decimal places), keeping the
+    oracle order-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+    return f.agg(F.sum(rev.cast("bigint")).alias("revenue_e4"))
+
+
+@register(
+    "d31b_regression_exact",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS xp
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(xq AS DECIMAL(18,0))) AS sx,
+           sum(CAST(xp AS DECIMAL(18,0))) AS sy,
+           sum(CAST(xq AS DECIMAL(18,0)) * xq) AS sxx,
+           sum(CAST(xq AS DECIMAL(18,0)) * xp) AS sxy
+    FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / n / 100, 6) AS intercept
+FROM s
+""",
+    tags=("engine", "stats", "regression"),
+)
+def d31b_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d31's hash-exact twin: per-group closed-form OLS
+    (extendedprice ~ quantity) from EXACT decimal power sums — the same
+    distributed-regression math as the applyInPandas version, but as one
+    map-side-combinable hash aggregate (no Python workers, no per-group
+    pandas materialization) and engine-exact like d30b: integer-cent
+    inputs, DECIMAL Σx/Σy/Σxx/Σxy (order-independent), closed form in IEEE
+    double from identical inputs. Slope is scale-invariant in cents;
+    intercept converts back to dollars. At 100 TB this fits millions of
+    segment models in one shuffle — the applyInPandas path (d31) exists
+    for models WITHOUT closed forms."""
+    li = table(spark, sf_dir, "lineitem")
+    xq = F.round(F.col("l_quantity") * 100).cast("bigint")
+    xp = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    c = li.select("l_returnflag", xq.alias("xq"), xp.alias("xp"))
+    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("xq")).alias("sx"),
+        F.sum(dec("xp")).alias("sy"),
+        F.sum(dec("xq") * F.col("xq")).alias("sxx"),
+        F.sum(dec("xq") * F.col("xp")).alias("sxy"))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / 100, 6).alias("intercept"))

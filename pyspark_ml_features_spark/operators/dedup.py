@@ -298,24 +298,41 @@ def e33_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_AFFINE)])
     banded = sig.select(
         "doc_id",
+        F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig"),
         F.posexplode(F.array(*[
             F.col(f"s{2 * i}") * F.lit(2147483648) + F.col(f"s{2 * i + 1}")
             for i in range(MINHASH_BANDS)
         ])).alias("band_id", "band_val"))
-    a = banded.select(F.col("doc_id").alias("d1"), "band_id", "band_val")
-    b = banded.select(F.col("doc_id").alias("d2"), "band_id", "band_val")
-    cand = (a.join(b, ["band_id", "band_val"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2").distinct())
-    sa = sig.select(F.col("doc_id").alias("d1"),
-                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_K)])
-    sb = sig.select(F.col("doc_id").alias("d2"),
-                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_K)])
-    n_match = None
-    for i in range(MINHASH_K):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_match = term if n_match is None else n_match + term
-    return (cand.join(sa, "d1").join(sb, "d2")
+    a = banded.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"),
+                      "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"),
+                      "band_id", "band_val")
+
+    # first-matching-band filter (see first_match_only): each pair emits
+    # exactly once, so no distinct() pair-dedup shuffle and no signature
+    # re-join — the 128-byte sig array rides along and the agreement count
+    # evaluates inline on the joined row
+    def band_differs(bp: int):
+        return (
+            (F.element_at("sig1", 2 * bp + 1)
+             != F.element_at("sig2", 2 * bp + 1))
+            | (F.element_at("sig1", 2 * bp + 2)
+               != F.element_at("sig2", 2 * bp + 2)))
+
+    first = F.when(F.col("band_id") == 0, F.lit(True))
+    for bb in range(1, MINHASH_BANDS):
+        earlier_differ = F.lit(True)
+        for bp in range(bb):
+            earlier_differ = earlier_differ & band_differs(bp)
+        first = first.when(F.col("band_id") == bb, earlier_differ)
+    first = first.otherwise(F.lit(False))
+
+    n_match = F.aggregate(
+        F.zip_with("sig1", "sig2",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (a.join(b, ["band_id", "band_val"])
+            .filter((F.col("d1") < F.col("d2")) & first)
             .select("d1", "d2", n_match.alias("n_sig_match"))
             .filter(F.col("n_sig_match") >= MINHASH_MIN_MATCH)
             .select("d1", "d2", "n_sig_match",
@@ -423,6 +440,28 @@ N_BANDS = HAM_K + 1  # pigeonhole: ≤ k differing bits ⇒ ≥ 1 of k+1 bands e
 BAND_BITS = SIMHASH_BITS // N_BANDS
 
 
+def first_match_only(h1, h2, band_id, band_bits: int, n_bands: int):
+    """Predicate: this row's band is the FIRST band on which the two
+    fingerprints collide. A pair within the Hamming threshold matches on
+    1..n_bands bands and would otherwise be emitted once per matching band;
+    keeping only the first match makes each pair appear EXACTLY once — the
+    usual ``distinct()`` pair-dedup (a full shuffle of every candidate)
+    becomes a stateless bit-arithmetic filter computed from columns already
+    on the joined row."""
+    mask = (1 << band_bits) - 1
+
+    def band(h, b):
+        return F.shiftright(h, band_bits * b).bitwiseAND(F.lit(mask))
+
+    expr = F.when(band_id == 0, F.lit(True))
+    for b in range(1, n_bands):
+        earlier_differ = F.lit(True)
+        for bp in range(b):
+            earlier_differ = earlier_differ & (band(h1, bp) != band(h2, bp))
+        expr = expr.when(band_id == b, earlier_differ)
+    return expr.otherwise(F.lit(False))
+
+
 @register(
     "e2c_simhash_banded",
     oracle=f"""
@@ -474,19 +513,18 @@ def e2c_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "band_id", "band_val")
     b = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
                       "band_id", "band_val")
-    # hamming filter BEFORE the pair-dedup: hamming is a pure function of
-    # (h1, h2), so filtering first is semantics-preserving and the distinct
-    # shuffle carries only pairs that pass the threshold. At THIS 16-bit
-    # teaching geometry most band collisions pass anyway (the fixture
-    # clusters heavily), so the true fix for the quadratic pair volume is
-    # fingerprint width — see e2d, where the same plan at 64 bits is ~4×
-    # faster on 10× fewer output rows.
+    # No distinct(): the first-matching-band predicate emits each pair
+    # exactly once, turning the pair-dedup (a full shuffle of every
+    # candidate — millions at this geometry) into a stateless bit filter.
+    # The quadratic OUTPUT volume remains a property of the 16-bit
+    # teaching width — see e2d for the identical plan at 64 bits.
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (a.join(b, ["band_id", "band_val"])
-            .filter(F.col("d1") < F.col("d2"))
+            .filter((F.col("d1") < F.col("d2"))
+                    & first_match_only(F.col("h1"), F.col("h2"),
+                                       F.col("band_id"), BAND_BITS, N_BANDS))
             .select("d1", "d2", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= HAM_K)
-            .distinct())
+            .filter(F.col("hamming") <= HAM_K))
 
 
 # 64-bit SimHash — the deployment geometry DESIGN_SCALE.md describes: four
@@ -632,16 +670,18 @@ def e2d_simhash64_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("simhash").alias("h1"), "band_id", "band_val")
     b = banded.select(F.col("doc_id").alias("d2"),
                       F.col("simhash").alias("h2"), "band_id", "band_val")
-    # filter-before-distinct (see e2c): at 16-bit bands collisions are rare,
-    # so only genuine near-dups ever reach the pair-dedup shuffle — this and
-    # the single-fold affine sub-hashes took e2d from 5.1 s to 2.6 s at
-    # sf0.1, on ~10× fewer output rows than the 16-bit e2c
+    # first-matching-band filter instead of distinct() (see e2c) — this and
+    # the single-fold affine sub-hashes took e2d from 5.1 s to 2.5 s at
+    # sf0.1, on ~10× fewer output rows than the 16-bit e2c (itself
+    # 8.9 → 3.6 s from dropping its pair-dedup shuffle)
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (a.join(b, ["band_id", "band_val"])
-            .filter(F.col("d1") < F.col("d2"))
+            .filter((F.col("d1") < F.col("d2"))
+                    & first_match_only(F.col("h1"), F.col("h2"),
+                                       F.col("band_id"), BAND_BITS_64,
+                                       N_BANDS))
             .select("d1", "d2", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= HAM_K)
-            .distinct())
+            .filter(F.col("hamming") <= HAM_K))
 
 
 @register(
@@ -958,13 +998,55 @@ def e32_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     newb = banded(s.filter(F.col("doc_id") % 5 == 0), "new_id", "h1")
     corpb = banded(s.filter(F.col("doc_id") % 5 != 0), "corpus_id", "h2")
-    # hamming filter BEFORE the pair-dedup (see e2c): only true near-dup
-    # (batch, corpus) pairs reach the distinct shuffle
+    # first-matching-band filter instead of distinct() (see e2c): each
+    # (batch, corpus) pair reaches the per-doc aggregate exactly once
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (newb.join(corpb, ["band_id", "band_val"])
+            .filter(first_match_only(F.col("h1"), F.col("h2"),
+                                     F.col("band_id"), BAND_BITS, N_BANDS))
             .select("new_id", "corpus_id", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= HAM_K)
-            .distinct()
             .groupBy(F.col("new_id").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_corpus_matches"),
                  F.min("hamming").alias("min_hamming")))
+
+
+@register(
+    "e34_quality_dedup",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lower(trim(text)) AS norm_text, n_chars,
+           count(*) OVER (PARTITION BY lower(trim(text))) AS n_copies,
+           row_number() OVER (PARTITION BY lower(trim(text))
+                              ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+)
+SELECT norm_text, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM scored WHERE rk = 1
+""",
+    tags=("north-star", "E1", "dedup", "quality"),
+)
+def e34_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: among exact duplicates keep the BEST copy
+    (longest, ties to lowest doc_id) — production pipelines keep the
+    highest-quality version of a duplicated page, not an arbitrary one
+    (e1 keeps min doc_id). One hash aggregate via the struct-max trick:
+    max(struct(n_chars, -doc_id)) picks argmax with the tie-break in a
+    single map-side-combinable pass — no window, no second shuffle. The
+    oracle states the same semantics as a window rank, proving the
+    aggregate ≡ rank formulation.
+
+    100 TB: identical shuffle shape to e1 (one groupBy on the text key —
+    or its 8-byte fingerprint to avoid shuffling text); the struct payload
+    adds 16 bytes/row over e1."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))
+    return (d.groupBy(norm.alias("norm_text"))
+            .agg(best.alias("best"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("norm_text",
+                    (-F.col("best.neg")).alias("kept_doc_id"),
+                    F.col("best.n_chars").alias("kept_n_chars"),
+                    "n_copies"))

@@ -294,3 +294,15 @@ def s7_python_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("s6_streaming_materialized_rollup",
+          tags=("north-star", "E10", "streaming", "incremental"))
+def s6_streaming_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained hourly rollup via foreachBatch merge (e19's
+    batch logic driven by the streaming engine, availableNow). Rows-only:
+    the merged target must equal the one-shot recompute — asserted in
+    tests/test_streaming.py, along with replay idempotency of the
+    batch-id ledger under at-least-once redelivery."""
+    target = tempfile.mkdtemp(prefix="pmfs_s6_rollup_")
+    return run_streaming_materialized_rollup(spark, sf_dir, target)

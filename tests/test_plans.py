@@ -251,3 +251,57 @@ def test_bucketed_join_is_exchange_free(spark):
     assert len(exchange_lines) == 1, "exactly one Exchange (the groupBy's)"
     assert exchange_lines[0] < join_line, (
         "bucketed join must not exchange either side")
+
+
+# Queries allowed to plan a BroadcastNestedLoopJoin, and why. A BNLJ with a
+# broadcast SINGLE-ROW side (scalar aggregate cross join) is scale-safe —
+# it is how engines attach global stats to every row; the sampled
+# ground-truth queries are quadratic BY DESIGN on bounded samples.
+BNLJ_ALLOWED = {
+    "d13b_fuzzy_match",      # bounded inequality self-join (documented)
+    "d26_range_join_bands",  # range join: inequality condition, tiny bands side
+    "d39_heavy_hitters",     # single-row threshold aggregate cross join
+    "d46_kmv_setops",        # single-row sketch-union cross join
+    "e2b_simhash_near_dup",  # exact-Hamming ground truth, 20% sample
+    "e4_knn_cosine",         # broadcast query set x corpus (corpus never shuffles)
+    "e4c_embedding_near_dup",  # sampled all-pairs ground truth
+    "e8_tfidf_topterms",     # single-row n_docs aggregate cross join
+    "b7_feature_union",      # single-row global-stats cross join
+    "t9_lm_quality",         # single-row corpus-stats cross join
+    "t10_perplexity",        # single-row corpus-stats cross join
+}
+# Row-at-a-time Python: exactly the two deliberate demonstrations.
+ROW_PYTHON_ALLOWED = {"d22_row_udf", "d27_python_udtf"}
+# Arrow-batched Python (pandas UDF / applyInPandas / mapInPandas): the
+# documented Python-boundary operators (multimodal decode, grouped fits,
+# sketches) — everything else must stay JVM-side.
+ARROW_ALLOWED = {
+    "d20_pandas_udf_revenue", "d21_apply_in_pandas_minmax",
+    "d31_per_group_regression", "d39_heavy_hitters",
+    "e12_binary_features", "e13_image_features_stub",
+    "e13b_image_header_parse", "e29_audio_features",
+    "e30_video_frame_sample",
+}
+
+
+def test_registry_wide_scale_safety(spark):
+    """Every declared query: no CartesianProduct ever; BNLJ / row-Python /
+    Arrow-Python only where allowlisted above. New queries are born clean
+    or must justify themselves here — the ratchet that keeps the 100 TB
+    posture from regressing one query at a time. Runs at sf0.001 (plans
+    don't depend on scale; eager ML fits stay cheap)."""
+    from pyspark_ml_features_spark.plans.audit import audit
+    from tests.conftest import SMOKE_SF_DIR
+
+    violations = []
+    for name, q in ALL.items():
+        a = audit(q.fn(spark, SMOKE_SF_DIR))
+        if a.cartesian_products:
+            violations.append(f"{name}: CartesianProduct")
+        if a.nested_loop_joins and name not in BNLJ_ALLOWED:
+            violations.append(f"{name}: BroadcastNestedLoopJoin (justify or fix)")
+        if a.python_row_udfs and name not in ROW_PYTHON_ALLOWED:
+            violations.append(f"{name}: row-at-a-time Python UDF")
+        if a.arrow_python_nodes and name not in ARROW_ALLOWED:
+            violations.append(f"{name}: unexpected Python boundary")
+    assert not violations, "\n".join(violations)

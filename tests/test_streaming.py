@@ -157,3 +157,18 @@ def test_rocksdb_state_store_equals_default(spark):
     finally:
         spark.conf.unset(key)
     assert_frames_match(got, baseline, "rocksdb_vs_default_state_store")
+
+
+def test_streaming_rollup_merge_is_idempotent_under_replay(spark, tmp_path):
+    """ADVICE r2: foreachBatch is at-least-once, so replayed micro-batches
+    must NOT double-count. Re-driving the whole stream at the SAME target
+    (fresh checkpoint -> batch ids replay from 0) is exactly the redelivery
+    case: the batch-id ledger must skip every already-merged batch and leave
+    the rollup byte-identical."""
+    from pyspark_ml_features_spark.streaming.events import (
+        run_streaming_materialized_rollup)
+
+    target = str(tmp_path / "rollup")
+    first = run_streaming_materialized_rollup(spark, SF_DIR, target).toPandas()
+    replay = run_streaming_materialized_rollup(spark, SF_DIR, target).toPandas()
+    assert_frames_match(replay, first, "rollup_replay_idempotency")
