@@ -623,3 +623,120 @@ def d31b_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n / 100, 6).alias("intercept"))
+
+
+@register(
+    "d55_tpch_q19",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    tags=("engine", "tpch"),
+)
+def d55_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs condition spanning BOTH join sides. The per-side conjuncts
+    Catalyst can derive (p_brand IN (...), l_quantity ranges) push below
+    the join as scan filters; the cross-side residual evaluates post-join.
+    At 100 TB this is the canonical test that disjunctions don't force a
+    full-table join — the brand/size filter shrinks part to a broadcastable
+    side. Revenue sums as exact integer cents."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(p, p["p_partkey"] == li["l_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30)))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return j.filter(cond).agg(
+        F.sum(rev.cast("bigint")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register(
+    "d56_tpch_q22",
+    oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS ab FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17)
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_cents
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 5, 9, 13, 17)
+  AND c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+    tags=("engine", "tpch", "anti-join"),
+)
+def d56_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-average subquery
+    (broadcast single row) + NOT EXISTS anti join against orders — wealthy
+    customers in target nations who never ordered. The anti join probes on
+    o_custkey only (column-pruned scan); the average broadcasts; balances
+    aggregate as exact integer cents. Nation-key membership stands in for
+    the spec's phone-prefix predicate (fixture has no phone column)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    nations = [1, 5, 9, 13, 17]
+    sel = c.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = (sel.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (sel.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(o, sel["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                  .alias("totacctbal_cents")))
+
+
+@register(
+    "d57_tpch_q14",
+    oracle="""
+SELECT round(
+    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) ELSE 0 END) AS DOUBLE)
+    / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+""",
+    tags=("engine", "tpch"),
+)
+def d57_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): month-sliced lineitem ⋈ part,
+    conditional revenue share. Both revenue sums accumulate as exact
+    integer cents (order-independent), the final ratio is one double
+    division from identical inputs — bit-exact across engines. The month
+    predicate pushes to the lineitem scan; part broadcasts."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    p = table(spark, sf_dir, "part")
+    j = li.join(p, p["p_partkey"] == li["l_partkey"])
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) \
+        .cast("bigint")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    total = F.sum(rev)
+    return j.agg(F.round(
+        100.0 * promo.cast("double") / total.cast("double"), 6)
+        .alias("promo_revenue_pct"))

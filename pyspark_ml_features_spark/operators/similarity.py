@@ -269,3 +269,79 @@ def e4d_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))
+
+
+_MAX_ABS_DUCK = ("list_reduce(list_prepend(0.0::DOUBLE, "
+                 "list_transform(embedding::DOUBLE[], x -> abs(x))), "
+                 "(acc, x) -> greatest(acc, x))")
+
+_Q8_KNN_ORACLE = f"""
+WITH m AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb, {_MAX_ABS_DUCK} AS ma
+    FROM embeddings
+), z AS (
+    SELECT vec_id,
+           list_transform(emb, x -> round(x * 127.0 / ma)) AS q8
+    FROM m
+), n AS (
+    SELECT vec_id, q8, {duckdb_norm('q8', DIM)} AS nrm FROM z
+), q AS (
+    SELECT vec_id AS query_id, q8 AS qq8, nrm AS qnrm FROM n
+    WHERE vec_id % 50 = 0
+), pairs AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round({duckdb_dot('q.qq8', 'n.q8', DIM)} / (q.qnrm * n.nrm), 6)
+               AS cosine_q8
+    FROM q, n
+    WHERE q.query_id <> n.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine_q8,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_q8 DESC, neighbor_id ASC) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_q8 FROM ranked WHERE rn <= 5
+"""
+
+
+@register("e4e_int8_knn", oracle=_Q8_KNN_ORACLE,
+          tags=("north-star", "E4", "similarity", "quantization"))
+def e4e_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors over int8-QUANTIZED embeddings (e15's
+    symmetric per-vector quantization feeding e4's broadcast top-k): the
+    memory-bound retrieval configuration — 8× smaller vectors, integer
+    dot products (|q| ≤ 127, 64 dims → Σ ≤ 2^20, exact in double), cosine
+    from the quantized vectors themselves. Deterministic end to end, so
+    the whole quantized pipeline carries an exact oracle; recall@5 vs the
+    float path (e4) is pinned in tests/test_invariants.py — the accuracy
+    cost of the 8× compression is a measured, regression-guarded number.
+
+    100 TB: same plan as e4 (query side broadcast, corpus never shuffles)
+    but the corpus scan reads 64 B/vector instead of 512 B — at this scan-
+    bound regime the compression IS the speedup; at billion-vector scale
+    compose with e4b's bucketing (quantize within buckets)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    ma = F.aggregate(F.transform(F.col("emb"), lambda x: F.abs(x)),
+                     F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    # two-step selects: materialize ma, then q8, then its norm, so no fold
+    # re-evaluates downstream (the e5 Generate lesson applies to joins too)
+    z = (e.withColumn("ma", ma)
+         .select("vec_id", F.transform(
+             F.col("emb"),
+             lambda x: F.round(x * 127.0 / F.col("ma"))).alias("q8")))
+    n = z.select("vec_id", "q8", l2_norm(F.col("q8")).alias("nrm"))
+    q = (n.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("q8").alias("qq8"), F.col("nrm").alias("qnrm")))
+    pairs = (n.crossJoin(F.broadcast(q))
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(adot(F.col("qq8"), F.col("q8"))
+                             / (F.col("qnrm") * F.col("nrm")), 6)
+                      .alias("cosine_q8")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q8"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id", "cosine_q8"))

@@ -501,3 +501,19 @@ def test_minhash_exact_estimates_and_recall(run, spark):
     assert high <= set(found), f"missed high-J pairs: {sorted(high - set(found))[:5]}"
     errs = [abs(est - exact.get(p, 0.0)) for p, est in found.items()]
     assert max(errs) <= 0.40, f"estimate error {max(errs)} beyond K=16 envelope"
+
+
+def test_int8_knn_recall_vs_float(run):
+    """e4e (int8-quantized retrieval) must track the float path: observed
+    recall@5 vs e4 is 1.0 on this fixture; pin >= 0.9 mean / >= 0.8 min so
+    a quantization bug (wrong scale, asymmetric rounding, clipped dims)
+    fails loudly while testdata regeneration noise doesn't."""
+    exact, quant = {}, {}
+    for r in run("e4_knn_cosine").collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in run("e4e_int8_knn").collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(exact) == set(quant)
+    recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
+    assert min(recalls) >= 0.8, f"min recall@5 {min(recalls)}"
+    assert sum(recalls) / len(recalls) >= 0.9

@@ -264,9 +264,11 @@ BNLJ_ALLOWED = {
     "d46_kmv_setops",        # single-row sketch-union cross join
     "e2b_simhash_near_dup",  # exact-Hamming ground truth, 20% sample
     "e4_knn_cosine",         # broadcast query set x corpus (corpus never shuffles)
+    "e4e_int8_knn",          # same broadcast query-set shape over int8 vectors
     "e4c_embedding_near_dup",  # sampled all-pairs ground truth
     "e8_tfidf_topterms",     # single-row n_docs aggregate cross join
     "b7_feature_union",      # single-row global-stats cross join
+    "d56_tpch_q22",          # single-row scalar-average cross join (Q22 shape)
     "t9_lm_quality",         # single-row corpus-stats cross join
     "t10_perplexity",        # single-row corpus-stats cross join
 }

@@ -31,6 +31,10 @@ DEFERRED_ORACLES: set[str] = {
     "d54_tpch_q6",
     "e34_quality_dedup",
     "d31b_regression_exact",
+    "d55_tpch_q19",
+    "d56_tpch_q22",
+    "d57_tpch_q14",
+    "e4e_int8_knn",
 }
 
 
