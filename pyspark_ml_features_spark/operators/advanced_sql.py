@@ -740,3 +740,44 @@ def d57_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(F.round(
         100.0 * promo.cast("double") / total.cast("double"), 6)
         .alias("promo_revenue_pct"))
+
+
+@register(
+    "d58_market_share",
+    oracle="""
+SELECT year(o_orderdate) AS o_year,
+       round(
+           CAST(sum(CASE WHEN n_name = 'NATION_3'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+    tags=("engine", "tpch", "share"),
+)
+def d58_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    yearly revenue — conditional-sum / total-sum per year over the
+    customer⋈orders⋈lineitem⋈nation chain. Both sums accumulate as exact
+    integer cents in ONE aggregate pass (no second join or self-union for
+    the denominator); nation broadcasts. The final per-year division is
+    one double op from identical inputs — bit-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) \
+        .cast("bigint")
+    nat = F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0)))
+    tot = F.sum(rev)
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(nat.cast("double") / tot.cast("double"), 6)
+                 .alias("mkt_share")))

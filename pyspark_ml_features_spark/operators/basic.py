@@ -309,3 +309,41 @@ def a14_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                   .alias("sum_price_cents")))
+
+
+@register(
+    "a15_csv_sink_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("engine", "source", "csv", "sink"),
+)
+def a15_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip, proven LOSSLESS: lineitem's numeric
+    columns write to CSV and read back with an explicit schema, and the
+    aggregate over the round-tripped data must hash-match the oracle
+    computed from the ORIGINAL parquet — doubles survive because Spark
+    writes shortest-round-trip representations (Java Double.toString) and
+    the reader parses them back to the identical bits. Explicit schema on
+    read: inference costs a full pre-scan and can narrow types."""
+    out = os.path.join(tempfile.gettempdir(), "pmfs_lineitem_csv")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "l_orderkey bigint, l_returnflag string, "
+        "l_quantity double, l_extendedprice double"
+    ).option("header", True).csv(out)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents"),
+                 F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                  .alias("sum_qty_cents")))

@@ -1050,3 +1050,50 @@ def e34_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (-F.col("best.neg")).alias("kept_doc_id"),
                     F.col("best.n_chars").alias("kept_n_chars"),
                     "n_copies"))
+
+
+@register(
+    "e35_near_dup_by_source",
+    oracle=f"""
+WITH sh AS ({_duckdb_simhash64()}),
+banded AS (
+    SELECT doc_id, simhash, b AS band_id,
+           (simhash >> ({BAND_BITS_64} * b)) & 65535 AS band_val
+    FROM sh, unnest(range(0, {N_BANDS})) AS t(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_K}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = d1
+JOIN documents db ON db.doc_id = d2
+GROUP BY 1, 2
+""",
+    tags=("north-star", "E2", "dedup", "reporting"),
+)
+def e35_near_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination REPORT: e2d's banded 64-bit pipeline
+    rolled up by (source, source) pair — the question a curation team
+    actually asks ('how much does crawl A duplicate crawl B?'). The pair
+    stream joins the documents dimension twice on doc_id and aggregates;
+    source pairs are order-normalized (least/greatest) so (A,B) and (B,A)
+    count together. At 100 TB the doc_id→source lookup is a broadcast (or
+    bucketed) dimension join against the near-dup pair stream, which is
+    already ∝ true duplicates — the report costs a rounding error on top
+    of the dedup itself."""
+    d = table(spark, sf_dir, "documents")
+    pairs = e2d_simhash64_banded(spark, sf_dir).select("d1", "d2")
+    da = d.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return (pairs.join(F.broadcast(da), "d1").join(F.broadcast(db), "d2")
+            .select(F.least("sa", "sb").alias("source_a"),
+                    F.greatest("sa", "sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -307,3 +307,29 @@ def test_registry_wide_scale_safety(spark):
         if a.arrow_python_nodes and name not in ARROW_ALLOWED:
             violations.append(f"{name}: unexpected Python boundary")
     assert not violations, "\n".join(violations)
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    """d53: the correlated EXISTS must plan as a left semi join — lineitem
+    probed, never aggregated — with the date slice pushed to the orders
+    scan."""
+    plan = _plan(spark, "d53_tpch_q4")
+    flat = plan.replace("\n", " ")
+    assert "LeftSemi" in plan
+    assert "1995-01-01" in flat, "date predicate must reach the orders scan"
+
+
+def test_tpch_q19_disjunction_derives_scan_filters(spark):
+    """d55: from the OR-of-ANDs join condition Catalyst must derive
+    per-side conjuncts and push them into the scans (brand IN-set on part,
+    quantity range on lineitem) — disjunctions must not force a full-table
+    join."""
+    plan = _plan(spark, "d55_tpch_q19")
+    flat = plan.replace("\n", " ")
+    import re
+    part_scan = [ln for ln in plan.splitlines()
+                 if "PushedFilters" in ln and "p_brand" in ln]
+    li_scan = [ln for ln in plan.splitlines()
+               if "PushedFilters" in ln and "l_quantity" in ln]
+    assert part_scan, "brand disjunction must push to the part scan"
+    assert li_scan, "quantity bounds must push to the lineitem scan"
