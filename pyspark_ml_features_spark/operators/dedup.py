@@ -8,9 +8,13 @@ Scale design (100 TB):
  - exact pairwise Jaccard is O(n²) and only ever runs on a candidate subset;
    the declared oracle queries bound it with an inverted-index join (pairs
    only materialize for docs sharing a token) over a deterministic sample;
- - the scale path is MinHash-LSH (`e2_minhash_near_dedup`): shingles →
-   MinHash signatures → banded bucket join — candidate pairs ∝ true
-   near-duplicates, not n². LSH is seeded but engine-specific → rows-only.
+ - the scale path is banded LSH: shingles/fingerprints → signatures →
+   banded bucket join — candidate pairs ∝ true near-duplicates, not n².
+   Three hash-verifiable variants run the full corpus: e2c (16-bit SimHash,
+   teaching geometry), e2d (64-bit SimHash, deployment geometry), e33
+   (engine-exact MinHash); MLlib's MinHashLSH (e2) is kept for API parity
+   (engine-specific signatures → rows-only). All banded joins emit each
+   pair once via `first_match_only` — no pair-dedup shuffle.
 """
 
 from __future__ import annotations
