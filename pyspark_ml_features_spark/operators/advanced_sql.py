@@ -211,12 +211,13 @@ def d43_tpch_q5_local_supplier_volume(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): six-table join where the
     customer's and supplier's nations must MATCH — the classic cyclic join
-    graph that stresses join ordering. Region/nation/supplier/customer are
-    dimension-sized → broadcast; the year predicate pushes to the orders
-    scan; only orders⋈lineitem is a genuine shuffle join, which AQE can
-    re-plan from runtime stats. The c_nationkey = s_nationkey equi-term
-    rides the lineitem join as a post-condition instead of forcing a
-    second fact shuffle."""
+    graph that stresses join ordering. Region (5 rows) and nation (25) are
+    FIXED-cardinality → broadcast hints; customer/supplier scale with the
+    data, so their strategy is AQE's runtime-size decision (broadcast at
+    test SF, shuffle join at warehouse scale). The year predicate pushes
+    to the orders scan. The c_nationkey = s_nationkey equi-term rides the
+    lineitem join as a post-condition instead of forcing a second fact
+    shuffle."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = (table(spark, sf_dir, "orders")
          .filter((F.col("o_orderdate")
@@ -231,9 +232,13 @@ def d43_tpch_q5_local_supplier_volume(spark: SparkSession,
         "n_nationkey", "n_regionkey", "n_name")
     r = (table(spark, sf_dir, "region")
          .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # broadcast HINTS only on fixed-cardinality dims (region 5, nation
+    # 25); customer/supplier scale WITH the data, so their join strategy is
+    # AQE's runtime-size call (the e8-vocab lesson: a hint pins driver
+    # memory at any scale)
+    return (o.join(c, o.o_custkey == c.c_custkey)
             .join(li, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(s),
+            .join(s,
                   (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -299,9 +304,10 @@ def d45_tpch_q7_volume_shipping(spark: SparkSession,
           .select("l_orderkey", "l_suppkey", "l_shipdate",
                   "l_extendedprice", "l_discount"))
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    # supplier/customer scale with SF — no broadcast hints (see d43)
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
             .join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .filter(F.col("supp_nation") != F.col("cust_nation"))
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("bigint").alias("l_year"))
@@ -352,8 +358,10 @@ def d47_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(big),
                F.col("o_orderkey") == big.l_orderkey, "left_semi"))
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+    # qualifying-order and customer sides scale with SF — strategy is
+    # AQE's call (only `big`, the ~0.1% qualifying-key set, keeps a hint)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, F.col("o_custkey") == c.c_custkey)
             .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                      "o_totalprice")
             .agg(F.sum("l_quantity").alias("total_qty"))

@@ -1091,12 +1091,15 @@ def e35_near_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     count together. At 100 TB the doc_id→source lookup is a broadcast (or
     bucketed) dimension join against the near-dup pair stream, which is
     already ∝ true duplicates — the report costs a rounding error on top
-    of the dedup itself."""
+    of the dedup itself. No broadcast HINT on the doc_id→source lookup:
+    its cardinality is the corpus (the e8-vocab lesson from VERDICT r2 —
+    a hint pins driver memory at any scale); AQE broadcasts it at small SF
+    from the runtime size and falls back to a shuffle join beyond."""
     d = table(spark, sf_dir, "documents")
     pairs = e2d_simhash64_banded(spark, sf_dir).select("d1", "d2")
     da = d.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
     db = d.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
-    return (pairs.join(F.broadcast(da), "d1").join(F.broadcast(db), "d2")
+    return (pairs.join(da, "d1").join(db, "d2")
             .select(F.least("sa", "sb").alias("source_a"),
                     F.greatest("sa", "sb").alias("source_b"))
             .groupBy("source_a", "source_b")

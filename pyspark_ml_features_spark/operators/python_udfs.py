@@ -165,3 +165,55 @@ def d32_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", fractions={"A": 0.1, "N": 0.5, "R": 0.1}, seed=42)
     return sampled.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "d59_map_in_arrow",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("engine", "udf", "arrow"),
+)
+def d59_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python boundary (raw Arrow
+    RecordBatches, no pandas materialization), completing the UDF spectrum
+    alongside d22 (row UDF anti-baseline), d20 (scalar pandas UDF), d21/d31
+    (applyInPandas), d27 (UDTF), and the mapInPandas multimodal family.
+    Per-row revenue cents compute in pyarrow.compute with the EXACT same
+    op order as the oracle's ``round(price * (1 - disc) * 100)`` (identical
+    IEEE doubles → identical ties; round_mode half-towards-infinity ==
+    engines' half-away-from-zero on positive values); the aggregation stays
+    JVM-side AFTER the Python boundary, so the shuffle is Spark's own.
+
+    100 TB: Arrow batches stream through Python with zero-copy columnar
+    access — the right boundary when vectorized pyarrow kernels (or any
+    Arrow-native library) can express the transform."""
+    import pyarrow as pa
+
+    def rev_batches(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            rev = pc.round(
+                pc.multiply(
+                    pc.multiply(batch.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0),
+                                            batch.column("l_discount"))),
+                    pa.scalar(100.0)),
+                0, round_mode="half_towards_infinity")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"),
+                 pc.cast(rev, pa.int64())],
+                ["l_returnflag", "rev_cents"])
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount")
+    mapped = li.mapInArrow(rev_batches, "l_returnflag string, rev_cents long")
+    return (mapped.groupBy("l_returnflag")
+            .agg(F.sum("rev_cents").alias("rev_cents"),
+                 F.count(F.lit(1)).alias("n")))

@@ -49,7 +49,8 @@ def audit(df: DataFrame) -> PlanAudit:
         python_row_udfs=plan.count("BatchEvalPython"),
         arrow_python_nodes=(plan.count("ArrowEvalPython")
                             + plan.count("FlatMapGroupsInPandas")
-                            + plan.count("MapInPandas")),
+                            + plan.count("MapInPandas")
+                            + plan.count("MapInArrow")),
         take_ordered=plan.count("TakeOrderedAndProject"),
         window_group_limits=plan.count("WindowGroupLimit"),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),

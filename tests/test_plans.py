@@ -283,6 +283,7 @@ ARROW_ALLOWED = {
     "e12_binary_features", "e13_image_features_stub",
     "e13b_image_header_parse", "e29_audio_features",
     "e30_video_frame_sample",
+    "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
 }
 
 

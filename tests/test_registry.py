@@ -38,6 +38,7 @@ DEFERRED_ORACLES: set[str] = {
     "a15_csv_sink_roundtrip",
     "d58_market_share",
     "e35_near_dup_by_source",
+    "d59_map_in_arrow",
 }
 
 
