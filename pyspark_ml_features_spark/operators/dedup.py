@@ -1104,3 +1104,48 @@ def e35_near_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest("sa", "sb").alias("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@register(
+    "e36_fingerprint_dedup",
+    oracle=f"""
+WITH n AS (
+    SELECT doc_id, lower(trim(text)) AS nt FROM documents
+), h AS (
+    SELECT doc_id,
+           {{h1}} AS fp,
+           {{h2}} AS fp2
+    FROM n
+)
+SELECT fp,
+       min(doc_id) AS kept_doc_id,
+       count(*) AS n_copies,
+       count(DISTINCT fp2) AS n_distinct_fp2
+FROM h GROUP BY fp
+""".format(
+        h1="list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(nt) + 1), i -> ascii(substr(nt, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 2147483647)",
+        h2="list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(nt) + 1), i -> ascii(substr(nt, i, 1))::BIGINT)), (acc, c) -> (acc * 37 + c) % 2147483647)",
+    ),
+    tags=("north-star", "E1", "dedup", "fingerprint"),
+)
+def e36_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the 8-byte FINGERPRINT instead of the text —
+    the shape e1's scale note promises: the shuffle carries (hash, doc_id)
+    pairs, never document bodies, so shuffle volume is rows × 16 bytes
+    regardless of document length. Collision safety is explicit: a second
+    independent rolling hash (base 37) rides along and
+    ``n_distinct_fp2 > 1`` marks a primary-hash collision (probability
+    ~n²/2^62 for the pair to collide in BOTH); production pipelines route
+    flagged groups to a text-compare fallback. Oracle mirrors both hash
+    folds, so the whole collision-detection machinery is hash-verified."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+
+    d = table(spark, sf_dir, "documents")
+    nt = F.lower(F.trim(F.col("text")))
+    h = d.select("doc_id",
+                 rolling_hash(nt).alias("fp"),
+                 rolling_hash(nt, base=37).alias("fp2"))
+    return (h.groupBy("fp")
+            .agg(F.min("doc_id").alias("kept_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.count_distinct("fp2").alias("n_distinct_fp2")))

@@ -517,3 +517,16 @@ def test_int8_knn_recall_vs_float(run):
     recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
     assert min(recalls) >= 0.8, f"min recall@5 {min(recalls)}"
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_fingerprint_dedup_equals_text_dedup(run):
+    """e36 (8-byte fingerprint key) must reproduce e1 (full-text key)
+    exactly when no hash collisions occur — same (kept_doc_id, n_copies)
+    multiset — and the double-hash collision detector must report zero
+    collisions on the fixture (n_distinct_fp2 == 1 everywhere)."""
+    by_text = {(r["kept_doc_id"], r["n_copies"])
+               for r in run("e1_exact_dedup").collect()}
+    fp_rows = run("e36_fingerprint_dedup").collect()
+    by_fp = {(r["kept_doc_id"], r["n_copies"]) for r in fp_rows}
+    assert by_fp == by_text
+    assert all(r["n_distinct_fp2"] == 1 for r in fp_rows)

@@ -39,6 +39,7 @@ DEFERRED_ORACLES: set[str] = {
     "d58_market_share",
     "e35_near_dup_by_source",
     "d59_map_in_arrow",
+    "e36_fingerprint_dedup",
 }
 
 
