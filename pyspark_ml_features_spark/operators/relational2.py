@@ -763,3 +763,34 @@ def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                   .alias("sum_price_cents")))
+
+
+@register(
+    "d60_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_discount,
+       TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+       CASE WHEN l_linenumber - 1 >= 1
+            THEN l_linenumber - 1 ELSE NULL END AS prev_line
+FROM lineitem
+""",
+    tags=("engine", "null-safety"),
+)
+def d60_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: the try_* family returns NULL instead of
+    raising — division by zero (try_divide ≡ x / NULLIF(y, 0)), bad casts
+    (try_cast on a non-numeric string), and guarded index math. At 100 TB
+    this is the difference between one malformed row killing a 6-hour job
+    and a NULL the quality gates count (observe() totals in
+    functions/quality.py); the oracle pins the NULL semantics against
+    DuckDB's equivalents so the failure contract itself is verified."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0)))
+         .alias("price_per_discount"),
+        F.try_to_number("l_returnflag", F.lit("999"))
+         .cast("bigint").alias("flag_as_int"),
+        F.when(F.col("l_linenumber") - 1 >= 1, F.col("l_linenumber") - 1)
+         .alias("prev_line"))

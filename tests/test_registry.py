@@ -40,6 +40,7 @@ DEFERRED_ORACLES: set[str] = {
     "e35_near_dup_by_source",
     "d59_map_in_arrow",
     "e36_fingerprint_dedup",
+    "d60_try_arithmetic",
 }
 
 
