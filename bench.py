@@ -58,6 +58,10 @@ HEADLINE = [
     "d49_interpolate_gaps",
     "d30b_moment_stats_decimal",
     "e33_minhash_banded_exact",
+    "e34_quality_dedup",
+    "e36_fingerprint_dedup",
+    "e4e_int8_knn",
+    "d59_map_in_arrow",
 ]
 
 
