@@ -62,6 +62,11 @@ HEADLINE = [
     "e36_fingerprint_dedup",
     "e4e_int8_knn",
     "d59_map_in_arrow",
+    # late-r3 additions: the remaining expressible TPC-H shapes
+    "d61_tpch_q13",
+    "d62_tpch_q15",
+    "d63_tpch_q17",
+    "d64_tpch_q9",
 ]
 
 

@@ -789,3 +789,262 @@ def d58_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
             .agg(F.round(nat.cast("double") / tot.cast("double"), 6)
                  .alias("mkt_share")))
+
+
+@register(
+    "d61_tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""",
+    tags=("engine", "tpch", "outer-join"),
+)
+def d61_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate INSIDE the join condition — customers whose only
+    orders are urgent must still appear with c_count = 0, so the filter
+    cannot be pushed below the join as a WHERE (that would drop them).
+    count(o_orderkey) counts only matched rows (COUNT ignores the NULLs an
+    outer join manufactures), then a second aggregation folds customers
+    into a distribution. Both aggregates are exact integers.
+
+    100 TB shape: one shuffle for the outer join (both sides scale — no
+    broadcast; AQE picks the strategy), one map-side-combinable count per
+    customer, then a tiny distribution aggregate (|distinct counts| rows).
+    The reference filter is o_comment NOT LIKE in spec Q13; the priority
+    predicate keeps the identical plan shape on this schema."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    j = c.join(o, (c["c_custkey"] == o["o_custkey"])
+               & (o["o_orderpriority"] != "1-URGENT"), "left_outer")
+    per_cust = (j.groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "d62_tpch_q15",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+""",
+    tags=("engine", "tpch", "scalar-subquery"),
+)
+def d62_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) hitting the global maximum. The scalar subquery
+    decorrelates to a 1-row max aggregate broadcast back onto the revenue
+    relation — NOT a global-sort or single-partition window, which would
+    funnel every supplier through one task at scale. Revenue accumulates
+    as exact integer cents so the max comparison (and the hash) is exact.
+
+    100 TB shape: the quarter predicate pushes to the lineitem scan, the
+    per-supplier aggregate is map-side combinable, the revenue relation is
+    |suppliers| rows, and the only extra exchange for the max is a 1-row
+    broadcast. Ties surface every argmax supplier (same as spec Q15)."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(cents).alias("total_revenue_cents")))
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(mx),
+                     rev["total_revenue_cents"] == mx["mx"])
+            .join(s, rev["supplier_no"] == s["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue_cents"))
+
+
+@register(
+    "d63_tpch_q17",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS small_qty_revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 10
+  AND l_quantity < (SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    tags=("engine", "tpch", "correlated-subquery"),
+)
+def d63_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from line
+    items whose quantity is below 20% of the PER-PART average — a
+    correlated scalar subquery over the same fact table. Decorrelated the
+    way Catalyst (and every warehouse) does: pre-aggregate avg quantity
+    per partkey once, join it back, filter. l_quantity is integer-valued,
+    so sum/count (and hence the average and the 0.2× threshold) are exact
+    and order-independent in both engines; revenue hashes as exact cents.
+
+    100 TB shape: the per-part aggregate is one map-side-combinable pass
+    over lineitem (partkey cardinality ≪ fact rows), the back-join is on
+    the same key as the part join so one shuffle serves both, and the
+    p_size predicate prunes the part side before the join. The spec's
+    avg(l_quantity) is written as sum/count in BOTH engines: DuckDB's
+    avg() uses a different summation path, and the explicit quotient of
+    two exact values is the bit-reproducible form."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    per_part = (li.groupBy("l_partkey")
+                .agg((F.sum("l_quantity") / F.count(F.lit(1)))
+                     .alias("avg_qty"))
+                .withColumnRenamed("l_partkey", "pp_partkey"))
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_size") <= 10).select("p_partkey"))
+    j = (li.join(p, li["l_partkey"] == p["p_partkey"])
+         .join(per_part, li["l_partkey"] == F.col("pp_partkey")))
+    small = j.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+         .alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register(
+    "d64_tpch_q9",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%r%'
+GROUP BY 1, 2
+""",
+    tags=("engine", "tpch", "star-join"),
+)
+def d64_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the widest
+    star join in the suite — lineitem at the center, part / supplier /
+    orders / nation radiating off three different fact keys, grouped by
+    supplier nation × order year. The spec's profit subtracts
+    ps_supplycost; this schema has no partsupp table, so profit is the
+    discounted revenue term — the join graph and aggregation shape (what
+    Q9 exists to stress) are identical. Exact integer cents.
+
+    100 TB shape: the p_name LIKE predicate prunes the part side BEFORE
+    its join (Catalyst pushes it to the scan), nation (25 rows, fixed)
+    broadcasts, and part/supplier/orders scale with the data so their
+    strategies are AQE's runtime-size decisions. Grouping output is
+    |nations| × |years| — tiny; all three fact-side joins shuffle on
+    different keys, which is inherent to Q9 and why it is the classic
+    join-ordering benchmark."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%r%")).select("p_partkey"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(cents).alias("sum_profit_cents")))
+
+
+@register(
+    "d65_lateral_topk",
+    oracle="""
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+""",
+    tags=("engine", "lateral", "topk"),
+)
+def d65_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT (Spark 4 SQL): each
+    customer's top-2 orders by price, written the way an analyst writes
+    it. Catalyst DECORRELATES the lateral into a per-key window/limit —
+    the same physical shape as d10's explicit rank-filter — so the
+    declarative form costs nothing over the hand-written one (inner
+    customers, i.e. those with no orders, are dropped by both engines;
+    the (price, orderkey) tie-break makes the top-2 deterministic).
+
+    100 TB shape: after decorrelation this is one shuffle on the
+    correlation key with a bounded per-group sort — never a per-customer
+    re-scan of orders, which is what the naive reading of LATERAL
+    implies and why engines must rewrite it."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("pmfs_lat_customer")
+    o.createOrReplaceTempView("pmfs_lat_orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM pmfs_lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM pmfs_lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    """)
+
+
+@register(
+    "d66_scd2_history",
+    oracle="""
+WITH seg AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS version
+    FROM events)
+SELECT user_id, event_type, valid_from, valid_to, version,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM seg
+""",
+    tags=("engine", "scd2", "D9"),
+)
+def d66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build: a change log
+    (events as attribute changes per user) becomes versioned rows with
+    [valid_from, valid_to) intervals — valid_to is the NEXT change's
+    timestamp, NULL marks the current row. One window (lead +
+    row_number share the same partition/order spec, so Spark plans a
+    single Window node and one shuffle+sort) — the standard warehouse
+    pattern for point-in-time joins and the batch twin of streaming
+    upserts. All columns are exact (timestamps, integers).
+
+    100 TB shape: one shuffle on user_id; with the events table bucketed
+    and sorted by (user_id, ts) the sort collapses into a merge of
+    pre-sorted runs. No self-join against history — the lead() form is
+    O(n) where the naive "next change per row" subquery is O(n²)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version")).withColumn(
+        "is_current", F.col("valid_to").isNull().cast("int"))

@@ -245,7 +245,7 @@ def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip (rows-only: DuckDB has no ORC reader).
     Row-count/schema equality with the parquet original is asserted in
     tests/test_io.py."""
-    out = os.path.join(tempfile.gettempdir(), "pmfs_nation_orc")
+    out = os.path.join(tempfile.gettempdir(), f"pmfs_nation_orc_{os.getpid()}")
     table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -300,7 +300,10 @@ def a14_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate as exact integer cents — double sums are partition-order
     dependent and would break the oracle hash (memory: oracle-parity
     rules)."""
-    out = os.path.join(tempfile.gettempdir(), "pmfs_orders_by_year")
+    # pid suffix: two engine processes on one machine (driver + a local
+    # test run) must not overwrite each other's sink mid-read
+    out = os.path.join(tempfile.gettempdir(),
+                       f"pmfs_orders_by_year_{os.getpid()}")
     o = table(spark, sf_dir, "orders")
     (o.withColumn("o_year", F.year("o_orderdate"))
      .write.mode("overwrite").partitionBy("o_year").parquet(out))
@@ -333,7 +336,8 @@ def a15_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes shortest-round-trip representations (Java Double.toString) and
     the reader parses them back to the identical bits. Explicit schema on
     read: inference costs a full pre-scan and can narrow types."""
-    out = os.path.join(tempfile.gettempdir(), "pmfs_lineitem_csv")
+    out = os.path.join(tempfile.gettempdir(),
+                       f"pmfs_lineitem_csv_{os.getpid()}")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
     li.write.mode("overwrite").option("header", True).csv(out)
@@ -347,3 +351,67 @@ def a15_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_price_cents"),
                  F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
                   .alias("sum_qty_cents")))
+
+
+def _evolved_parquet_paths() -> tuple[str, str]:
+    """Two deterministic parquet batches with an EVOLVED schema (batch 2
+    adds a column), written once at import via pyarrow — atomic per-file
+    rename, identical content in every process, so concurrent writers are
+    harmless (same pattern as the iris sample)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = os.path.join(tempfile.gettempdir(), "pmfs_evolved_v1")
+    os.makedirs(base, exist_ok=True)
+    b1 = os.path.join(base, "batch1.parquet")
+    b2 = os.path.join(base, "batch2.parquet")
+    if not os.path.exists(b1):
+        t = pa.table({
+            "row_id": pa.array(range(0, 50), pa.int64()),
+            "price": pa.array([i * 1.25 for i in range(0, 50)], pa.float64()),
+        })
+        pq.write_table(t, b1 + ".tmp")
+        os.replace(b1 + ".tmp", b1)
+    if not os.path.exists(b2):
+        t = pa.table({
+            "row_id": pa.array(range(50, 100), pa.int64()),
+            "price": pa.array([i * 1.25 for i in range(50, 100)],
+                              pa.float64()),
+            "category": pa.array([("a", "b", "c")[i % 3]
+                                  for i in range(50, 100)], pa.string()),
+        })
+        pq.write_table(t, b2 + ".tmp")
+        os.replace(b2 + ".tmp", b2)
+    return b1, b2
+
+
+@register(
+    "a16_merge_schema",
+    oracle=f"""
+SELECT category,
+       count(*) AS n,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM read_parquet({list(_evolved_parquet_paths())}, union_by_name=true)
+GROUP BY category
+""",
+    tags=("engine", "source", "schema-evolution"),
+)
+def a16_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema EVOLUTION: two batches where the later one added a
+    column, read as one relation via mergeSchema — old rows surface NULL
+    for the new column (identical to DuckDB's union_by_name). The
+    aggregate groups BY the evolved column so the NULL group is part of
+    the verified hash.
+
+    100 TB note: mergeSchema is a footer-sampling pre-pass over every
+    file — fine for additive evolution like this, but at warehouse scale
+    the schema belongs in a catalog (the production path is a declared
+    schema + mergeSchema off; this operator verifies the semantics the
+    catalog must reproduce)."""
+    b1, b2 = _evolved_parquet_paths()
+    df = spark.read.option("mergeSchema", "true").parquet(b1, b2)
+    return (df.groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("price") * 100).cast("bigint"))
+                  .alias("sum_price_cents")))

@@ -737,14 +737,19 @@ def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SelectedBucketsCount). At warehouse scale the write cost amortizes over
     every downstream join/aggregation on the key; prices sum as exact
     integer cents for the oracle hash."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for name, df, key in (("pmfs_cust_bucketed", c, "c_custkey"),
-                          ("pmfs_orders_bucketed", o, "o_custkey")):
+    # pid suffix: two engine processes sharing a cwd share the warehouse
+    # dir, and a concurrent CREATE/DROP on the same location corrupts both
+    cust_tbl = f"pmfs_cust_bucketed_{os.getpid()}"
+    ord_tbl = f"pmfs_orders_bucketed_{os.getpid()}"
+    for name, df, key in ((cust_tbl, c, "c_custkey"),
+                          (ord_tbl, o, "o_custkey")):
         # the catalog is in-memory per session but the warehouse dir is not:
         # a location left by a previous session collides with CREATE, so
         # drop both the (possibly unknown) table and the stale directory
@@ -752,8 +757,8 @@ def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
         (df.write.format("parquet")
          .bucketBy(8, key).sortBy(key).saveAsTable(name))
-    cb = spark.table("pmfs_cust_bucketed")
-    ob = spark.table("pmfs_orders_bucketed")
+    cb = spark.table(cust_tbl)
+    ob = spark.table(ord_tbl)
     # merge hint: at test SF the dim fits the broadcast threshold and the
     # planner would pick BroadcastHashJoin, hiding the co-located path this
     # operator exists to prove; at 100 TB neither side broadcasts and SMJ

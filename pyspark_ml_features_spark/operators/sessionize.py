@@ -338,3 +338,45 @@ def e28_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  F.sum(F.when(F.col("journey").like("%v%c%p%"), 1)
                        .otherwise(0)).cast("bigint").alias("n_converted")))
+
+
+@register(
+    "e37_retention_cohorts",
+    oracle="""
+WITH weekly AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+    FROM events
+), first_wk AS (
+    SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM weekly JOIN first_wk USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("north-star", "E10", "retention"),
+)
+def e37_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by their FIRST active week
+    (the cohort), counted in every subsequent week they return — the
+    triangle chart behind every growth dashboard. All values are exact
+    (timestamp truncation + integer week arithmetic; the offset divides
+    whole days by 7, which is boundary-crossing-agnostic across engines
+    because both dates are already week-truncated).
+
+    100 TB shape: the distinct (user, week) activity set and the
+    per-user min both shuffle on user_id — hash(user_id) co-locates the
+    finer (user, week) key, so the self-join back is exchange-free on the
+    activity side, and the final cohort × offset aggregate is tiny
+    (|weeks|² cells). The events scan prunes to (user_id, ts). No window
+    over a global ordering, no per-cohort recomputation of history."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    weekly = e.distinct()
+    first = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    j = weekly.join(first, "user_id")
+    offset = (F.datediff(F.col("wk"), F.col("cohort_week")) / 7) \
+        .cast("bigint")
+    return (j.groupBy("cohort_week", offset.alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

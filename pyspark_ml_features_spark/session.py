@@ -60,7 +60,11 @@ def _ship_package(spark: SparkSession) -> None:
     import pyspark_ml_features_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "pyspark_ml_features_spark_pkg")
+    # pid suffix: make_archive writes in place (not atomic), so a second
+    # engine process archiving to the same path would hand addPyFile a
+    # truncated zip
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"pyspark_ml_features_spark_pkg_{os.getpid()}")
     try:
         zip_path = shutil.make_archive(
             zip_base, "zip", root_dir=os.path.dirname(pkg_dir),

@@ -41,6 +41,14 @@ DEFERRED_ORACLES: set[str] = {
     "d59_map_in_arrow",
     "e36_fingerprint_dedup",
     "d60_try_arithmetic",
+    "d61_tpch_q13",
+    "d62_tpch_q15",
+    "d63_tpch_q17",
+    "d64_tpch_q9",
+    "e37_retention_cohorts",
+    "a16_merge_schema",
+    "d65_lateral_topk",
+    "d66_scd2_history",
 }
 
 
