@@ -97,5 +97,11 @@ DRIVER_WINDOW = [
     "s5_streaming_attribution_join",
     "s7_python_source_stream",
 ]
+# Round-4 rotation note: fill the next window from DEFERRED_ORACLES in
+# tests/test_registry.py (24 locally hash-verified oracles: d51-d66,
+# d30b/d31b twins' remainders, e34-e37, e4e, a15/a16, d58-d60) — every
+# one has passed drive_contract.py and the sf0.1 parity sweep but has
+# never had a driver CORRECTNESS row. The registry tests enforce that no
+# already-green oracle query wastes a graded slot.
 
 registry.reorder(DRIVER_WINDOW)
