@@ -415,3 +415,37 @@ def a16_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("price") * 100).cast("bigint"))
                   .alias("sum_price_cents")))
+
+
+@register(
+    "a17_json_sink_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("engine", "source", "json", "sink"),
+)
+def a17_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip, proven LOSSLESS the same way
+    as a15's CSV twin: numeric lineitem columns write to JSONL and read
+    back with an explicit schema, and the aggregate over the round-trip
+    must hash-match the oracle computed from the ORIGINAL parquet —
+    Spark serializes doubles as shortest-round-trip text, so the bits
+    survive. Explicit read schema: JSON inference is a full pre-scan
+    and widens/narrows types unpredictably at scale."""
+    out = os.path.join(tempfile.gettempdir(),
+                       f"pmfs_lineitem_jsonl_{os.getpid()}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    li.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "l_orderkey bigint, l_returnflag string, l_extendedprice double"
+    ).json(out)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents")))

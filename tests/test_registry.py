@@ -49,6 +49,7 @@ DEFERRED_ORACLES: set[str] = {
     "a16_merge_schema",
     "d65_lateral_topk",
     "d66_scd2_history",
+    "a17_json_sink_roundtrip",
 }
 
 
