@@ -753,7 +753,7 @@ def d57_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d58_market_share",
     oracle="""
-SELECT year(o_orderdate) AS o_year,
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        round(
            CAST(sum(CASE WHEN n_name = 'NATION_3'
                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
@@ -786,7 +786,7 @@ def d58_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     nat = F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0)))
     tot = F.sum(rev)
-    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+    return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
             .agg(F.round(nat.cast("double") / tot.cast("double"), 6)
                  .alias("mkt_share")))
 
@@ -923,7 +923,7 @@ def d63_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d64_tpch_q9",
     oracle="""
-SELECT n_name AS nation, year(o_orderdate) AS o_year,
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                 AS BIGINT)) AS BIGINT) AS sum_profit_cents
 FROM lineitem
@@ -967,7 +967,11 @@ def d64_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
             .groupBy(F.col("n_name").alias("nation"),
-                     F.year("o_orderdate").alias("o_year"))
+                     # BIGINT on both sides (d36/d44 precedent): Spark's
+                     # year() is INT while DuckDB's is BIGINT, and relying
+                     # on repr-level scalar formatting to hash equal is
+                     # fragile (ADVICE r3) — align the dtype kinds instead
+                     F.year("o_orderdate").cast("bigint").alias("o_year"))
             .agg(F.sum(cents).alias("sum_profit_cents")))
 
 

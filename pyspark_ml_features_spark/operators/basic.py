@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import csv_scan, memory_source, table
+from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
 
 # deterministic iris-alike sample (values fixed; species frequencies ordered)
 _IRIS_ROWS = [
@@ -38,7 +39,11 @@ def iris_csv_path() -> str:
     """Write the sample to a stable temp location once; return the file."""
     path = os.path.join(tempfile.gettempdir(), "pmfs_iris_sample.csv")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # pid-unique stage: a shared '<path>.tmp' is NOT atomic when two
+        # engine processes import concurrently (pytest + drive_contract) —
+        # one truncates the other's in-flight tmp and os.replace publishes
+        # a partial file. Content is deterministic, so last-rename wins.
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
             fh.write(",".join(_IRIS_COLS) + "\n")
             for row in _IRIS_ROWS:
@@ -210,7 +215,8 @@ def _json_sample_path() -> str:
     if not os.path.exists(path):
         import json
 
-        tmp = path + ".tmp"
+        # pid-unique stage — see iris_csv_path for the concurrency rationale
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
             for i, (sl, sw, pl, pw, sp) in enumerate(_IRIS_ROWS):
                 fh.write(json.dumps({
@@ -245,7 +251,7 @@ def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip (rows-only: DuckDB has no ORC reader).
     Row-count/schema equality with the parquet original is asserted in
     tests/test_io.py."""
-    out = os.path.join(tempfile.gettempdir(), f"pmfs_nation_orc_{os.getpid()}")
+    out = pid_scoped("pmfs_nation_orc")
     table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -300,10 +306,9 @@ def a14_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate as exact integer cents — double sums are partition-order
     dependent and would break the oracle hash (memory: oracle-parity
     rules)."""
-    # pid suffix: two engine processes on one machine (driver + a local
-    # test run) must not overwrite each other's sink mid-read
-    out = os.path.join(tempfile.gettempdir(),
-                       f"pmfs_orders_by_year_{os.getpid()}")
+    # pid suffix + exit cleanup: two engine processes on one machine must
+    # not overwrite each other's sink mid-read (see tmp_artifacts)
+    out = pid_scoped("pmfs_orders_by_year")
     o = table(spark, sf_dir, "orders")
     (o.withColumn("o_year", F.year("o_orderdate"))
      .write.mode("overwrite").partitionBy("o_year").parquet(out))
@@ -336,8 +341,7 @@ def a15_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes shortest-round-trip representations (Java Double.toString) and
     the reader parses them back to the identical bits. Explicit schema on
     read: inference costs a full pre-scan and can narrow types."""
-    out = os.path.join(tempfile.gettempdir(),
-                       f"pmfs_lineitem_csv_{os.getpid()}")
+    out = pid_scoped("pmfs_lineitem_csv")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
     li.write.mode("overwrite").option("header", True).csv(out)
@@ -370,8 +374,9 @@ def _evolved_parquet_paths() -> tuple[str, str]:
             "row_id": pa.array(range(0, 50), pa.int64()),
             "price": pa.array([i * 1.25 for i in range(0, 50)], pa.float64()),
         })
-        pq.write_table(t, b1 + ".tmp")
-        os.replace(b1 + ".tmp", b1)
+        tmp1 = f"{b1}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp1)
+        os.replace(tmp1, b1)
     if not os.path.exists(b2):
         t = pa.table({
             "row_id": pa.array(range(50, 100), pa.int64()),
@@ -380,8 +385,9 @@ def _evolved_parquet_paths() -> tuple[str, str]:
             "category": pa.array([("a", "b", "c")[i % 3]
                                   for i in range(50, 100)], pa.string()),
         })
-        pq.write_table(t, b2 + ".tmp")
-        os.replace(b2 + ".tmp", b2)
+        tmp2 = f"{b2}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp2)
+        os.replace(tmp2, b2)
     return b1, b2
 
 
@@ -437,8 +443,7 @@ def a17_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark serializes doubles as shortest-round-trip text, so the bits
     survive. Explicit read schema: JSON inference is a full pre-scan
     and widens/narrows types unpredictably at scale."""
-    out = os.path.join(tempfile.gettempdir(),
-                       f"pmfs_lineitem_jsonl_{os.getpid()}")
+    out = pid_scoped("pmfs_lineitem_jsonl")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice")
     li.write.mode("overwrite").json(out)

@@ -364,9 +364,9 @@ def d13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d14_datetime_functions",
     oracle="""
 SELECT o_orderkey,
-       year(o_orderdate)  AS order_year,
-       month(o_orderdate) AS order_month,
-       dayofmonth(o_orderdate) AS order_day,
+       CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(dayofmonth(o_orderdate) AS BIGINT) AS order_day,
        date_trunc('month', o_orderdate) AS month_start,
        datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
@@ -379,9 +379,11 @@ def d14_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
+        # BIGINT on both sides: Spark's year/month/day are INT, DuckDB's
+        # BIGINT — align dtype kinds rather than rely on repr coincidence
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1995-01-01").cast("date")).alias("days_since_95"),

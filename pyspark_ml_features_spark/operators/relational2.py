@@ -741,11 +741,16 @@ def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from urllib.parse import urlparse
 
+    from pyspark_ml_features_spark.tmp_artifacts import register as keep_tmp
+
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     # pid suffix: two engine processes sharing a cwd share the warehouse
-    # dir, and a concurrent CREATE/DROP on the same location corrupts both
+    # dir, and a concurrent CREATE/DROP on the same location corrupts both.
+    # The pid-unique locations are registered for exit-time removal — the
+    # bucketed copies must outlive this call (the returned DataFrame is
+    # lazy) but must not accumulate across runs (ADVICE r3).
     cust_tbl = f"pmfs_cust_bucketed_{os.getpid()}"
     ord_tbl = f"pmfs_orders_bucketed_{os.getpid()}"
     for name, df, key in ((cust_tbl, c, "c_custkey"),
@@ -755,6 +760,7 @@ def d50_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drop both the (possibly unknown) table and the stale directory
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        keep_tmp(f"{warehouse}/{name}")
         (df.write.format("parquet")
          .bucketBy(8, key).sortBy(key).saveAsTable(name))
     cb = spark.table(cust_tbl)

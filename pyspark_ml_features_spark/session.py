@@ -69,6 +69,10 @@ def _ship_package(spark: SparkSession) -> None:
         zip_path = shutil.make_archive(
             zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
             base_dir=os.path.basename(pkg_dir))
+        # remove this pid's zip at exit — addPyFile copied it into Spark's
+        # own temp dirs, so the staged archive would otherwise leak per run
+        from pyspark_ml_features_spark.tmp_artifacts import register
+        register(zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # e.g. file already registered from a prior session
         pass

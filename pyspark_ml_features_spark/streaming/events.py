@@ -25,8 +25,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
+from pyspark_ml_features_spark.tmp_artifacts import register as _rm_at_exit
 
 _sink_counter = itertools.count()
+
+
+def _mkdtemp(prefix: str) -> str:
+    """mkdtemp with exit-time removal — streaming stages/checkpoints/sinks
+    are per-run scratch and would otherwise accumulate across runs
+    (ADVICE r3 leak finding). Cleanup is at exit, not in-function: the
+    returned DataFrames lazily read these dirs until the driver collects."""
+    return _rm_at_exit(tempfile.mkdtemp(prefix=prefix))
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +43,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver ships a single parquet file, so we expose it via a symlinked
     staging dir (a no-copy operation)."""
     src = os.path.join(sf_dir, "events.parquet")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = _mkdtemp("events_stream_")
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
@@ -115,7 +124,7 @@ def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
     under AvailableNow + checkpointing."""
     import tempfile
 
-    checkpoint = tempfile.mkdtemp(prefix="pmfs_ckpt_")
+    checkpoint = _mkdtemp("pmfs_ckpt_")
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
@@ -138,7 +147,7 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
     a partitioned table and each merge touches only the window partitions
     the batch spans; the sum-merge itself is associative, which is what
     makes the incremental result equal the full recompute."""
-    stage = tempfile.mkdtemp(prefix="events_staged_")
+    stage = _mkdtemp("events_staged_")
     table(spark, sf_dir, "events").repartition(n_source_files) \
         .write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
@@ -149,7 +158,7 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
     # would be merged twice and double-count. A sidecar ledger of merged
     # batch_ids (outside target_dir, which each merge overwrites) makes the
     # merge idempotent — the same transaction-log idea Delta's MERGE uses.
-    ledger = target_dir.rstrip("/") + ".merged_batches"
+    ledger = _rm_at_exit(target_dir.rstrip("/") + ".merged_batches")
 
     def _merged_ids() -> set:
         try:
@@ -177,13 +186,13 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
                     .groupBy("window_start", "event_type")
                     .agg(F.sum("n_events").alias("n_events"),
                          F.sum("sum_value").alias("sum_value")))
-        out = tempfile.mkdtemp(prefix="rollup_out_")
+        out = _mkdtemp("rollup_out_")
         part.write.mode("overwrite").parquet(out)
         s.read.parquet(out).write.mode("overwrite").parquet(target_dir)
         with open(ledger, "a") as f:
             f.write(f"{batch_id}\n")
 
-    checkpoint = tempfile.mkdtemp(prefix="pmfs_ckpt_")
+    checkpoint = _mkdtemp("pmfs_ckpt_")
     q = (stream.writeStream.foreachBatch(merge)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
@@ -304,5 +313,5 @@ def s6_streaming_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     the merged target must equal the one-shot recompute — asserted in
     tests/test_streaming.py, along with replay idempotency of the
     batch-id ledger under at-least-once redelivery."""
-    target = tempfile.mkdtemp(prefix="pmfs_s6_rollup_")
+    target = _mkdtemp("pmfs_s6_rollup_")
     return run_streaming_materialized_rollup(spark, sf_dir, target)
