@@ -28,8 +28,14 @@ HEADLINE = [
     "d10_topk_orders_per_priority",
     "d11_global_topn",
     "e1_exact_dedup",
-    "e3_jaccard_pairs",
     "e4_knn_cosine",
+    # r4 (VERDICT r3 task 2): e3_jaccard_pairs and e2c_simhash_banded are
+    # DEMOTED from the headline — both are correctness baselines whose
+    # pair-join shapes are deliberate scale anti-patterns (e3 exact
+    # pairwise Jaccard, e2c 16-bit banding → near-all-pairs buckets); the
+    # headline now carries only their scale-representative twins
+    # (e33 banded MinHash, e2d 64-bit banding). Both stay registered,
+    # oracle-checked, and pytest-timed.
     "e8_tfidf_topterms",
     "e9_sessionize",
     "e10_tumbling_windows",
@@ -51,7 +57,6 @@ HEADLINE = [
     "d47_tpch_q18_large_orders",
     "d48_tpch_q21_waiting_supplier",
     "d37_tpch_q10_returned_items",
-    "e2c_simhash_banded",
     "e2d_simhash64_banded",
     "e31_line_dedup",
     "e25_corpus_curation",
@@ -67,6 +72,11 @@ HEADLINE = [
     "d62_tpch_q15",
     "d63_tpch_q17",
     "d64_tpch_q9",
+    # r4 additions: one representative per new round-4 family (native
+    # batch session windows, merge-maintained rollups, nearest as-of)
+    "d67_session_window_batch",
+    "e38_rollup_merge_upsert",
+    "d79_asof_nearest",
 ]
 
 

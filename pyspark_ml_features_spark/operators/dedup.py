@@ -20,7 +20,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.functions.text import tokens
 from pyspark_ml_features_spark.registry import register
@@ -1149,3 +1149,155 @@ def e36_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").alias("kept_doc_id"),
                  F.count(F.lit(1)).alias("n_copies"),
                  F.count_distinct("fp2").alias("n_distinct_fp2")))
+
+
+@register(
+    "e39_overlap_pairs",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       CAST(shared AS BIGINT) AS shared,
+       shared::DOUBLE / least(sa.n_sh, sb.n_sh) AS overlap
+FROM shared
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE shared::DOUBLE / least(sa.n_sh, sb.n_sh) >= 0.9
+""",
+    tags=("north-star", "E3", "dedup", "containment"),
+)
+def e39_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-duplicates via the overlap coefficient
+    |A∩B| / min(|A|, |B|) ≥ 0.9 — catches subset/superset relationships
+    (a doc embedded inside a longer one) that Jaccard dilutes below its
+    threshold: J = 0.33 for a doc fully contained in one 3× its size, but
+    overlap = 1.0. Same inverted-index candidate generation as e3 (pairs
+    only materialize when they share a token), integer intersection
+    counts, one double division.
+
+    100 TB: identical scaling argument to e3 — candidate-bounded, and the
+    production path replaces unigram postings with banded MinHash
+    (e33) before the pair join."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    shingled = d.select("doc_id", F.array_distinct(tokens("text")).alias("sh"))
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    overlap = (F.col("shared").cast("double")
+               / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")))
+    return (shared
+            .join(F.broadcast(sa), F.col("d1") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("d2") == F.col("sb.doc_id"))
+            .select("d1", "d2", F.col("shared").cast("bigint").alias("shared"),
+                    overlap.alias("overlap"))
+            .filter(F.col("overlap") >= 0.9))
+
+
+@register(
+    "e40_nearest_doc_topk",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2,
+           shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), sym AS (
+    SELECT d1 AS doc_id, d2 AS neighbor_id, jaccard FROM pairs
+    UNION ALL
+    SELECT d2 AS doc_id, d1 AS neighbor_id, jaccard FROM pairs
+)
+SELECT doc_id, neighbor_id, jaccard, rk
+FROM (SELECT doc_id, neighbor_id, jaccard,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY jaccard DESC, neighbor_id ASC)
+                  AS BIGINT) AS rk
+      FROM sym)
+WHERE rk <= 3
+""",
+    tags=("north-star", "E4", "dedup", "topk"),
+)
+def e40_nearest_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOP-3 nearest neighbors by exact token Jaccard — the
+    text-side analogue of e4's embedding k-NN, composed from e3's
+    candidate-bounded pair generator: undirected J ≥ 0.5 pairs are
+    symmetrized (each pair serves both endpoints) and ranked per doc with
+    a (similarity, id) tie-break. This is the 'find the canonical copy /
+    closest variant' query curation pipelines run after dedup flags a
+    cluster.
+
+    100 TB: pair volume is the near-dup set (candidate-bounded, see e3);
+    the symmetrize is a map-side union and the rank window shuffles only
+    pairs, never the corpus."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = jaccard_pairs(d, tokens("text"), threshold=0.5)
+    sym = (pairs.select(F.col("d1").alias("doc_id"),
+                        F.col("d2").alias("neighbor_id"), "jaccard")
+           .unionByName(
+               pairs.select(F.col("d2").alias("doc_id"),
+                            F.col("d1").alias("neighbor_id"), "jaccard")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"),
+                                             F.asc("neighbor_id"))
+    return (sym.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3))
+
+
+@register(
+    "e42_dup_cluster_stats",
+    oracle="""
+WITH clusters AS (
+    SELECT lower(trim(text)) AS k, count(*) AS sz
+    FROM documents GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY sz
+""",
+    tags=("north-star", "E1", "dedup", "reporting"),
+)
+def e42_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the dedup health report
+    (how much of the corpus is unique vs 2-copies vs boilerplate blobs):
+    a count-of-counts over e1's normalized-text clusters. The curation
+    decision this feeds: cluster_size 1-2 is normal, a heavy tail means
+    boilerplate to strip before training.
+
+    100 TB: two cascaded aggregates — the first is e1's hash-groupBy (in
+    production keyed on the 8-byte fingerprint, e36), the second groups
+    |clusters| rows by an integer; output is O(max cluster size) rows."""
+    d = table(spark, sf_dir, "documents")
+    clusters = (d.groupBy(F.lower(F.trim(F.col("text"))).alias("k"))
+                .agg(F.count(F.lit(1)).alias("sz")))
+    return (clusters.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 (F.first("sz") * F.count(F.lit(1))).cast("bigint")
+                 .alias("n_docs")))

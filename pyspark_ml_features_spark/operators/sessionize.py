@@ -380,3 +380,74 @@ def e37_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     return (j.groupBy("cohort_week", offset.alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register(
+    "e38_rollup_merge_upsert",
+    oracle="""
+WITH cutoff AS (
+    SELECT date_trunc('day', max(ts)) AS c FROM events
+), old AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(value) AS sv
+    FROM events, cutoff WHERE ts < c GROUP BY 1, 2
+), delta AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(value) AS sv
+    FROM events, cutoff WHERE ts >= c GROUP BY 1, 2
+)
+SELECT coalesce(o.window_start, d.window_start) AS window_start,
+       coalesce(o.event_type, d.event_type) AS event_type,
+       CAST(coalesce(o.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n_events,
+       round(coalesce(o.sv, 0) + coalesce(d.sv, 0), 6) AS total_value,
+       CASE WHEN o.window_start IS NULL THEN 'inserted'
+            WHEN d.window_start IS NULL THEN 'carried'
+            ELSE 'updated' END AS merge_action
+FROM old o
+FULL OUTER JOIN delta d
+  ON o.window_start = d.window_start AND o.event_type = d.event_type
+""",
+    tags=("north-star", "E10", "incremental", "merge"),
+)
+def e38_rollup_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped maintenance of e19's hourly rollup (VERDICT r3 task 3):
+    the stored rollup (events before the last ingest day) FULL OUTER JOINs
+    the new day's partial rollup on the rollup key, coalescing counts/sums
+    and tagging each row carried / updated / inserted — e20's upsert plan
+    applied to a continuous aggregate, which is exactly what a lakehouse
+    MERGE INTO compiles to. The oracle recomputes both sides and merges
+    identically; partial sums round 6 dp post-merge (association differs
+    across engines — e19's rule).
+
+    100 TB: the join keys are (hour, type) — the delta side only contains
+    the ingest day's hours, so with the target partitioned by window date
+    only those partitions rewrite; history is never rescanned (the n_events
+    sum-merge is associative, which is what makes incremental == full
+    recompute)."""
+    e = table(spark, sf_dir, "events")
+    # driver-side scalar (one tiny action): the ingest-day cutoff
+    cutoff = e.agg(F.date_trunc("day", F.max("ts")).alias("c")).first()["c"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("sv"))
+                .select(F.col("w.start").alias("window_start"),
+                        "event_type", "n", "sv"))
+
+    old = rollup(e.filter(F.col("ts") < F.lit(cutoff)))
+    delta = rollup(e.filter(F.col("ts") >= F.lit(cutoff)))
+    o, d = old.alias("o"), delta.alias("d")
+    merged = o.join(
+        d, (F.col("o.window_start") == F.col("d.window_start"))
+        & (F.col("o.event_type") == F.col("d.event_type")), "full_outer")
+    return merged.select(
+        F.coalesce("o.window_start", "d.window_start").alias("window_start"),
+        F.coalesce("o.event_type", "d.event_type").alias("event_type"),
+        (F.coalesce("o.n", F.lit(0)) + F.coalesce("d.n", F.lit(0)))
+        .cast("bigint").alias("n_events"),
+        F.round(F.coalesce("o.sv", F.lit(0.0))
+                + F.coalesce("d.sv", F.lit(0.0)), 6).alias("total_value"),
+        F.when(F.col("o.window_start").isNull(), "inserted")
+         .when(F.col("d.window_start").isNull(), "carried")
+         .otherwise("updated").alias("merge_action"))

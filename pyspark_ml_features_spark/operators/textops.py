@@ -494,3 +494,121 @@ def t10_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ps.select(
         "doc_id", F.size("lps").cast("bigint").alias("n_bigrams"),
         F.exp(-fold / F.size("lps")).alias("perplexity"))
+
+
+@register(
+    "t11_word_length_profile",
+    oracle="""
+SELECT lang,
+       CAST(length(tok) AS BIGINT) AS word_len,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY lang, length(tok)
+""",
+    tags=("north-star", "text-analysis", "profile"),
+)
+def t11_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language word-length histogram — the corpus-profiling signal
+    quality filters cut on (token-length distributions separate prose from
+    code/tables/garbage). Integer-exact: explode tokens, group by
+    (lang, length).
+
+    100 TB: the explode is map-side; the aggregate's key domain is
+    |langs| × |lengths| (tiny), so map-side combine collapses the shuffle
+    to near-nothing."""
+    d = table(spark, sf_dir, "documents")
+    return (d.select("lang", F.explode(tokens("text")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("lang", F.length("tok").cast("bigint").alias("word_len"))
+            .agg(F.count(F.lit(1)).alias("n_words")))
+
+
+@register(
+    "t12_charclass_profile",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+            AS BIGINT) AS n_upper,
+       CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+            AS BIGINT) AS n_spaces,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS n_punct
+FROM documents
+""",
+    tags=("north-star", "text-analysis", "quality"),
+)
+def t12_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class counts (digits / uppercase / spaces /
+    punctuation) via the length-minus-stripped-length identity — the raw
+    signals behind casing/symbol quality ratios (t2's family), kept as
+    exact integers so the row is hash-verifiable. Spark's regexp_replace
+    is global; DuckDB needs the explicit 'g' flag — same class patterns,
+    ASCII-only so both engines match code points.
+
+    100 TB: pure map work in whole-stage codegen; no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+
+    def n_class(pattern: str):
+        return (F.length("text")
+                - F.length(F.regexp_replace("text", pattern, ""))
+                ).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_class("[0-9]").alias("n_digits"),
+        n_class("[A-Z]").alias("n_upper"),
+        n_class("[ ]").alias("n_spaces"),
+        n_class("[.,!?;:]").alias("n_punct"))
+
+
+@register(
+    "e41_bigram_topk_per_lang",
+    oracle="""
+WITH t0 AS (
+    SELECT lang, str_split(text, ' ') AS t FROM documents
+), bg AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM t0 WHERE len(t) >= 2
+), c AS (
+    SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+), r AS (
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram ASC) AS BIGINT)
+               AS rk
+    FROM c
+)
+SELECT lang, bigram, n, rk FROM r WHERE rk <= 5
+""",
+    tags=("north-star", "text-analysis", "topk"),
+)
+def e41_bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — corpus n-gram statistics (e26's
+    family) composed with grouped top-k (d10's shape): bigrams built
+    in-array (1-based element_at matches DuckDB list indexing), exploded,
+    counted, then ranked per language with a lexical tie-break so the
+    top-5 is deterministic.
+
+    100 TB: one shuffle on (lang, bigram) with map-side combine; the rank
+    window runs over per-lang count tables, and AQE's WindowGroupLimit
+    caps the sort at k per partition."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "),
+                           F.element_at(t, i + 1)))
+    bg = (d.filter(n >= 2)
+          .select("lang", F.explode(bigrams).alias("bigram")))
+    c = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (c.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 5))

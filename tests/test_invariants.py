@@ -102,14 +102,23 @@ def test_minhash_recall_of_exact_pairs(run):
 
 
 def test_ivf_recall_against_exact(run):
-    """IVF (nprobe=1, k=8 cells) must recover a reasonable share of the
-    exact top-5 neighbors — deterministic under the fixed KMeans seed."""
-    exact = {(r["query_id"], r["neighbor_id"])
-             for r in run("e4_knn_cosine").collect()}
-    ivf = {(r["query_id"], r["neighbor_id"])
-           for r in run("e4d_ivf_knn").collect()}
-    recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.2, f"IVF recall {recall} implausibly low"
+    """IVF (nprobe=3, k=8 cells) recall@5 vs the exact e4 baseline, PINNED
+    to the measured fixture values (VERDICT r3 task 4, e4e's pattern):
+    measured mean 0.56 / min 0.2 per query at sf0.01 — the synthetic
+    embeddings are near-uniform, so nprobe/k = 3/8 of the corpus bounds
+    the expectation (~0.4-0.6); pins sit just under the deterministic
+    seeded measurement so any geometry/seed regression trips them."""
+    exact: dict[int, set[int]] = {}
+    for r in run("e4_knn_cosine").collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in run("e4d_ivf_knn").collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.5, f"IVF mean recall@5 {mean} below pinned 0.5"
+    assert min(recalls) >= 0.2, f"IVF min recall@5 {min(recalls)}"
 
 
 def test_label_index_matches_stringindexer(spark):

@@ -21,36 +21,11 @@ def test_driver_window_is_50():
 
 
 # Oracle queries deliberately left outside the graded window, with why.
-# After the round-3 rotation every previously-ungraded oracle query is in
-# the window; entries below were added AFTER it filled (locally
-# hash-verified by drive_contract.py; rotate into the r4 window).
-DEFERRED_ORACLES: set[str] = {
-    "d51_percentiles_exact",
-    "d52_width_bucket_histogram",
-    "d53_tpch_q4",
-    "d54_tpch_q6",
-    "e34_quality_dedup",
-    "d31b_regression_exact",
-    "d55_tpch_q19",
-    "d56_tpch_q22",
-    "d57_tpch_q14",
-    "e4e_int8_knn",
-    "a15_csv_sink_roundtrip",
-    "d58_market_share",
-    "e35_near_dup_by_source",
-    "d59_map_in_arrow",
-    "e36_fingerprint_dedup",
-    "d60_try_arithmetic",
-    "d61_tpch_q13",
-    "d62_tpch_q15",
-    "d63_tpch_q17",
-    "d64_tpch_q9",
-    "e37_retention_cohorts",
-    "a16_merge_schema",
-    "d65_lateral_topk",
-    "d66_scd2_history",
-    "a17_json_sink_roundtrip",
-}
+# After the round-4 rotation the backlog is EMPTY: every declared oracle
+# query is either driver-green from a past round or occupies a round-4
+# window slot. Entries added after the window fills go here (locally
+# hash-verified by drive_contract.py; rotate into the next window).
+DEFERRED_ORACLES: set[str] = set()
 
 
 def _driver_green() -> set[str]:
