@@ -334,3 +334,39 @@ def test_tpch_q19_disjunction_derives_scan_filters(spark):
                if "PushedFilters" in ln and "l_quantity" in ln]
     assert part_scan, "brand disjunction must push to the part scan"
     assert li_scan, "quantity bounds must push to the lineitem scan"
+
+
+def test_grouped_lateral_decorrelates_to_window(spark):
+    """d68: the correlated LATERAL ... LIMIT 3 must decorrelate to a
+    window/group-limit over ONE scan pass per side — never a per-segment
+    re-scan (no nested-loop re-execution of the subquery)."""
+    plan = _plan(spark, "d68_grouped_topk_lateral")
+    assert "WindowGroupLimit" in plan or "Window" in plan, (
+        "lateral must lower to a window shape")
+    assert "CartesianProduct" not in plan
+
+
+def test_inline_lookup_dim_broadcasts(spark):
+    """d78: a 5-row VALUES dimension must broadcast; the fact side must
+    not shuffle for the join."""
+    plan = _plan(spark, "d78_inline_lookup_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_window_is_single_user_shuffle(spark):
+    """d67: batch session_window aggregates per user in one
+    hash-partitioning on the grouping key — exactly one Exchange in the
+    plan (no extra repartition for the session merge logic)."""
+    plan = _plan(spark, "d67_session_window_batch")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, (
+        "session_window must cost one shuffle")
+
+
+def test_mad_first_pass_broadcasts_back(spark):
+    """d77: the |groups|-row median table must come back via broadcast —
+    the fact side never shuffles for the rejoin."""
+    plan = _plan(spark, "d77_robust_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
