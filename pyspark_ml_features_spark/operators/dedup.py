@@ -1301,3 +1301,37 @@ def e42_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  (F.first("sz") * F.count(F.lit(1))).cast("bigint")
                  .alias("n_docs")))
+
+
+@register(
+    "e44_sha_content_dedup",
+    oracle="""
+SELECT sha256(lower(trim(text))) AS content_key,
+       min(doc_id) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(md5(lower(trim(text)))) AS md5_key
+FROM documents
+GROUP BY sha256(lower(trim(text)))
+""",
+    tags=("north-star", "E1", "dedup", "content-hash"),
+)
+def e44_sha_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-ADDRESSED exact dedup: the e1/e36 hash-groupBy keyed on
+    sha256 of the normalized text — the collision-proof production key
+    (2^-128 birthday bound vs e36's 2^-62 double-rolling-hash, at the
+    cost of 32 bytes/row instead of 16). Both engines emit identical
+    lowercase hex, so the whole content-addressing scheme is
+    hash-verified; md5 rides along as the legacy-store compatibility key.
+
+    100 TB: identical scaling to e1 — one shuffle keyed on the digest
+    with map-side combine; the digest also serves as the stable
+    cross-system document id (the content-addressable-store pattern),
+    which is why production curation pipelines key everything on it."""
+    d = table(spark, sf_dir, "documents")
+    nt = F.lower(F.trim(F.col("text")))
+    return (d.select("doc_id", F.sha2(nt, 256).alias("content_key"),
+                     F.md5(nt).alias("md5"))
+            .groupBy("content_key")
+            .agg(F.min("doc_id").alias("kept_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.min("md5").alias("md5_key")))

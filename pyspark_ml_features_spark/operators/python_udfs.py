@@ -217,3 +217,46 @@ def d59_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mapped.groupBy("l_returnflag")
             .agg(F.sum("rev_cents").alias("rev_cents"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "d83_pandas_udaf",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("engine", "D20", "udf", "udaf"),
+)
+def d83_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-AGGREGATE pandas UDF (the UDAF slot in the D20 Python
+    spectrum: scalar pandas UDF d20, grouped-map d21, row UDF d22, UDTF
+    d27, mapInPandas sketch, mapInArrow d59 — this is the remaining
+    shape): each group's column arrives as ONE pandas Series and the UDF
+    returns a scalar. Exact because the payload is integer cents (numpy
+    int64 sum — associative, no float order sensitivity).
+
+    100 TB: partial aggregation does NOT apply to pandas UDAFs — every
+    row of a group ships to one executor (fine on bounded groups like the
+    3 statuses here; a built-in sum map-combines first and is the default
+    for unbounded groups — this row documents the trade)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    @F.pandas_udf("bigint")
+    def sum_cents(s: pd.Series) -> int:
+        return int(s.sum())
+
+    # Spark cannot mix pandas and built-in aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too
+    @F.pandas_udf("bigint")
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    o = table(spark, sf_dir, "orders")
+    return (o.withColumn("cents", cents)
+            .groupBy("o_orderstatus")
+            .agg(sum_cents("cents").alias("sum_price_cents"),
+                 n_rows("cents").alias("n_orders")))

@@ -23,11 +23,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pyspark_ml_features_spark.functions.text import STOPWORDS
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
 
 SESSION_GAP_45M_US = 45 * 60 * 1_000_000
+# stopword list as a DuckDB array literal (d84's oracle)
+_STOP_SQL = str(list(STOPWORDS))
 
 
 @register(
@@ -520,3 +523,204 @@ def a18_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_price_cents"),
                  F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
                   .alias("sum_disc_cents")))
+
+
+@register(
+    "d80_group_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders
+GROUP BY ALL
+""",
+    tags=("engine", "sql", "group-by-all"),
+)
+def d80_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL sugar): every non-aggregate
+    SELECT item becomes a grouping key — the analyst shorthand both
+    engines resolve identically at bind time, so the plan is exactly the
+    explicit three-key hash aggregate (zero runtime cost; this row pins
+    the RESOLUTION semantics)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pmfs_d80_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents
+        FROM pmfs_d80_orders
+        GROUP BY ALL
+    """)
+
+
+@register(
+    "d81_forward_fill",
+    oracle="""
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS last_purchase_id
+FROM events
+""",
+    tags=("engine", "D9", "ignore-nulls"),
+)
+def d81_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward via IGNORE NULLS:
+    each event carries the most recent purchase id of the same user — the
+    point-in-time enrichment shape (sparse attribute → dense timeline)
+    that otherwise needs a self-join against the purchase subset. NULL
+    until the user's first purchase, on both engines.
+
+    100 TB: one shuffle on user_id, running state is one value per
+    partition row — same cost envelope as any cumulative window; with the
+    events table bucketed/sorted by (user_id, ts) the sort collapses."""
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.last(purchase_id, ignorenulls=True).over(w)
+         .alias("last_purchase_id"))
+
+
+@register(
+    "d82_regexp_extract_all",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+       CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(props, '[0-9]+'), x -> x::BIGINT)), 0)
+            AS BIGINT) AS sum_nums,
+       regexp_extract_all(props, '[0-9]+')[1]::BIGINT AS first_num
+FROM events
+""",
+    tags=("engine", "D13", "regex"),
+)
+def d82_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all → typed array pipeline: every digit run in the
+    JSON payload extracted, counted, summed and probed — the
+    scrape-numbers-out-of-messy-text shape. Group index 0 (whole match)
+    explicitly: Spark defaults to capture group 1 where DuckDB defaults
+    to 0. Empty-match guards align the engines (fold-with-0 vs
+    coalesce(list_sum, 0); element 1 of an empty list is NULL in both)."""
+    e = table(spark, sf_dir, "events")
+    nums = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    return e.select(
+        "event_id",
+        F.size(nums).cast("bigint").alias("n_nums"),
+        F.aggregate(F.transform(nums, lambda x: x.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("sum_nums"),
+        F.element_at(nums, 1).cast("bigint").alias("first_num"))
+
+
+@register(
+    "d84_array_set_algebra",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                               {_STOP_SQL})) AS BIGINT)
+           AS n_stop,
+       CAST(len(list_distinct(list_distinct(str_split(text, ' '))
+                || {_STOP_SQL})) AS BIGINT)
+           AS n_union,
+       CAST(len(list_filter(list_distinct(str_split(text, ' ')),
+                x -> NOT list_contains({_STOP_SQL}, x))) AS BIGINT)
+           AS n_content
+FROM documents
+""",
+    tags=("engine", "D16", "set-algebra"),
+)
+def d84_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / union / except) of each document's
+    distinct-token set against the fixed stopword list — the set-theoretic
+    primitives under t1/t2's marker scoring, declared with their own
+    oracle row. Distinct-first on both sides: Spark's array_intersect
+    dedups its result, DuckDB's list_intersect over a deduped input
+    matches. All integer sizes.
+
+    100 TB: pure map-side array work against a literal array — no
+    shuffle, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.array_distinct(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).cast("bigint").alias("n_stop"),
+        F.size(F.array_union(toks, stop)).cast("bigint").alias("n_union"),
+        F.size(F.array_except(toks, stop)).cast("bigint").alias("n_content"))
+
+
+@register(
+    "a19_dynamic_partition_overwrite",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN year(o_orderdate) = 1995
+                     THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS sum_price_cents
+FROM orders
+GROUP BY 1
+""",
+    tags=("engine", "source", "sink", "partition-overwrite"),
+)
+def a19_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the incremental-reprocessing sink
+    semantics 100 TB pipelines rely on: a year-partitioned table is fully
+    written once, then ONE year's corrected batch (1995, prices doubled)
+    is written with mode=overwrite + partitionOverwriteMode=dynamic — only
+    the partitions present in the batch are replaced, every other year
+    survives untouched (static overwrite would truncate the whole table).
+    The read-back aggregate hash-matches the oracle's reconstruction, so
+    the 'replaced exactly one partition' semantics are what is verified.
+    The option rides the writer (no session-conf mutation to restore)."""
+    out = pid_scoped("pmfs_orders_dynpart")
+    o = (table(spark, sf_dir, "orders")
+         .withColumn("o_year", F.year("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fixed = (o.filter(F.col("o_year") == 1995)
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    (fixed.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("o_year").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents")))
+
+
+@register(
+    "d85_explode_outer",
+    oracle="""
+SELECT doc_id, token
+FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)]
+                       ELSE l END) AS token
+    FROM (SELECT doc_id,
+                 list_filter(str_split(text, ' '), x -> length(x) >= 8) AS l
+          FROM documents)
+)
+""",
+    tags=("engine", "D16", "explode-outer"),
+)
+def d85_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: documents whose filtered token array (length >= 8)
+    is EMPTY still emit one NULL row — the LEFT-JOIN-like explode that
+    keeps parent rows alive (plain explode silently drops them, the
+    classic lost-rows bug in token pipelines). DuckDB has no outer
+    unnest; the oracle models it as unnest([NULL]) on empty.
+
+    100 TB: map-side Generate either way; the outer variant costs
+    nothing extra."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) >= 8)
+    return d.select("doc_id", F.explode_outer(arr).alias("token"))

@@ -612,3 +612,117 @@ def e41_bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
     return (c.withColumn("rk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rk") <= 5))
+
+
+@register(
+    "t13_zipf_rank_table",
+    oracle="""
+WITH counts AS (
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+), ranked AS (
+    SELECT token, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS rank
+    FROM counts
+)
+SELECT rank, token, n, rank * n AS rank_x_n
+FROM ranked WHERE rank <= 50
+""",
+    tags=("north-star", "text-analysis", "zipf"),
+)
+def t13_zipf_rank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency rank table (top 50) with the Zipf diagnostic
+    rank x count — constant under Zipf's law, so the column profiles how
+    natural the corpus is (flat ⇒ Zipfian; rising ⇒ synthetic/uniform
+    vocabularies like this fixture). Integer-exact; (count, token)
+    ordering makes ranks deterministic.
+
+    100 TB: the count aggregate map-combines down to |vocabulary| rows;
+    the global top-50 then goes through orderBy+limit —
+    TakeOrderedAndProject keeps per-partition heaps of 50, so no
+    partition ever holds the full vocabulary sort. The final rank window
+    runs on 50 collected rows."""
+    d = table(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(tokens("text")).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "token", F.col("n").cast("bigint").alias("n"),
+                    (F.col("rank") * F.col("n")).alias("rank_x_n")))
+
+
+@register(
+    "e43_tfidf_cosine_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term
+    FROM documents WHERE doc_id % 25 = 0
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(*)::DOUBLE AS n_docs
+    FROM documents WHERE doc_id % 25 = 0
+), w AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1) AS wt
+    FROM tf JOIN df USING (term), n
+), nrm AS (
+    SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.wt * b.wt) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       round(dot / (na.nrm * nb.nrm), 6) AS cos_tfidf
+FROM dots
+JOIN nrm na ON d1 = na.doc_id
+JOIN nrm nb ON d2 = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.2
+""",
+    tags=("north-star", "E8", "similarity", "tfidf"),
+)
+def e43_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted document cosine similarity (pairs >= 0.2 on a
+    deterministic 4% sample) — e8's exact weighting composed with e3's
+    inverted-index pair join: pairs only materialize for docs SHARING a
+    term, and the dot product accumulates per shared term in the same
+    join — the sparse-vector similarity plan (no dense vectors, no
+    all-pairs). Weighted cosine separates docs that raw token Jaccard
+    (e3) scores identically: rare shared terms dominate, stopword overlap
+    vanishes. Rounded 6 dp (cross-doc double sums; e8's rule).
+
+    100 TB: same candidate-bounded argument as e3, with df/idf as a
+    |vocabulary|-row side (AQE picks the join strategy — no broadcast
+    hint, the e8 vocab rule); the production path prunes candidates with
+    banded MinHash (e33) before exact re-scoring."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    w = (tf.join(df, "term").crossJoin(F.broadcast(n))
+         .select("doc_id", "term", (F.col("tf") * idf).alias("wt")))
+    nrm = (w.groupBy("doc_id")
+           .agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2"))
+            .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot")))
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (dots.join(F.broadcast(na), F.col("d1") == F.col("na.doc_id"))
+            .join(F.broadcast(nb), F.col("d2") == F.col("nb.doc_id"))
+            .filter(cos >= 0.2)
+            .select("d1", "d2", F.round(cos, 6).alias("cos_tfidf")))

@@ -50,7 +50,8 @@ def audit(df: DataFrame) -> PlanAudit:
         arrow_python_nodes=(plan.count("ArrowEvalPython")
                             + plan.count("FlatMapGroupsInPandas")
                             + plan.count("MapInPandas")
-                            + plan.count("MapInArrow")),
+                            + plan.count("MapInArrow")
+                            + plan.count("AggregateInPandas")),
         take_ordered=plan.count("TakeOrderedAndProject"),
         window_group_limits=plan.count("WindowGroupLimit"),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),

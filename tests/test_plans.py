@@ -271,6 +271,7 @@ BNLJ_ALLOWED = {
     "d56_tpch_q22",          # single-row scalar-average cross join (Q22 shape)
     "t9_lm_quality",         # single-row corpus-stats cross join
     "t10_perplexity",        # single-row corpus-stats cross join
+    "e43_tfidf_cosine_pairs",  # single-row n_docs aggregate cross join (e8 shape)
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {"d22_row_udf", "d27_python_udtf"}
@@ -284,6 +285,7 @@ ARROW_ALLOWED = {
     "e13b_image_header_parse", "e29_audio_features",
     "e30_video_frame_sample",
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
+    "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)
 }
 
 

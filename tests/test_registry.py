@@ -21,11 +21,22 @@ def test_driver_window_is_50():
 
 
 # Oracle queries deliberately left outside the graded window, with why.
-# After the round-4 rotation the backlog is EMPTY: every declared oracle
-# query is either driver-green from a past round or occupies a round-4
-# window slot. Entries added after the window fills go here (locally
-# hash-verified by drive_contract.py; rotate into the next window).
-DEFERRED_ORACLES: set[str] = set()
+# The round-4 rotation cleared the pre-existing backlog; entries below
+# landed AFTER the r4 window filled (locally hash-verified by
+# drive_contract.py and the sf0.1 parity sweep; rotate into the r5
+# window).
+DEFERRED_ORACLES: set[str] = {
+    "d80_group_by_all",
+    "d81_forward_fill",
+    "d82_regexp_extract_all",
+    "d83_pandas_udaf",
+    "d84_array_set_algebra",
+    "t13_zipf_rank_table",
+    "e43_tfidf_cosine_pairs",
+    "a19_dynamic_partition_overwrite",
+    "d85_explode_outer",
+    "e44_sha_content_dedup",
+}
 
 
 def _driver_green() -> set[str]:
