@@ -1,0 +1,135 @@
+"""Iterative graph operators: connected-component clustering of the
+near-duplicate pair graph — the step every production dedup pipeline runs
+AFTER pair generation (pairs alone don't say which documents form one
+duplicate GROUP; transitive closure does: A≈B, B≈C ⇒ {A,B,C} is one
+cluster and one representative survives).
+
+This is the repo's only iterative-fixpoint operator, and it is exactly
+SQL-expressible: the DuckDB oracle computes the same transitive closure
+with a recursive CTE (min-label reachability), so the driver hash-checks
+an iterative Spark algorithm against recursive SQL — no rows-only
+weakening.
+
+Scale design (100 TB): min-label propagation converges in O(diameter)
+rounds; near-dup graphs are overwhelmingly tiny star/clique components
+(diameter ≤ 3 in practice), so 3-5 rounds close almost everything and the
+cap is a safety net. Each round is one shuffle of the (still-relabeling)
+frontier; `localCheckpoint(eager=True)` truncates lineage so round N's
+plan doesn't replay rounds 1..N-1. For adversarial long-chain graphs the
+published upgrade is the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which converges
+in O(log n) rounds with the same per-round join shape. Edges come from
+the candidate-bounded inverted-index join (dedup.py:jaccard_pairs) here;
+at deployment scale they come from the banded-LSH family (e2d/e33), which
+emits each candidate pair exactly once.
+
+Reference: the reference repo (six ML utilities, spark_ml_features.py:1)
+has no graph or dedup surface; this is SURVEY §2-E north-star scope.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_rounds: int = 25) -> DataFrame:
+    """Min-label propagation to a fixpoint.
+
+    ``nodes``: one column ``node`` (BIGINT). ``edges``: columns
+    ``src``/``dst``, must already be SYMMETRIC (both directions present).
+    Returns (node, cluster_id) where cluster_id = min node id reachable.
+
+    Convergence is detected by the label-sum invariant: labels only ever
+    decrease, so sum(lbl) is strictly monotone until the fixpoint — one
+    scalar aggregate per round instead of a change-count join. The scalar
+    collect is O(1) driver traffic (CLAUDE.md's no-driver-data rule allows
+    scalar fixpoint tests; this is how GraphX/GraphFrames drive iteration
+    too)."""
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_rounds):
+        neigh_min = (edges.join(labels, edges["src"] == labels["node"])
+                     .groupBy(F.col("dst").alias("node"))
+                     .agg(F.min("lbl").alias("nmin")))
+        labels = (labels.join(neigh_min, "node", "left")
+                  .select("node",
+                          F.least(F.col("lbl"),
+                                  F.coalesce("nmin", "lbl")).alias("lbl")))
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "e45_dup_clusters_cc",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM sub
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY cluster_id
+)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)
+""",
+    tags=("north-star", "E1", "E3", "dedup", "graph", "iterative"),
+)
+def e45_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the exact
+    Jaccard ≥ 0.5 pair graph (e3's candidate-bounded inverted-index edges,
+    same deterministic 20% sample), one row per document with its cluster
+    representative (min doc_id reachable) and cluster size. Docs with no
+    near-dup partner form singleton clusters — they stay in the output, so
+    `cluster_size = 1` IS the keep-list predicate downstream.
+
+    The oracle replays the identical closure as a DuckDB recursive CTE, so
+    the iterative Spark fixpoint is hash-checked end-to-end — pair graph,
+    transitive closure, cluster ids, and sizes all match exactly."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.5)
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(
+                 prs.select(F.col("d2").alias("src"),
+                            F.col("d1").alias("dst"))))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (cc.join(F.broadcast(sizes), "cluster_id")
+            .select(F.col("node").alias("doc_id"), "cluster_id",
+                    "cluster_size"))

@@ -13,6 +13,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     basic,
     dedup,
     features,
+    graph,
     ml,
     multimodal,
     packing,
@@ -20,6 +21,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     scaling,
     sessionize,
     similarity,

@@ -372,3 +372,51 @@ def test_mad_first_pass_broadcasts_back(spark):
     plan = _plan(spark, "d77_robust_mad")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q12_filters_reach_lineitem_scan(spark):
+    """d86: the returnflag IN-set and the shipdate year slice must both
+    push to the lineitem scan — the join sees only the filtered slice."""
+    plan = _plan(spark, "d86_tpch_q12")
+    li_scan = [ln for ln in plan.splitlines()
+               if "PushedFilters" in ln and "l_returnflag" in ln]
+    assert li_scan, "returnflag IN-set must push to the lineitem scan"
+    assert "l_shipdate" in li_scan[0], "shipdate range must push too"
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """d87: eqNullSafe is a legal equi-join key — the 27-row dimension must
+    broadcast as a HASH join, never degrade to BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "d87_null_safe_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_costs_three_uniform_shuffles(spark):
+    """d89: the salted rewrite plans as exactly three Exchanges, all
+    uniformly keyed — (key, salt, custkey) pair-dedup, Catalyst's own
+    distinct-expand on (key, custkey) (a custkey appears under many salts,
+    so the stage-2 count_distinct still dedups across salt shards), and
+    the 5-row final — each preceded by a partial HashAggregate. The point
+    of the assertion: no shuffle in the plan is keyed on the bare 5-value
+    hot key with unreduced rows behind it."""
+    plan = _plan(spark, "d89_skew_salted_agg")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 3, "salted agg shape changed"
+
+
+def test_hash_sample_is_scan_side(spark):
+    """d90: the deterministic hash predicate filters BEFORE the only
+    shuffle — sampling never costs an Exchange of unsampled rows."""
+    plan = _plan(spark, "d90_hash_sample_agg")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, "sample filter must precede the one shuffle"
+
+
+def test_cc_output_joins_broadcast(spark):
+    """e45: the post-fixpoint cluster-size rejoin broadcasts the tiny
+    cluster table; no cartesian anywhere in the closure."""
+    plan = _plan(spark, "e45_dup_clusters_cc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,12 @@ DEFERRED_ORACLES: set[str] = {
     "a19_dynamic_partition_overwrite",
     "d85_explode_outer",
     "e44_sha_content_dedup",
+    "d86_tpch_q12",
+    "d87_null_safe_join",
+    "d88_union_by_name",
+    "d89_skew_salted_agg",
+    "d90_hash_sample_agg",
+    "e45_dup_clusters_cc",
 }
 
 
