@@ -195,8 +195,10 @@ MINHASH_MIN_MATCH = 8      # report pairs with ≥ 8/16 matching sigs (Ĵ ≥ 0.
 MINHASH_SHINGLE_B = 10007  # 3-gram shingle hash: ((h1·B + h2) % p · B + h3) % p
 
 
-def _duckdb_minhash_banded() -> str:
-    """DuckDB twin of :func:`e33_minhash_banded_exact`."""
+def _duckdb_minhash_ctes() -> str:
+    """Shared CTE chain (no WITH prefix): shingle hashes → signatures →
+    banded candidates → ``est`` (pairs with ≥ MINHASH_MIN_MATCH agreeing
+    sigs). Composed by the e33 oracle and the e46 quality-report oracle."""
     from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
 
     sig_cols = ", ".join(
@@ -209,8 +211,7 @@ def _duckdb_minhash_banded() -> str:
     n_match = " + ".join(
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
         for i in range(MINHASH_K))
-    return f"""
-WITH t0 AS (
+    return f"""t0 AS (
     SELECT doc_id, str_split(text, ' ') AS t FROM documents
 ), th AS (
     SELECT doc_id,
@@ -236,17 +237,56 @@ WITH t0 AS (
     FROM banded a
     JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
                  AND a.doc_id < b.doc_id
-)
+), est AS (
+    SELECT d1, d2, n_sig_match FROM (
+        SELECT d1, d2, ({n_match}) AS n_sig_match
+        FROM cand
+        JOIN sig sa ON sa.doc_id = d1
+        JOIN sig sb ON sb.doc_id = d2
+    )
+    WHERE n_sig_match >= {MINHASH_MIN_MATCH}
+)"""
+
+
+def _duckdb_minhash_banded() -> str:
+    """DuckDB twin of :func:`e33_minhash_banded_exact`."""
+    return f"""
+WITH {_duckdb_minhash_ctes()}
 SELECT d1, d2, n_sig_match,
        n_sig_match / {MINHASH_K}.0 AS est_jaccard
-FROM (
-    SELECT d1, d2, ({n_match}) AS n_sig_match
-    FROM cand
-    JOIN sig sa ON sa.doc_id = d1
-    JOIN sig sb ON sb.doc_id = d2
-)
-WHERE n_sig_match >= {MINHASH_MIN_MATCH}
+FROM est
 """
+
+
+def token_hash_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, th): per-token rolling hashes materialized ONCE per row
+    (own Project — the e5 lesson: never leave a per-row array aggregate to
+    be re-evaluated per shingle)."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash, tokens
+
+    return d.select("doc_id", F.transform(
+        tokens("text"), lambda tok: rolling_hash(tok)).alias("th"))
+
+
+def numeric_shingles(th) -> F.Column:
+    """Distinct word-3-gram shingle hashes from a token-hash array column:
+    each shingle hash is an O(1) numeric combine over the hash array — no
+    concat-string shingles, no re-folding characters 3× per overlapping
+    shingle (measured 3.5× faster than string shingling). Positions are
+    guarded (Spark sequence(1,0) is DESCENDING — see t7)."""
+    n_tok = F.size(th)
+
+    def combine(i):
+        return ((F.element_at(th, i) * MINHASH_SHINGLE_B
+                 + F.element_at(th, i + 1))
+                % MINHASH_P * MINHASH_SHINGLE_B
+                + F.element_at(th, i + 2)) % MINHASH_P
+
+    return F.when(
+        n_tok >= 3,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_tok - 2),
+                                     combine)),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 @register(
@@ -275,28 +315,17 @@ def e33_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy (±1/√K) and J ≥ 0.8 recall are validated against exact 3-gram
     Jaccard in tests/test_invariants.py.
     Ref: spark_ml_features.py:1 (repo has no dedup; SURVEY §2-E E2)."""
-    from pyspark_ml_features_spark.functions.text import rolling_hash, tokens
-
     d = table(spark, sf_dir, "documents")
-    # token hashes materialized ONCE per row (own Project — the e5 lesson:
-    # never leave a per-row array aggregate to be re-evaluated per shingle),
-    # then each 3-gram shingle hash is an O(1) numeric combine over the
-    # hash array — no concat-string shingles, no re-folding characters 3×
-    # per overlapping shingle (measured 3.5× faster than string shingling)
-    th_df = d.select("doc_id", F.transform(
-        tokens("text"), lambda tok: rolling_hash(tok)).alias("th"))
-    th = F.col("th")
-    n_tok = F.size(th)
-    combine = lambda i: (  # noqa: E731
-        (F.element_at(th, i) * MINHASH_SHINGLE_B + F.element_at(th, i + 1))
-        % MINHASH_P * MINHASH_SHINGLE_B + F.element_at(th, i + 2)) % MINHASH_P
-    # guarded 3-gram positions (Spark sequence(1,0) is descending — see t7)
-    sh = F.when(
-        n_tok >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n_tok - 2), combine)),
-    ).otherwise(F.array().cast("array<bigint>"))
-    tok = th_df.select("doc_id", F.explode(sh).alias("x"))
+    return minhash_candidate_pairs(d)
+
+
+def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
+    """e33's pipeline as a reusable builder (also feeds the e46 quality
+    report): (d1, d2, n_sig_match, est_jaccard) for pairs with
+    ≥ MINHASH_MIN_MATCH agreeing signatures."""
+    th_df = token_hash_arrays(d)
+    tok = th_df.select(
+        "doc_id", F.explode(numeric_shingles(F.col("th"))).alias("x"))
     sig = tok.groupBy("doc_id").agg(*[
         F.min((F.lit(a) * F.col("x") + b) % MINHASH_P).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_AFFINE)])

@@ -249,3 +249,50 @@ def d90_hash_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sampled"),
                  F.min("o_orderkey").alias("min_key"),
                  F.max("o_orderkey").alias("max_key")))
+
+
+@register(
+    "d91_equidepth_histogram",
+    oracle="""
+WITH bounds AS (
+    SELECT quantile_cont(o_totalprice,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+    FROM orders
+)
+SELECT CAST(1 + len(list_filter(bs, b -> o_totalprice > b)) AS BIGINT)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders, bounds
+GROUP BY 1
+""",
+    tags=("engine", "histogram", "quantile"),
+)
+def d91_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (d52's equi-width sibling): decile boundaries
+    from ONE exact percentile aggregate, then bucket = 1 + |{b : x > b}| —
+    ties on a boundary land in the same bucket on both engines (ntile
+    would split them arbitrarily AND need a global single-partition sort;
+    this shape needs neither). Spark ``percentile`` bit-matches DuckDB
+    ``quantile_cont`` on doubles (probed, d51), and the bucket rule is a
+    pure comparison count, so the histogram is exact.
+
+    100 TB: the 9-double boundary row comes back as a single-row
+    broadcast cross join (the d39/d56/t9 allowlisted shape — a 1-row
+    build side makes BNLJ O(n), and a constant join key would just fold
+    away); the fact table never shuffles until the 10-group aggregate.
+    The exact percentile pass is the only scale caveat — the production
+    default swaps in percentile_approx (b6b's documented trade) without
+    changing the bucket rule."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(F.percentile(
+        "o_totalprice",
+        F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias("bs"))
+    x = F.col("o_totalprice")
+    bucket = (F.size(F.filter("bs", lambda b: x > b)) + 1).cast("bigint")
+    return (o.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min(x).alias("lo"),
+                 F.max(x).alias("hi")))

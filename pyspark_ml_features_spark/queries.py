@@ -18,6 +18,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     multimodal,
     packing,
     python_udfs,
+    quality,
     relational,
     relational2,
     relational3,

@@ -272,6 +272,7 @@ BNLJ_ALLOWED = {
     "t9_lm_quality",         # single-row corpus-stats cross join
     "t10_perplexity",        # single-row corpus-stats cross join
     "e43_tfidf_cosine_pairs",  # single-row n_docs aggregate cross join (e8 shape)
+    "d91_equidepth_histogram",  # single-row decile-boundary cross join
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {"d22_row_udf", "d27_python_udtf"}

@@ -42,6 +42,8 @@ DEFERRED_ORACLES: set[str] = {
     "d89_skew_salted_agg",
     "d90_hash_sample_agg",
     "e45_dup_clusters_cc",
+    "d91_equidepth_histogram",
+    "e46_lsh_quality_report",
 }
 
 
