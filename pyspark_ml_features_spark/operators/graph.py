@@ -39,7 +39,8 @@ from pyspark_ml_features_spark.sources import table
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_rounds: int = 25) -> DataFrame:
+                         max_rounds: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Min-label propagation to a fixpoint.
 
     ``nodes``: one column ``node`` (BIGINT). ``edges``: columns
@@ -55,7 +56,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     labels = nodes.select("node", F.col("node").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(max_rounds):
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
         neigh_min = (edges.join(labels, edges["src"] == labels["node"])
                      .groupBy(F.col("dst").alias("node"))
                      .agg(F.min("lbl").alias("nmin")))
@@ -68,6 +70,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        # rounds includes the final no-change confirmation round
+        stats["rounds"] = rounds
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
