@@ -539,3 +539,41 @@ def test_fingerprint_dedup_equals_text_dedup(run):
     by_fp = {(r["kept_doc_id"], r["n_copies"]) for r in fp_rows}
     assert by_fp == by_text
     assert all(r["n_distinct_fp2"] == 1 for r in fp_rows)
+
+
+def test_cc_clusters_are_closed_under_edges(run, spark):
+    """e45: cluster assignment must be a valid partition of the pair
+    graph — every near-dup pair lands in ONE cluster (no edge crosses two
+    clusters), the representative is the cluster's min doc_id, and
+    cluster_size matches the member count."""
+    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+    from pyspark_ml_features_spark.sources import table
+
+    cc = run("e45_dup_clusters_cc").cache()
+    d = table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.5).select("d1", "d2")
+    a = cc.select(F.col("doc_id").alias("d1"), F.col("cluster_id").alias("c1"))
+    b = cc.select(F.col("doc_id").alias("d2"), F.col("cluster_id").alias("c2"))
+    crossing = (prs.join(a, "d1").join(b, "d2")
+                .filter(F.col("c1") != F.col("c2")).count())
+    assert crossing == 0, "an edge crosses two clusters — closure incomplete"
+    bad_rep = (cc.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+               .filter(F.col("cluster_id") != F.col("mn")).count())
+    assert bad_rep == 0, "cluster_id must be the min member doc_id"
+    bad_sz = (cc.groupBy("cluster_id", "cluster_size")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") != F.col("cluster_size")).count())
+    assert bad_sz == 0, "cluster_size must equal the member count"
+
+
+def test_lsh_quality_report_bounds(run):
+    """e46: confusion counts must be consistent (tp <= both set sizes,
+    ratios in [0,1]) and the fixture's banded geometry should keep both
+    precision and recall high (it is tuned for J >= 0.5)."""
+    r = run("e46_lsh_quality_report").collect()[0]
+    assert r["n_tp"] <= min(r["n_true"], r["n_est"])
+    assert 0.0 <= r["precision_est"] <= 1.0
+    assert 0.0 <= r["recall_est"] <= 1.0
+    assert r["recall_est"] >= 0.8, "banded geometry should catch J>=0.5 pairs"
+    assert r["precision_est"] >= 0.5
