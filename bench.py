@@ -77,6 +77,14 @@ HEADLINE = [
     "d67_session_window_batch",
     "e38_rollup_merge_upsert",
     "d79_asof_nearest",
+    # r4 continuation: one representative per new family — the final
+    # TPC-H shape, the skew-salting rewrite, the equi-depth histogram.
+    # e45 (CC) and e46 (LSH audit) stay out: both ride e3-style exact
+    # pair generation (a deliberate correctness baseline, demoted from
+    # the headline with e3 itself per VERDICT r3 task 2).
+    "d86_tpch_q12",
+    "d89_skew_salted_agg",
+    "d91_equidepth_histogram",
 ]
 
 
