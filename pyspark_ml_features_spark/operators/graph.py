@@ -40,7 +40,8 @@ from pyspark_ml_features_spark.sources import table
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_rounds: int = 25,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         init_labels: DataFrame | None = None) -> DataFrame:
     """Min-label propagation to a fixpoint.
 
     ``nodes``: one column ``node`` (BIGINT). ``edges``: columns
@@ -52,8 +53,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     scalar aggregate per round instead of a change-count join. The scalar
     collect is O(1) driver traffic (CLAUDE.md's no-driver-data rule allows
     scalar fixpoint tests; this is how GraphX/GraphFrames drive iteration
-    too)."""
+    too).
+
+    ``init_labels`` (node, lbl) warm-starts the fixpoint — correct for any
+    assignment where each label is the min node id of a SUBSET of its
+    node's component (e.g. a previous run's clusters over a subgraph):
+    the fixpoint of min-propagation from such labels is still the
+    component min. Nodes absent from ``init_labels`` start as themselves."""
     labels = nodes.select("node", F.col("node").alias("lbl"))
+    if init_labels is not None:
+        labels = (labels.join(init_labels.withColumnRenamed("lbl", "init"),
+                              "node", "left")
+                  .select("node", F.coalesce("init", "lbl").alias("lbl")))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     rounds = 0
@@ -138,3 +149,87 @@ def e45_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cc.join(F.broadcast(sizes), "cluster_id")
             .select(F.col("node").alias("doc_id"), "cluster_id",
                     "cluster_size"))
+
+
+@register(
+    "e47_incremental_cc",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 IN (0, 1)
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM sub
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY cluster_id
+)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+       cc.doc_id % 5 AS is_new
+FROM cc JOIN sz USING (cluster_id)
+""",
+    tags=("north-star", "E1", "dedup", "graph", "incremental"),
+)
+def e47_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate clustering: a new ingest batch (doc_id%5==1)
+    joins an already-clustered corpus (doc_id%5==0, e45's sample) and the
+    fixpoint WARM-STARTS from the existing cluster labels instead of
+    recomputing from scratch — the nightly-ingest shape of production
+    dedup. Warm-starting is sound because min-propagation from any
+    labels that are subset-component minima still converges to the full
+    component minimum (see connected_components); the oracle is the
+    plain batch closure over the union graph, so the driver hash-checks
+    incremental ≡ batch. Established clusters are already collapsed, so
+    label distance — and rounds — shrinks vs a cold run
+    (tests/test_invariants.py pins warm_rounds <= cold_rounds).
+
+    100 TB: the base corpus's labels are a stored table (8+8 bytes/doc);
+    each increment closes only frontier label changes — rounds bounded
+    by the NEW docs' attachment depth, not the corpus diameter."""
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0)
+    union = d.filter((F.col("doc_id") % 5).isin(0, 1))
+
+    base_pairs = jaccard_pairs(base, tokens("text"), threshold=0.5)
+    base_edges = (base_pairs.select(F.col("d1").alias("src"),
+                                    F.col("d2").alias("dst"))
+                  .unionByName(base_pairs.select(F.col("d2").alias("src"),
+                                                 F.col("d1").alias("dst"))))
+    base_labels = connected_components(
+        base.select(F.col("doc_id").alias("node")), base_edges) \
+        .withColumnRenamed("cluster_id", "lbl")
+
+    union_pairs = jaccard_pairs(union, tokens("text"), threshold=0.5)
+    union_edges = (union_pairs.select(F.col("d1").alias("src"),
+                                      F.col("d2").alias("dst"))
+                   .unionByName(union_pairs.select(F.col("d2").alias("src"),
+                                                   F.col("d1").alias("dst"))))
+    cc = connected_components(
+        union.select(F.col("doc_id").alias("node")), union_edges,
+        init_labels=base_labels)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (cc.join(F.broadcast(sizes), "cluster_id")
+            .select(F.col("node").alias("doc_id"), "cluster_id",
+                    "cluster_size",
+                    (F.col("node") % 5).alias("is_new")))

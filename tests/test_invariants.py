@@ -577,3 +577,41 @@ def test_lsh_quality_report_bounds(run):
     assert 0.0 <= r["recall_est"] <= 1.0
     assert r["recall_est"] >= 0.8, "banded geometry should catch J>=0.5 pairs"
     assert r["precision_est"] >= 0.5
+
+
+def test_incremental_cc_warm_start_saves_rounds(spark):
+    """e47's warm start must converge in no MORE rounds than a cold run
+    on the same union graph (equality allowed — the fixture's graphs are
+    already diameter-1), and produce identical labels."""
+    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark_ml_features_spark.sources import table
+
+    d = table(spark, SF_DIR, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0)
+    union = d.filter((F.col("doc_id") % 5).isin(0, 1))
+
+    def sym(p):
+        return (p.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+                .unionByName(p.select(F.col("d2").alias("src"),
+                                      F.col("d1").alias("dst"))))
+
+    base_edges = sym(jaccard_pairs(base, tokens("text"), 0.5))
+    union_edges = sym(jaccard_pairs(union, tokens("text"), 0.5))
+    nodes = union.select(F.col("doc_id").alias("node"))
+    init = connected_components(
+        base.select(F.col("doc_id").alias("node")), base_edges) \
+        .withColumnRenamed("cluster_id", "lbl")
+    cold_stats: dict = {}
+    warm_stats: dict = {}
+    cold = connected_components(nodes, union_edges, stats=cold_stats)
+    warm = connected_components(nodes, union_edges, stats=warm_stats,
+                                init_labels=init)
+    assert warm_stats["rounds"] <= cold_stats["rounds"]
+    diff = (cold.withColumnRenamed("cluster_id", "c")
+            .join(warm.withColumnRenamed("cluster_id", "w"), "node")
+            .filter(F.col("c") != F.col("w")).count())
+    assert diff == 0, "warm-start labels must equal the cold fixpoint"

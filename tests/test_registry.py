@@ -44,6 +44,7 @@ DEFERRED_ORACLES: set[str] = {
     "e45_dup_clusters_cc",
     "d91_equidepth_histogram",
     "e46_lsh_quality_report",
+    "e47_incremental_cc",
 }
 
 
