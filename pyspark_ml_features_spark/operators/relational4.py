@@ -18,7 +18,7 @@ extensions" mandate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -296,3 +296,86 @@ def d91_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min(x).alias("lo"),
                  F.max(x).alias("hi")))
+
+
+@register(
+    "d92_cube_grouping_id",
+    oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR), 'ALL')
+           AS yr,
+       CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+""",
+    tags=("engine", "D7", "cube", "grouping-id"),
+)
+def d92_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with the GROUPING bitmask: ``grouping_id()`` distinguishes a
+    genuine NULL group key from a rollup's ALL row — the disambiguator
+    every BI layer needs on top of d7's cube/rollup family (a coalesce
+    label alone collides with real NULLs; the bitmask cannot). Spark and
+    DuckDB agree on bit order: the LEFTMOST grouping column is the most
+    significant bit.
+
+    100 TB: cube expands each input row into 2^k grouping-set rows BEFORE
+    the shuffle (Expand node), but partial aggregation collapses them
+    map-side, so the shuffle carries |groups| x 2^k rows, not |input| x
+    2^k."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("bigint")
+    return (o.cube(F.col("o_orderpriority"), yr.alias("yr_num"))
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce(F.col("yr_num").cast("string"),
+                           F.lit("ALL")).alias("yr"),
+                F.col("gid").cast("bigint").alias("gid"),
+                "n_orders"))
+
+
+@register(
+    "d93_cumulative_distinct_users",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+), by_day AS (
+    SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+    FROM firsts GROUP BY first_day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM by_day
+""",
+    tags=("engine", "D8", "window", "distinct", "incremental"),
+)
+def d93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count (cumulative users ever seen, by day) via the
+    first-seen rewrite: a naive count(DISTINCT) over a growing window
+    re-scans every prefix (quadratic); instead each user contributes once
+    on their first day (one groupBy-min), days aggregate to new-user
+    counts, and a running sum over the |days| rows finishes it. The
+    single-partition window is over the DAY relation (thousands of rows
+    at any corpus age), never over events. Dates surface as TIMESTAMP on
+    both sides (the d74 dtype rule).
+
+    100 TB: two uniformly-keyed shuffles (user_id, then day) with full
+    map-side combine; the unbounded-window input is bounded by calendar
+    days, so it broadcasts trivially. This is also the incremental shape:
+    firsts is a MERGE-maintainable table (e19/e38 pattern)."""
+    e = table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    by_day = (firsts.groupBy(F.col("first_day").alias("day"))
+              .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy(F.col("day").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (by_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users")))

@@ -45,6 +45,8 @@ DEFERRED_ORACLES: set[str] = {
     "d91_equidepth_histogram",
     "e46_lsh_quality_report",
     "e47_incremental_cc",
+    "d92_cube_grouping_id",
+    "d93_cumulative_distinct_users",
 }
 
 
