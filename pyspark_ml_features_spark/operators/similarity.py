@@ -345,3 +345,45 @@ def e4e_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5)
             .select("query_id", "neighbor_id", "cosine_q8"))
+
+
+@register(
+    "e48_centroid_outliers",
+    oracle="""
+WITH ex AS (
+    SELECT vec_id, label, unnest(range(0, len(embedding))) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+), cent AS (
+    SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+)
+SELECT ex.vec_id, ex.label,
+       round(sum((ex.val - cent.c) * (ex.val - cent.c)), 6) AS dist2
+FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+GROUP BY ex.vec_id, ex.label
+""",
+    tags=("north-star", "E4", "similarity", "quality", "outlier"),
+)
+def e48_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER scoring: per-label centroid (per-dimension mean
+    over the exploded (label, pos) space) and each vector's squared L2
+    distance to its own centroid — the embedding-space quality gate that
+    flags mislabeled/degenerate vectors before they poison training
+    (downstream keeps dist2 below a percentile cut, e.g. b6's machinery).
+    Distances are summed per vector and rounded to 6 dp on both engines —
+    the repo's cross-row double-sum convention (the per-dim mean is a
+    cross-row aggregate, so unlike e4's per-row folds it is not bit-stable
+    unrounded; round(6) absorbs the last-ulp divergence).
+
+    100 TB: the exploded aggregate is (|labels| × 64) rows — map-side
+    combinable and broadcast back for the distance join (same join-back
+    shape as d77/e11); the corpus shuffles once on (label, pos) partials
+    and once per-vector, both uniformly keyed."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    diff = F.col("val") - F.col("c")
+    return (ex.join(F.broadcast(cent), ["label", "pos"])
+            .groupBy("vec_id", "label")
+            .agg(F.round(F.sum(diff * diff), 6).alias("dist2")))

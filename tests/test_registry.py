@@ -47,6 +47,7 @@ DEFERRED_ORACLES: set[str] = {
     "e47_incremental_cc",
     "d92_cube_grouping_id",
     "d93_cumulative_distinct_users",
+    "e48_centroid_outliers",
 }
 
 
