@@ -454,3 +454,38 @@ def a17_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
                   .alias("sum_price_cents")))
+
+
+@register(
+    "a20_temp_views_sql",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_floor
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("reference", "A8", "sql", "views"),
+)
+def a20_temp_views_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-statement SQL entry point over registered TEMP VIEWS — a8
+    runs string *expressions* through Catalyst; this runs a full
+    multi-table statement (join + aggregate) via ``spark.sql`` on views
+    created from the parquet sources, the workflow SQL-first users expect
+    (views are session-scoped and pmfs_-prefixed, so no catalog
+    collisions; measures are integer-exact per convention).
+
+    100 TB: identical plan to the DataFrame form — views are just named
+    logical plans, so pushdown/broadcast/AQE all apply unchanged."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("pmfs_a20_orders")
+    table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("pmfs_a20_customer")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               min(o_orderkey) AS min_key,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) AS total_floor
+        FROM pmfs_a20_orders o JOIN pmfs_a20_customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment""")

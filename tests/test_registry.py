@@ -48,6 +48,7 @@ DEFERRED_ORACLES: set[str] = {
     "d92_cube_grouping_id",
     "d93_cumulative_distinct_users",
     "e48_centroid_outliers",
+    "a20_temp_views_sql",
 }
 
 
