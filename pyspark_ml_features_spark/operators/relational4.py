@@ -379,3 +379,38 @@ def d93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("day").cast("timestamp").alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users")))
+
+
+@register(
+    "d94_multiset_ops",
+    oracle="""
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+SELECT 'intersect_all' AS op, o_custkey
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all' AS op, o_custkey
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+""",
+    tags=("engine", "D12", "set-ops", "multiset"),
+)
+def d94_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — d12's bag-semantics sibling: INTERSECT
+    ALL keeps min(multiplicity) per value, EXCEPT ALL subtracts
+    multiplicities (a customer with 3 urgent and 1 high order survives
+    except_all twice) — the semantics dedup-aware reconciliation needs,
+    where plain INTERSECT/EXCEPT silently collapse copies. The
+    order-insensitive value hash is multiplicity-SENSITIVE, so the oracle
+    checks the bag, not the set.
+
+    100 TB: Spark plans both as aggregate-count + generate (one shuffle
+    per side on the value, replicate by min/residual count) — no join of
+    row copies; both inputs come from the same pruned scan."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return (a.intersectAll(b).select(F.lit("intersect_all").alias("op"),
+                                     "o_custkey")
+            .unionByName(a.exceptAll(b)
+                         .select(F.lit("except_all").alias("op"),
+                                 "o_custkey")))

@@ -315,3 +315,32 @@ def s6_streaming_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     batch-id ledger under at-least-once redelivery."""
     target = _mkdtemp("pmfs_s6_rollup_")
     return run_streaming_materialized_rollup(spark, sf_dir, target)
+
+
+@register("s8_streaming_new_users",
+          tags=("north-star", "D8", "streaming", "incremental"))
+def s8_streaming_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of d93 (cumulative distinct users): the STREAMING
+    engine continuously maintains the per-user first-seen-day table (one
+    stateful min aggregate — state is 16 bytes/user, the same MERGE-
+    maintainable `firsts` table d93's docstring names), drained with
+    AvailableNow/complete; the |days|-row daily rollup + running sum then
+    runs batch-side on the drained result, exactly as a downstream
+    dashboard would. Chaining both aggregations inside one streaming query
+    is unsupported (and unnecessary — the second is over days, not
+    events). Rows-only for the driver; equality with d93 is asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    firsts = (s.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    mat = run_stream_to_memory(firsts, mode="complete")
+    by_day = (mat.groupBy(F.col("first_day").alias("day"))
+              .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy(F.col("day").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (by_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users")))

@@ -49,6 +49,7 @@ DEFERRED_ORACLES: set[str] = {
     "d93_cumulative_distinct_users",
     "e48_centroid_outliers",
     "a20_temp_views_sql",
+    "d94_multiset_ops",
 }
 
 

@@ -172,3 +172,13 @@ def test_streaming_rollup_merge_is_idempotent_under_replay(spark, tmp_path):
     first = run_streaming_materialized_rollup(spark, SF_DIR, target).toPandas()
     replay = run_streaming_materialized_rollup(spark, SF_DIR, target).toPandas()
     assert_frames_match(replay, first, "rollup_replay_idempotency")
+
+
+def test_streaming_new_users_equals_batch(spark):
+    """s8's stream-maintained firsts table must reproduce d93 exactly."""
+    from pyspark_ml_features_spark import registry
+
+    ALL = registry.all_queries()
+    s = ALL["s8_streaming_new_users"].fn(spark, SF_DIR).collect()
+    b = ALL["d93_cumulative_distinct_users"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, b))
