@@ -319,16 +319,30 @@ def e33_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(d)
 
 
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): the MinHash SIGNATURE TABLE — 128 bytes/doc
+    regardless of document length. This is the materialization boundary of
+    the production pipeline (the "signature store"): e33 computes it
+    inline, e49 persists it to parquet and generates pairs from the stored
+    copy."""
+    th_df = token_hash_arrays(d)
+    tok = th_df.select(
+        "doc_id", F.explode(numeric_shingles(F.col("th"))).alias("x"))
+    return tok.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("x") + b) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_AFFINE)])
+
+
 def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
     """e33's pipeline as a reusable builder (also feeds the e46 quality
     report): (d1, d2, n_sig_match, est_jaccard) for pairs with
     ≥ MINHASH_MIN_MATCH agreeing signatures."""
-    th_df = token_hash_arrays(d)
-    tok = th_df.select(
-        "doc_id", F.explode(numeric_shingles(F.col("th"))).alias("x"))
-    sig = tok.groupBy("doc_id").agg(*[
-        F.min((F.lit(a) * F.col("x") + b) % MINHASH_P).alias(f"s{i}")
-        for i, (a, b) in enumerate(MINHASH_AFFINE)])
+    return pairs_from_signatures(minhash_signatures(d))
+
+
+def pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banded candidate generation + exact agreement scoring from a
+    signature table (inline or read back from the signature store)."""
     banded = sig.select(
         "doc_id",
         F.array(*[F.col(f"s{i}") for i in range(MINHASH_K)]).alias("sig"),
@@ -1364,3 +1378,28 @@ def e44_sha_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").alias("kept_doc_id"),
                  F.count(F.lit(1)).alias("n_copies"),
                  F.min("md5").alias("md5_key")))
+
+
+@register(
+    "e49_signature_store_pairs",
+    oracle=_duckdb_minhash_banded(),
+    tags=("north-star", "E2", "dedup", "sink", "signature-store"),
+)
+def e49_signature_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED signature store: e33's MinHash signature table is
+    persisted to parquet (128 bytes/doc) and candidate pairs are generated
+    from the STORED copy — proving the materialization boundary is
+    lossless (same oracle as e33, so the driver hash-checks
+    store-then-join ≡ compute-then-join). This is how production dedup
+    amortizes signatures: compute once per ingest, re-band/re-join many
+    times (threshold sweeps, incremental batches like e32/e47) without
+    touching document text.
+
+    100 TB: the store is ~0.1% the corpus size; pair generation reads ONLY
+    the store — document bodies never enter the join pipeline."""
+    from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
+
+    d = table(spark, sf_dir, "documents")
+    store = pid_scoped("pmfs_minhash_store")
+    minhash_signatures(d).write.mode("overwrite").parquet(store)
+    return pairs_from_signatures(spark.read.parquet(store))

@@ -50,6 +50,7 @@ DEFERRED_ORACLES: set[str] = {
     "e48_centroid_outliers",
     "a20_temp_views_sql",
     "d94_multiset_ops",
+    "e49_signature_store_pairs",
 }
 
 
