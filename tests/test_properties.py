@@ -74,3 +74,48 @@ def test_label_index_is_frequency_ordered_bijection(spark, labels):
     freq = {lb: labels.count(lb) for lb in set(labels)}
     ordered = sorted(freq, key=lambda lb: (-freq[lb], lb))
     assert mapping == {lb: float(i) for i, lb in enumerate(ordered)}
+
+
+def _py_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@SLOW
+@given(st.integers(min_value=1, max_value=30).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                 min_size=0, max_size=60))))
+def test_connected_components_matches_union_find(spark, case):
+    """connected_components on arbitrary random graphs (self-loops and
+    duplicate edges included) must equal a Python union-find — including
+    long chains, which exercise multi-round convergence (the fixture
+    graphs all close in one round)."""
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+
+    n, raw_edges = case
+    edges_list = [(a, b) for a, b in raw_edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                  schema="node long")
+    sym = ([(a, b) for a, b in edges_list]
+           + [(b, a) for a, b in edges_list]) or [(0, 0)]
+    edges = spark.createDataFrame(sym, schema="src long, dst long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(nodes, edges).collect()}
+    want = _py_components(n, edges_list)
+    assert got == want
