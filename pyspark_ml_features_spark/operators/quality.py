@@ -100,3 +100,44 @@ def e46_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision_est"),
         (F.sum(tp).cast("double") / F.count(F.col("t.d1")))
         .alias("recall_est"))
+
+
+def _e50_oracle() -> str:
+    return f"""
+WITH {_duckdb_minhash_ctes()},
+thr AS (SELECT unnest([8, 10, 12, 14, 16]) AS min_match)
+SELECT thr.min_match,
+       CAST(count(CASE WHEN est.n_sig_match >= thr.min_match
+                       THEN 1 END) AS BIGINT) AS n_pairs,
+       thr.min_match / 16.0 AS est_jaccard_threshold
+FROM thr LEFT JOIN est ON est.n_sig_match >= thr.min_match
+GROUP BY thr.min_match
+"""
+
+
+@register(
+    "e50_threshold_sweep",
+    oracle=_e50_oracle(),
+    tags=("north-star", "E2", "dedup", "quality", "tuning"),
+)
+def e50_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold SWEEP from one candidate pass: pair counts at
+    five agreement cutoffs (Ĵ ≥ 0.5 .. 1.0) computed from a single banded
+    join — the tuning table an operator reads to pick the dedup threshold
+    (too low → over-merging, too high → missed dups), without re-running
+    candidate generation per candidate threshold. With e49's signature
+    store this sweep re-runs nightly at ~0.1% of corpus cost.
+
+    100 TB: one banded join (the e33 plan), then a 5-row broadcast of
+    thresholds over the pair relation — count aggregates map-side."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d).select("n_sig_match")
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in (8, 10, 12, 14, 16)]))
+        .alias("min_match"))
+    return (th.crossJoin(F.broadcast(pairs))
+            .groupBy("min_match")
+            .agg(F.count(F.when(F.col("n_sig_match") >= F.col("min_match"),
+                                1)).alias("n_pairs"),
+                 F.first(F.col("min_match") / 16.0)
+                 .alias("est_jaccard_threshold")))

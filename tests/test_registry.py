@@ -51,6 +51,7 @@ DEFERRED_ORACLES: set[str] = {
     "a20_temp_views_sql",
     "d94_multiset_ops",
     "e49_signature_store_pairs",
+    "e50_threshold_sweep",
 }
 
 
