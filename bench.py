@@ -85,6 +85,13 @@ HEADLINE = [
     "d86_tpch_q12",
     "d89_skew_salted_agg",
     "d91_equidepth_histogram",
+    # second continuation: one representative per new family — the banded
+    # range join, the union-merge backward as-of, the Arrow greedy
+    # packer, and the Bloom decontamination pass.
+    "d95_interval_overlap_join",
+    "d98_asof_backward",
+    "e51_greedy_packing",
+    "e52_bloom_decontaminate",
 ]
 
 

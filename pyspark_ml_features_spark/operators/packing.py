@@ -394,3 +394,78 @@ def e26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c12.select(
         "w1", "w2", "n_pair", n_w1.alias("n_w1"),
         (F.col("n_pair") / n_w1.cast("double")).alias("cond_p"))
+
+
+GREEDY_PACK_CAP = 120
+
+
+@register(
+    "e51_greedy_packing",
+    oracle=f"""
+WITH RECURSIVE docs AS (
+    SELECT lang, doc_id % 4 AS shard, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           row_number() OVER (PARTITION BY lang, doc_id % 4
+                              ORDER BY doc_id) AS rn
+    FROM documents
+), pack AS (
+    SELECT lang, shard, doc_id, n_tokens, rn,
+           CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.fill + d.n_tokens > {GREEDY_PACK_CAP}
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + d.n_tokens > {GREEDY_PACK_CAP}
+                THEN d.n_tokens ELSE p.fill + d.n_tokens END
+    FROM pack p JOIN docs d ON d.lang = p.lang AND d.shard = p.shard
+                           AND d.rn = p.rn + 1
+)
+SELECT lang, shard, doc_id, n_tokens, bin_id FROM pack
+""",
+    tags=("north-star", "packing", "udf"),
+)
+def e51_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY capacity-respecting sequence packing — the first-fit-in-order
+    rule real training pipelines use when a pack must NEVER exceed the
+    context window: walk documents in doc_id order and open a new bin
+    whenever adding the next doc would push the current bin past
+    {GREEDY_PACK_CAP} tokens (an oversized doc still gets its own bin).
+    Unlike e16's cumulative-sum rule (which lets a doc straddle the pack
+    boundary), this fold carries state that RESETS — not expressible as a
+    window function, so the engine runs it as an Arrow-batched
+    ``applyInPandas`` over (lang, shard) groups while the oracle mirrors
+    the exact fold as a DuckDB RECURSIVE CTE stepping one row per group per
+    iteration.
+
+    Sharding IS the scale story: packing only needs sequential order
+    WITHIN a shard, so the group key is (lang, doc_id % 4) — at 100 TB you
+    raise the shard count until each group fits an executor's memory, and
+    skewed languages split across shards instead of hot-spotting one task
+    (the 43%-English corpus never lands on one core). Token counts are
+    computed Spark-side (JVM split+size); only (key, n_tokens) reaches
+    Python — the text column never crosses the Arrow boundary."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    base = d.select("lang", (F.col("doc_id") % 4).alias("shard"),
+                    "doc_id", n_tok.alias("n_tokens"))
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill, out = 0, 0, []
+        for n in pdf["n_tokens"]:
+            if bin_id == 0 or fill + n > GREEDY_PACK_CAP:
+                bin_id += 1
+                fill = n
+            else:
+                fill += n
+            out.append(bin_id)
+        pdf["bin_id"] = pd.Series(out, dtype="int64")
+        return pdf[["lang", "shard", "doc_id", "n_tokens", "bin_id"]]
+
+    return base.groupBy("lang", "shard").applyInPandas(
+        pack_group,
+        schema="lang string, shard bigint, doc_id bigint, "
+               "n_tokens bigint, bin_id bigint")

@@ -141,3 +141,104 @@ def e50_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 1)).alias("n_pairs"),
                  F.first(F.col("min_match") / 16.0)
                  .alias("est_jaccard_threshold")))
+
+
+# Bloom-filter geometry for e52: m bits, k affine transforms of one
+# engine-exact rolling hash. (P_i, Q_i) are arbitrary fixed primes; what
+# matters for parity is determinism, not statistical independence.
+BLOOM_M = 4096
+BLOOM_FNS = ((389, 1543), (761, 2711), (997, 3833))
+
+
+def _e52_oracle() -> str:
+    from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
+
+    h = duckdb_rolling_hash("text")
+    pos_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, (h * {p} + {q}) % {BLOOM_M} AS pos FROM hashed"
+        for p, q in BLOOM_FNS)
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, text, {h} AS h FROM documents
+), pos AS (
+{pos_rows}
+), bloom AS (
+    SELECT DISTINCT pos FROM pos WHERE doc_id % 5 = 0
+), corpus_pos AS (
+    SELECT DISTINCT doc_id, pos FROM pos WHERE doc_id % 5 <> 0
+), hits AS (
+    SELECT c.doc_id,
+           count(*) AS n_pos,
+           count(b.pos) AS n_hit
+    FROM corpus_pos c LEFT JOIN bloom b ON c.pos = b.pos
+    GROUP BY c.doc_id
+), exact AS (
+    SELECT DISTINCT c.doc_id
+    FROM documents c JOIN documents b ON c.text = b.text
+    WHERE c.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+)
+SELECT h.doc_id,
+       h.n_hit = h.n_pos AS bloom_hit,
+       e.doc_id IS NOT NULL AS exact_hit
+FROM hits h LEFT JOIN exact e ON h.doc_id = e.doc_id
+"""
+
+
+@register(
+    "e52_bloom_decontaminate",
+    oracle=_e52_oracle(),
+    tags=("north-star", "E1", "dedup", "bloom", "decontamination"),
+)
+def e52_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path for e27's broadcast semi-join: the benchmark set (doc_id % 5 = 0,
+    the e27 convention) is compressed into an m=4096-bit Bloom filter
+    (k=3 affine transforms of the engine-exact rolling hash), and every
+    corpus document is flagged when ALL its k bit positions are set. The
+    output carries ``bloom_hit`` next to the ground-truth ``exact_hit``
+    (text-equality semi-join), so the driver hash-checks the filter's
+    exact false-positive behavior — no false NEGATIVES by construction
+    (every exact hit shares all bit positions), while false positives
+    appear as ``bloom_hit AND NOT exact_hit`` rows and grow with bit
+    saturation (7% of bits set at sf0.01; 53% at sf0.1 — the fixture
+    demonstrates both regimes).
+
+    The whole filter is declarative: bit positions are rows, the filter is
+    a DISTINCT aggregate (≤ m rows regardless of corpus size), membership
+    is a broadcast join + count match — no driver-side bitset, no UDF.
+
+    100 TB: the REAL deployment replaces the position-rows join with a
+    broadcast m-bit bitmap (Spark's ``df.stat.bloomFilter`` or a runtime
+    bloom pushed into the scan); semantics are what this query pins. The
+    benchmark side is small by definition (eval sets, not corpora), so m
+    stays KBs-to-MBs; the corpus side is one scan + map-side membership
+    test — zero shuffles of corpus text, versus e27's shuffle-free but
+    memory-heavier broadcast of the raw benchmark texts."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "text", rolling_hash("text").alias("h"))
+    pos = hashed.select(
+        "doc_id",
+        F.explode(F.array(*[
+            ((F.col("h") * p + q) % BLOOM_M).alias(f"p{i}")
+            for i, (p, q) in enumerate(BLOOM_FNS)])).alias("pos"))
+    bloom = (pos.filter(F.col("doc_id") % 5 == 0)
+             .select("pos").distinct())
+    corpus_pos = (pos.filter(F.col("doc_id") % 5 != 0)
+                  .select("doc_id", "pos").distinct())
+    hits = (corpus_pos.join(F.broadcast(bloom.withColumn("hit", F.lit(1))),
+                            "pos", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pos"),
+                 F.count("hit").alias("n_hit")))
+    bench_texts = (d.filter(F.col("doc_id") % 5 == 0)
+                   .select("text").distinct())
+    exact = (d.filter(F.col("doc_id") % 5 != 0)
+             .join(F.broadcast(bench_texts), "text", "leftsemi")
+             .select("doc_id").distinct()
+             .withColumn("ex", F.lit(1)))
+    return (hits.join(exact, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"),
+                    F.col("ex").isNotNull().alias("exact_hit")))

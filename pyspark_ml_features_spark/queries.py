@@ -23,6 +23,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     scaling,
     sessionize,
     similarity,

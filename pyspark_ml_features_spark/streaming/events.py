@@ -344,3 +344,82 @@ def s8_streaming_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users")))
+
+
+LATE_SPLIT_DAY = "2024-01-15"
+MID_SPLIT_DAY = "2024-01-08"
+
+
+def staged_three_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events staged as THREE files so the file source delivers three
+    micro-batches (``maxFilesPerTrigger=1``), newest history first:
+    batch 0 = ts >= LATE_SPLIT_DAY (advances the watermark to
+    max(ts) - 1 h), batch 1 = the middle week, batch 2 = the oldest week.
+    The point of three batches: Spark's late-record filter uses the
+    watermark with a ONE-BATCH LAG (the filter for batch N applies the
+    watermark committed when batch N was constructed, i.e. derived from
+    data through batch N-1 — observed on 4.1: batch 1's behind-watermark
+    rows are admitted with numRowsDroppedByWatermark=0, batch 2's are
+    dropped with numRowsDroppedByWatermark=n). So batch 1 lands as
+    immediately-closed windows while batch 2 is the provably-DROPPED late
+    data. File-source ordering is by modification time; mtimes are pinned
+    explicitly so arrival order never depends on write latency."""
+    src = table(spark, sf_dir, "events")
+    stage = _mkdtemp("events_late_stream_")
+    late_day = F.lit(LATE_SPLIT_DAY).cast("timestamp")
+    mid_day = F.lit(MID_SPLIT_DAY).cast("timestamp")
+    parts = (
+        src.filter(F.col("ts") >= late_day),
+        src.filter((F.col("ts") >= mid_day) & (F.col("ts") < late_day)),
+        src.filter(F.col("ts") < mid_day),
+    )
+    paths = []
+    for i, part in enumerate(parts):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = part.toPandas()
+        p = os.path.join(stage, f"batch{i}.parquet")
+        # pandas datetime64[ns] would land as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects — write the round-3+ timestamp[us]
+        # layout the rest of the engine expects.
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p,
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        paths.append(p)
+    base = 1_600_000_000  # fixed epoch; only relative order matters
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i * 60, base + i * 60))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in src.schema.fields)
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
+
+
+@register("s9_streaming_late_data_drop",
+          tags=("north-star", "E10", "streaming", "watermark"))
+def s9_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics made observable: daily tumbling counts
+    in APPEND mode over a three-batch arrival where January's history
+    arrives newest-week-first. After batch 0 the watermark stands at
+    Jan 30 ~23:00; batch 1 (Jan 8-14) slips in under the one-batch filter
+    lag (see staged_three_batch_stream) and is emitted as already-closed
+    windows; batch 2 (Jan 1-7) meets the now-committed watermark and is
+    DROPPED ENTIRELY. The result therefore contains exactly the closed
+    daily windows with ts >= MID_SPLIT_DAY and nothing earlier — while a
+    batch aggregate over the same input would count all 30 days. That
+    deterministic drop set is pinned against the batch twin in
+    tests/test_streaming.py.
+
+    100 TB: the watermark horizon (1 h) bounds aggregation state
+    regardless of stream length — the whole point of emitting-and-
+    discarding closed windows; the dropped week becomes a dead-letter
+    reprocessing batch (e38's MERGE rollup is the repair path)."""
+    s = staged_three_batch_stream(spark, sf_dir)
+    agg = (s.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 day").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    out = run_stream_to_memory(agg, mode="append")
+    return (out.select(F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"), "n_events")
+            .orderBy("window_start"))

@@ -273,6 +273,7 @@ BNLJ_ALLOWED = {
     "t10_perplexity",        # single-row corpus-stats cross join
     "e43_tfidf_cosine_pairs",  # single-row n_docs aggregate cross join (e8 shape)
     "d91_equidepth_histogram",  # single-row decile-boundary cross join
+    "e50_threshold_sweep",   # 5-row threshold list x pair-count relation
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {"d22_row_udf", "d27_python_udtf"}
@@ -287,6 +288,8 @@ ARROW_ALLOWED = {
     "e30_video_frame_sample",
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)
+    "e51_greedy_packing",  # stateful fold with reset — not window-expressible;
+                           # only (key, n_tokens) crosses the Arrow boundary
 }
 
 
@@ -421,3 +424,69 @@ def test_cc_output_joins_broadcast(spark):
     plan = _plan(spark, "e45_dup_clusters_cc")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """d95: banded candidate generation must make the range join an
+    equi (hash) join — never a nested-loop over the inequality."""
+    plan = _plan(spark, "d95_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or \
+        "SortMergeJoin" in plan
+
+
+def test_ohlc_windows_share_day_exchange(spark):
+    """d97: both row_number windows and the final day aggregate reuse ONE
+    hash-partitioning on day — ordered endpoints come free with the
+    rollup's shuffle."""
+    plan = _plan(spark, "d97_ohlc_bars")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, "OHLC must cost one day shuffle"
+
+
+def test_asof_union_merge_has_no_join(spark):
+    """d98: the backward as-of is the union-merge rewrite — no join
+    operator at all; the quote dedup and the per-user window are the only
+    two shuffles."""
+    plan = _plan(spark, "d98_asof_backward")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, "as-of union-merge must not plan a join"
+    assert tree.count("Exchange") == 2
+
+
+def test_quota_sample_uses_group_limit(spark):
+    """d99: rank<=100 per stratum plans as WindowGroupLimit — each task
+    keeps a bounded candidate set, never a full stratum sort."""
+    plan = _plan(spark, "d99_stratified_quota_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_changelog_compact_uses_group_limit(spark):
+    """d100: last-write-wins keeps ONE row per key in the partial sort
+    (WindowGroupLimit), the compacted-topic behavior."""
+    plan = _plan(spark, "d100_changelog_compact")
+    assert "WindowGroupLimit" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_greedy_packing_is_arrow_grouped(spark):
+    """e51: the stateful fold runs as ONE Arrow-batched grouped-map pass
+    (FlatMapGroupsInPandas) behind a single (lang, shard) shuffle — and
+    the text column never crosses into Python (only key + n_tokens do)."""
+    plan = _plan(spark, "e51_greedy_packing")
+    tree = plan.split("\n\n")[0]
+    assert "FlatMapGroupsInPandas" in plan
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_membership_broadcasts_filter(spark):
+    """e52: the <=m-row bloom position set and the benchmark text set both
+    come back as broadcasts — corpus text is never shuffled for the
+    membership test."""
+    plan = _plan(spark, "e52_bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

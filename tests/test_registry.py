@@ -52,6 +52,14 @@ DEFERRED_ORACLES: set[str] = {
     "d94_multiset_ops",
     "e49_signature_store_pairs",
     "e50_threshold_sweep",
+    "d95_interval_overlap_join",
+    "d96_pivot_daily_mix",
+    "d97_ohlc_bars",
+    "d98_asof_backward",
+    "e51_greedy_packing",
+    "e52_bloom_decontaminate",
+    "d99_stratified_quota_sample",
+    "d100_changelog_compact",
 }
 
 

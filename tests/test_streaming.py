@@ -182,3 +182,32 @@ def test_streaming_new_users_equals_batch(spark):
     s = ALL["s8_streaming_new_users"].fn(spark, SF_DIR).collect()
     b = ALL["d93_cumulative_distinct_users"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, s)) == sorted(map(tuple, b))
+
+
+def test_late_data_dropped_by_watermark(spark):
+    """s9: append-mode output must be exactly the CLOSED daily windows of
+    the rows from batches 0-1 (ts >= MID_SPLIT_DAY) — nothing from the
+    oldest week (batch 2, provably dropped by the watermark), no unclosed
+    final window."""
+    from pyspark_ml_features_spark.sources import table
+    from pyspark_ml_features_spark.streaming.events import MID_SPLIT_DAY
+
+    got = ALL["s9_streaming_late_data_drop"].fn(spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events")
+    kept = ev.filter(F.col("ts") >= F.lit(MID_SPLIT_DAY).cast("timestamp"))
+    max_ts = kept.agg(F.max("ts")).collect()[0][0]
+    batch = (kept.groupBy(F.window("ts", "1 day").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("w.start").alias("window_start"),
+                     F.col("w.end").alias("window_end"), "n_events")
+             .toPandas())
+    import pandas as pd
+
+    watermark = max_ts - pd.Timedelta(hours=1)
+    closed = (batch[batch["window_end"] <= watermark]
+              .sort_values("window_start").reset_index(drop=True))
+    got = got.sort_values("window_start").reset_index(drop=True)
+    # every emitted window starts on/after the mid split: the oldest-week
+    # batch was dropped by the watermark, not aggregated
+    assert (got["window_start"] >= pd.Timestamp(MID_SPLIT_DAY)).all()
+    pd.testing.assert_frame_equal(got, closed, check_dtype=False)
