@@ -489,3 +489,42 @@ def a20_temp_views_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pmfs_a20_orders o JOIN pmfs_a20_customer c
           ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment""")
+
+
+@register(
+    "a21_orc_sink_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "source", "orc", "sink"),
+)
+def a21_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip, proven LOSSLESS the a15 way: orders
+    writes to ORC (the other columnar format Spark ships a vectorized
+    reader for) and the aggregate over the read-back data must hash-match
+    the oracle computed from the ORIGINAL parquet — doubles, timestamps,
+    and strings all survive because ORC stores them natively (no text
+    round-trip at all, unlike CSV/JSON). DuckDB cannot read ORC, which is
+    exactly why the oracle runs on the source table: equality proves the
+    sink-source cycle changed nothing.
+
+    100 TB: columnar→columnar conversion is a map-only job (no shuffle);
+    the read-back scan gets the same predicate pushdown + column pruning
+    treatment as parquet (ORC carries min/max stripe stats)."""
+    out = pid_scoped("pmfs_orders_orc")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                  .alias("sum_price_cents"),
+                 F.min("o_orderdate").alias("first_order"),
+                 F.max("o_orderdate").alias("last_order")))

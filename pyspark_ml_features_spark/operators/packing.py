@@ -469,3 +469,59 @@ def e51_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_group,
         schema="lang string, shard bigint, doc_id bigint, "
                "n_tokens bigint, bin_id bigint")
+
+
+OOV_VOCAB_K = 500
+
+
+@register(
+    "e53_oov_rate",
+    oracle=f"""
+WITH counts AS (
+    SELECT unnest(str_split(text, ' ')) AS token FROM documents
+), freq AS (
+    SELECT token, count(*) AS freq FROM counts GROUP BY token
+), vocab AS (
+    SELECT token FROM freq
+    QUALIFY row_number() OVER (ORDER BY freq DESC, token ASC) <= {OOV_VOCAB_K}
+), doc_tokens AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+       count(*) FILTER (WHERE v.token IS NULL)::DOUBLE / count(*) AS oov_rate
+FROM doc_tokens d LEFT JOIN vocab v ON d.token = v.token
+GROUP BY d.doc_id
+""",
+    tags=("north-star", "vocab", "quality"),
+)
+def e53_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the top-{OOV_VOCAB_K}
+    corpus vocabulary (e18's construction truncated by the total
+    (freq desc, token asc) order) — the coverage check run before freezing
+    a tokenizer vocab: documents with high OOV rates are the ones a
+    vocab-K decision silently degrades. Counting is by OCCURRENCE
+    (multiplicity), not distinct type, because training loss is per token.
+
+    100 TB: the vocabulary is corpus-bounded (top-K rows) and broadcasts;
+    the corpus explodes once, joins map-side against the broadcast vocab,
+    and re-aggregates on doc_id — the same shuffle the token count already
+    needs. The top-K itself is a TakeOrderedAndProject over the
+    vocab-sized frequency table, never a full sort."""
+    d = table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    vocab = (freq.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= OOV_VOCAB_K)
+             .select("token", F.lit(1).alias("in_vocab")))
+    doc_tokens = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (doc_tokens.join(F.broadcast(vocab), "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("in_vocab").isNull(), 1))
+                 .alias("n_oov"))
+            .select("doc_id", "n_tokens", "n_oov",
+                    (F.col("n_oov").cast("double") / F.col("n_tokens"))
+                    .alias("oov_rate")))

@@ -242,3 +242,127 @@ def e52_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"),
                     F.col("ex").isNotNull().alias("exact_hit")))
+
+
+@register(
+    "e54_dataset_card",
+    oracle="""
+WITH stats AS (
+    SELECT doc_id, text, lang, source,
+           len(str_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup,
+       (count(*) - count(DISTINCT text))::DOUBLE / count(*) AS dup_rate
+FROM stats
+""",
+    tags=("north-star", "quality", "reporting"),
+)
+def e54_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD summary — the one-row corpus report a training run
+    records next to its data snapshot: document/language/source counts,
+    token volume, mean and p50/p90 document length, and the exact-duplicate
+    rate (docs minus distinct texts). Every number is engine-exact: counts
+    and sums are integer, the two divisions are single exact-int divides,
+    and exact percentile over BIGINT token counts bit-matches
+    quantile_cont (probed, d51).
+
+    100 TB: one pass — count-distinct on the two low-cardinality columns
+    is cheap; count(DISTINCT text) is the expensive honest number (shuffle
+    of text-sized keys) and the production swap-in is e36's 8-byte
+    fingerprint or d38's HLL when approximation is acceptable; exact
+    percentile buffers values (b6's caveat) with approx_percentile as the
+    documented scale default. The card is the AUDIT artifact, so the
+    exact forms are the point."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    stats = d.select("lang", "source", "text",
+                     F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)))
+        .alias("mean_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.9)").alias("p90_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dup"),
+        ((F.count(F.lit(1)) - F.countDistinct("text")).cast("double")
+         / F.count(F.lit(1))).alias("dup_rate"))
+
+
+@register(
+    "e55_ngram_decontaminate",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM sub
+), bench AS (
+    SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 5 = 0
+), corpus AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 5 <> 0
+), hits AS (
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.shingle) AS BIGINT) AS n_shared
+    FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       n_shared::DOUBLE / n_shingles AS contamination
+FROM hits WHERE n_shared > 0
+""",
+    tags=("north-star", "E2", "dedup", "decontamination", "ngram"),
+)
+def e55_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM-overlap benchmark decontamination — the GPT-3/PaLM-style
+    rule (those reports used 8-13-gram collisions; 3-grams here match the
+    fixture's short documents): a corpus document is contaminated when it
+    SHARES ANY word n-gram with the benchmark set (doc_id % 5 = 0, the
+    e27/e52 convention), catching partial-overlap leaks that e27's
+    exact-text and e52's whole-doc Bloom check both miss. Output: every
+    flagged doc with its distinct-shingle count, shared-shingle count, and
+    contamination fraction — the evidence a removal decision audits.
+
+    100 TB: the benchmark shingle set is eval-set-sized and broadcasts;
+    the corpus explodes its distinct shingles ONCE, joins map-side, and
+    re-aggregates per doc — same single-shuffle shape as e53's OOV join.
+    For benchmark sets too big to broadcast, the shingle join falls back
+    to the inverted-index equi-join (e3's plan) — still candidate-bounded,
+    never pairwise."""
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1),
+            F.element_at(t, i + 2))))
+    sh = d.select("doc_id", shingles.alias("sh"))
+    bench = (sh.filter(F.col("doc_id") % 5 == 0)
+             .select(F.explode("sh").alias("shingle")).distinct()
+             .withColumn("hit", F.lit(1)))
+    corpus = (sh.filter(F.col("doc_id") % 5 != 0)
+              .select("doc_id", F.explode("sh").alias("shingle")))
+    return (corpus.join(F.broadcast(bench), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("hit").alias("n_shared"))
+            .filter(F.col("n_shared") > 0)
+            .select("doc_id", "n_shingles", "n_shared",
+                    (F.col("n_shared").cast("double") / F.col("n_shingles"))
+                    .alias("contamination")))

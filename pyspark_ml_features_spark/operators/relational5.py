@@ -350,3 +350,81 @@ def d100_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("op").alias("last_op"),
                     F.col("cents").alias("last_cents"),
                     F.col("ts").cast("timestamp").alias("last_ts")))
+
+
+@register(
+    "d101_snapshot_diff",
+    oracle="""
+WITH log AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error'  THEN 'D'
+                ELSE 'U' END AS op,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+), snap_a AS (
+    SELECT user_id, cents FROM (
+        SELECT user_id, op, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log WHERE ts < TIMESTAMP '2024-01-15'
+    ) WHERE rn = 1 AND op <> 'D'
+), snap_b AS (
+    SELECT user_id, cents FROM (
+        SELECT user_id, op, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.cents AS a_cents, b.cents AS b_cents
+FROM snap_a a FULL JOIN snap_b b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.cents <> b.cents
+""",
+    tags=("engine", "cdc", "reconciliation", "join"),
+)
+def d101_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION — the diff report between two materialized
+    versions of the same keyed state (here: d100's changelog compaction as
+    of Jan 15 vs end of month): per key, ``added`` / ``removed`` /
+    ``changed`` with both sides' values; unchanged keys are dropped. This
+    is the audit every pipeline migration runs ("what did the new version
+    change?") and the incremental-publish planner ("which rows need
+    rewriting?").
+
+    100 TB: both snapshots compact with WindowGroupLimit (d100's shape)
+    and the FULL OUTER join shares the same user_id hash partitioning, so
+    the whole diff is one co-partitioned pass — no re-shuffle between the
+    compactions and the join; the unchanged-key filter drops the bulk of
+    the output before it leaves the join stage."""
+    ev = table(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "signup", "I")
+          .when(F.col("event_type") == "error", "D")
+          .otherwise("U"))
+    log = ev.select("user_id", "ts", "event_id", op.alias("op"),
+                    F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+
+    def compact(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+                .select("user_id", "cents"))
+
+    snap_a = compact(log.filter(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp"))) \
+        .withColumnsRenamed({"user_id": "a_user", "cents": "a_cents"})
+    snap_b = compact(log) \
+        .withColumnsRenamed({"user_id": "b_user", "cents": "b_cents"})
+    j = snap_a.join(snap_b, snap_a["a_user"] == snap_b["b_user"], "full")
+    status = (F.when(F.col("a_user").isNull(), "added")
+              .when(F.col("b_user").isNull(), "removed")
+              .otherwise("changed"))
+    return (j.filter(F.col("a_user").isNull() | F.col("b_user").isNull()
+                     | (F.col("a_cents") != F.col("b_cents")))
+            .select(F.coalesce("a_user", "b_user").alias("user_id"),
+                    status.alias("status"), "a_cents", "b_cents"))

@@ -423,3 +423,35 @@ def s9_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("w.start").alias("window_start"),
                        F.col("w.end").alias("window_end"), "n_events")
             .orderBy("window_start"))
+
+
+@register("s10_streaming_outer_attribution",
+          tags=("north-star", "streaming", "join", "outer"))
+def s10_streaming_outer_attribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — s5 plus the rows marketing
+    actually asks about: purchases with NO qualifying click in the
+    preceding hour, emitted with NULL click columns. Outer results cannot
+    emit eagerly (a match may still arrive), so the engine holds the
+    purchase in state until the watermark passes its join window and only
+    then emits the NULL row — which means unmatched purchases inside the
+    final watermark horizon are STILL PENDING when an AvailableNow drain
+    stops. That residue is semantics, not loss: tests/test_streaming.py
+    pins streaming == batch MINUS exactly the unmatched purchases within
+    the last watermark interval.
+
+    100 TB: state is bounded by watermark + join-window horizon per side,
+    same as s5 — the outer variant adds only the pending-purchase buffer,
+    which the watermark drains continuously in production (the residue
+    exists only because a drain STOPS the clock)."""
+    clicks, purchases = _attribution_sides(spark, sf_dir, streaming=True)
+    joined = (purchases.withWatermark("purchase_ts", "10 minutes").join(
+        clicks.withWatermark("click_ts", "10 minutes"),
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+        .select("purchase_id", F.col("purchase_user").alias("user_id"),
+                "purchase_ts", "purchase_value", "click_id", "click_ts"))
+    return run_stream_to_memory(joined, mode="append")

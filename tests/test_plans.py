@@ -490,3 +490,22 @@ def test_bloom_membership_broadcasts_filter(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_oov_vocab_topk_never_full_sorts(spark):
+    """e53: the top-K vocabulary cut is a TakeOrderedAndProject over the
+    frequency table and joins back as a broadcast — the corpus explode
+    never waits on a global sort."""
+    plan = _plan(spark, "e53_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_is_copartitioned(spark):
+    """d101: both compactions (WindowGroupLimit) and the FULL OUTER join
+    share one user_id partitioning — exactly two Exchanges (one per
+    snapshot input), none between compaction and join."""
+    plan = _plan(spark, "d101_snapshot_diff")
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in plan
+    assert tree.count("Exchange") == 2

@@ -60,6 +60,11 @@ DEFERRED_ORACLES: set[str] = {
     "e52_bloom_decontaminate",
     "d99_stratified_quota_sample",
     "d100_changelog_compact",
+    "e53_oov_rate",
+    "d101_snapshot_diff",
+    "e54_dataset_card",
+    "a21_orc_sink_roundtrip",
+    "e55_ngram_decontaminate",
 }
 
 

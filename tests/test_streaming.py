@@ -211,3 +211,36 @@ def test_late_data_dropped_by_watermark(spark):
     # batch was dropped by the watermark, not aggregated
     assert (got["window_start"] >= pd.Timestamp(MID_SPLIT_DAY)).all()
     pd.testing.assert_frame_equal(got, closed, check_dtype=False)
+
+
+def test_outer_attribution_withholds_only_horizon_residue(spark):
+    """s10: the streaming LEFT OUTER join must equal the batch outer join
+    minus exactly the unmatched purchases within the final 10-minute
+    watermark horizon (their NULL rows are still pending when the drain
+    stops); every matched row must be present."""
+    import pandas as pd
+
+    from pyspark_ml_features_spark.streaming.events import _attribution_sides
+
+    got = (ALL["s10_streaming_outer_attribution"].fn(spark, SF_DIR)
+           .toPandas().sort_values(["purchase_id", "click_id"])
+           .reset_index(drop=True))
+    clicks, purchases = _attribution_sides(spark, SF_DIR, streaming=False)
+    batch = (purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+        .select("purchase_id", F.col("purchase_user").alias("user_id"),
+                "purchase_ts", "purchase_value", "click_id", "click_ts")
+        .toPandas())
+    max_ts = batch["purchase_ts"].max()
+    horizon = max_ts - pd.Timedelta(minutes=10)
+    pending = batch["click_id"].isna() & (batch["purchase_ts"] > horizon)
+    expected = (batch[~pending]
+                .sort_values(["purchase_id", "click_id"])
+                .reset_index(drop=True))
+    assert pending.sum() >= 1, "fixture must exercise the pending residue"
+    assert_frames_match(got, expected, "outer_attribution_vs_batch")
