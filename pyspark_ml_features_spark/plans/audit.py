@@ -43,9 +43,13 @@ def audit(df: DataFrame) -> PlanAudit:
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         sort_merge_joins=plan.count("SortMergeJoin"),
-        # broadcast exchanges are not shuffles — count only repartitions
-        shuffles=len(re.findall(r"Exchange (?:hash|range|rebalance|"
-                                r"RoundRobin|SinglePartition)", plan)),
+        # broadcast exchanges are not shuffles — count only repartitions.
+        # Formatted mode names shuffle nodes "(N) Exchange" (broadcasts are
+        # "(N) BroadcastExchange", which \bExchange\b after "(N) " excludes);
+        # simple mode prints "Exchange hashpartitioning(...)" — match both.
+        shuffles=(len(re.findall(r"\(\d+\) Exchange\b", plan))
+                  + len(re.findall(r"Exchange (?:hash|range|rebalance|"
+                                   r"RoundRobin|SinglePartition)", plan))),
         python_row_udfs=plan.count("BatchEvalPython"),
         arrow_python_nodes=(plan.count("ArrowEvalPython")
                             + plan.count("FlatMapGroupsInPandas")
