@@ -233,3 +233,109 @@ def e47_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("doc_id"), "cluster_id",
                     "cluster_size",
                     (F.col("node") % 5).alias("is_new")))
+
+
+@register(
+    "e56_khop_reach",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.35
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), walk(src, node, d) AS (
+    SELECT src, dst, 1 FROM edges
+    UNION
+    SELECT w.src, e.dst, w.d + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.d < 3 AND e.dst <> w.src
+), md AS (
+    SELECT src, node, min(d) AS d FROM walk GROUP BY src, node
+), ct AS (
+    SELECT src,
+           CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (WHERE d = 2) AS BIGINT) AS n2,
+           CAST(count(*) FILTER (WHERE d = 3) AS BIGINT) AS n3
+    FROM md GROUP BY src
+)
+SELECT s.doc_id,
+       CAST(coalesce(ct.n1, 0) AS BIGINT) AS n1,
+       CAST(coalesce(ct.n2, 0) AS BIGINT) AS n2,
+       CAST(coalesce(ct.n3, 0) AS BIGINT) AS n3
+FROM sub s LEFT JOIN ct ON ct.src = s.doc_id
+""",
+    tags=("north-star", "graph", "bfs", "iterative"),
+)
+def e56_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop NEIGHBORHOOD profile over the near-dup graph: for
+    every document, how many documents sit at shortest-path distance
+    exactly 1, 2, and 3 across Jaccard >= 0.35 similarity edges (lower
+    threshold than e45's 0.5 so transitive chains actually form). This
+    is the graph-context signal dedup audits use to distinguish isolated
+    near-dup pairs (n2 = n3 = 0) from template families (wide 2-3-hop
+    halos), and the same bounded-BFS primitive powers "related document"
+    expansion. Pure integer counting, so the iterative Spark BFS is
+    hash-checked against a DuckDB recursive CTE computing min-distance
+    <= 3 over the identical edge set.
+
+    BFS frontier expansion: each round joins the frontier to the edge
+    list, drops self-reaches, and anti-joins everything already seen at
+    a shorter distance -- exactly min-distance semantics. Three rounds =
+    two joins beyond the edge list itself; no fixpoint detection needed
+    because the hop bound IS the termination.
+
+    100 TB: per-round cost is |frontier| x avg-degree with equi-join
+    shuffles on node id -- the standard Pregel step. Near-dup graphs are
+    tiny star/clique components, so frontiers collapse after 1-2 hops;
+    the anti-join keeps re-expansion from ever re-visiting settled
+    nodes. Degree skew (a viral template) salts like any hot join key.
+    Reference: no graph surface in the reference repo (six ML
+    utilities, spark_ml_features.py:1); SURVEY section 2-E north-star
+    scope."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.35)
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(
+                 prs.select(F.col("d2").alias("src"),
+                            F.col("d1").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+
+    frontier = edges.select("src", F.col("dst").alias("other"))
+    dist = frontier.withColumn("d", F.lit(1))
+    for k in (2, 3):
+        hop = edges.select(F.col("src").alias("hop_src"),
+                           F.col("dst").alias("hop_dst"))
+        nxt = (frontier.join(hop, frontier["other"] == hop["hop_src"])
+               .select(frontier["src"].alias("src"),
+                       hop["hop_dst"].alias("other"))
+               .filter(F.col("src") != F.col("other"))
+               .distinct()
+               .join(dist.select("src", "other"), ["src", "other"],
+                     "left_anti"))
+        dist = dist.unionByName(nxt.withColumn("d", F.lit(k)))
+        frontier = nxt
+    counts = dist.groupBy("src").agg(
+        F.count_if(F.col("d") == 1).cast("bigint").alias("n1"),
+        F.count_if(F.col("d") == 2).cast("bigint").alias("n2"),
+        F.count_if(F.col("d") == 3).cast("bigint").alias("n3"))
+    nodes = d.select(F.col("doc_id").alias("src"))
+    return (nodes.join(counts, "src", "left")
+            .select(F.col("src").alias("doc_id"),
+                    F.coalesce("n1", F.lit(0)).cast("bigint").alias("n1"),
+                    F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
+                    F.coalesce("n3", F.lit(0)).cast("bigint").alias("n3")))

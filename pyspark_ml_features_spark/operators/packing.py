@@ -525,3 +525,76 @@ def e53_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_oov",
                     (F.col("n_oov").cast("double") / F.col("n_tokens"))
                     .alias("oov_rate")))
+
+
+@register(
+    "e57_lang_mix_rebalance",
+    oracle="""
+WITH per AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(str_split(text, ' '), t -> t <> '')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), t AS (
+    SELECT lang, n_docs, n_tokens,
+           sum(n_tokens) OVER () AS total,
+           CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE)
+                     WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS target_share
+    FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS actual_share,
+       target_share,
+       round(target_share * total / n_tokens, 6) AS weight,
+       CAST(ceil(round(target_share * total / n_tokens, 6)) AS BIGINT)
+           AS epochs
+FROM t
+""",
+    tags=("north-star", "curation", "mixing"),
+)
+def e57_lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing — the sampling-weight computation
+    every LLM training-data pipeline runs before building a corpus: given
+    a TARGET language mix (en 40%, de/es/fr/zh 15% each — a literal part
+    of the operator contract), compute each language's actual token
+    share and the per-language sampling weight ``target_share x
+    total_tokens / lang_tokens`` that a weighted sampler (or epoch
+    multiplier, ``ceil(weight)``) applies to hit the target. Token
+    counts are exact integers; shares/weights are single divisions
+    rounded 6 dp on both engines.
+
+    100 TB: one shuffle to the |langs|-row aggregate (map-side combine
+    does the heavy lifting); the global-total window runs over the
+    already-aggregated 5 rows, so the "single partition" it implies is
+    bounded by language cardinality, never by corpus size. The weight
+    table then broadcast-joins back onto the corpus for the actual
+    resample pass (d99's deterministic quota sampler is the companion
+    operator).
+
+    Reference: no curation surface in the reference repo
+    (spark_ml_features.py:1, six ML utilities); SURVEY section 2-E
+    north-star scope."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tokens("text"), lambda t: t != "")) \
+        .cast("bigint")
+    per = (d.select("lang", ntok.alias("nt"))
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    target = (F.when(F.col("lang") == "en", F.lit(0.40))
+              .when(F.col("lang").isin("de", "es", "fr", "zh"), F.lit(0.15))
+              .otherwise(F.lit(0.0)))
+    t = per.withColumn("total", total).withColumn("target_share", target)
+    weight = F.round(F.col("target_share") * F.col("total")
+                     / F.col("n_tokens"), 6)
+    return t.select(
+        "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("actual_share"),
+        "target_share",
+        weight.alias("weight"),
+        F.ceil(weight).cast("bigint").alias("epochs"))

@@ -1,0 +1,295 @@
+"""Round-4 continuation surface, batch 5: window distribution functions
+(ntile / percent_rank / cume_dist), the map higher-order-function family
+(map_from_entries → transform_values → map_filter → explode), a nested
+JSON array-of-structs round-trip through from_json + posexplode, native
+DECIMAL ledger aggregation (the exact-money path the floor-cents trick
+approximates), and scale-safe GLOBAL ranking via repartitionByRange +
+partition-offset cumsum powering quantile normalization.
+
+Every query carries an exact DuckDB oracle (CLAUDE.md conventions:
+identical aliases both sides, BIGINT casts on counts, 6-dp rounds on any
+cross-row float aggregate). They land in DEFERRED_ORACLES for the
+round-5 grading window; ``scripts/drive_contract.py`` and the sf0.1
+parity sweep hash-verify them locally now.
+
+Reference: the reference repo (682 LoC of six ML utilities,
+spark_ml_features.py:1) has no window/map/JSON/decimal surface; these are
+SURVEY §2-D engine families per SURVEY §0's "same capabilities +
+north-star extensions" mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "d102_window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("engine", "D8", "window", "distribution"),
+)
+def d102_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window DISTRIBUTION functions — ntile(4) / percent_rank /
+    cume_dist per order-priority over total price. The ORDER BY carries
+    the unique o_orderkey tie-break, so rank == row_number and all three
+    functions are deterministic; percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) are single integer divisions, bit-exact across
+    engines unrounded (same doubles from the same integers).
+
+    100 TB: one shuffle on o_orderpriority; within-partition sort feeds
+    all three functions from a single Window operator. Low-cardinality
+    partition keys make per-partition volume the scale knob — the
+    distribution functions themselves are O(1) per row after the sort.
+    Reference: no window surface in the reference (six ML utilities);
+    SURVEY §2-D8 family."""
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"))
+
+
+@register(
+    "d103_map_hof_pipeline",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+), t AS (
+    SELECT user_id, sum(cnt) AS total FROM c GROUP BY user_id
+)
+SELECT c.user_id, c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
+       round(c.cnt / t.total, 6) AS share
+FROM c JOIN t USING (user_id)
+WHERE c.cnt >= 3
+""",
+    tags=("engine", "D17", "map", "higher-order"),
+)
+def d103_map_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function pipeline: per-user event-type counts
+    become a MAP column (map_from_entries over a sorted entry array),
+    the per-user total folds over map_values with F.aggregate, shares
+    attach via transform_values, rare types drop via map_filter, and the
+    map explodes back to rows. The oracle computes the equivalent
+    relational result — parity proves the map round-trip is lossless.
+    collect_list order is partition-arrival, so the entry array is
+    array_sort-ed before map construction (d69's determinism rule);
+    share is rounded 6 dp on both sides (e48's cross-row float rule is
+    moot here — one division — but the round keeps the convention).
+
+    100 TB: two shuffles (user×type pre-aggregate with map-side combine,
+    then user); maps stay bounded by |event_types| per user, so no row
+    ever exceeds a few KB — the map column is metadata-scale, not
+    data-scale. All HOFs run inside codegen; no Python."""
+    ev = table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (counts.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+         ).alias("m")))
+    m = m.withColumn(
+        "total",
+        F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x))
+    m = m.withColumn("m", F.map_filter("m", lambda k, v: v >= 3))
+    m = m.withColumn(
+        "m", F.transform_values(
+            "m", lambda k, v: F.struct(
+                v.alias("cnt"),
+                F.round(v.cast("double") / F.col("total"), 6).alias("share"))))
+    return (m.select("user_id", F.explode("m").alias("event_type", "entry"))
+            .select("user_id", "event_type",
+                    F.col("entry.cnt").alias("cnt"),
+                    F.col("entry.share").alias("share")))
+
+
+@register(
+    "d104_nested_json_inline",
+    oracle="""
+SELECT l_orderkey,
+       CAST(row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber, floor(l_extendedprice * 100))
+            - 1 AS BIGINT) AS pos,
+       CAST(l_linenumber AS BIGINT) AS ln,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+FROM lineitem
+""",
+    tags=("engine", "D17", "json", "nested"),
+)
+def d104_nested_json_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON round-trip: each order's lineitems serialize to ONE
+    JSON document (to_json over a sorted array of structs — the shape
+    event payloads and API exports actually arrive in), then parse back
+    with from_json against an explicit array<struct<...>> schema and
+    re-relationalize via posexplode. The oracle computes the same rows
+    relationally (row_number-1 ≡ the 0-based posexplode ordinal under
+    the same (l_linenumber, cents) ordering — the testdata carries
+    duplicate line numbers per order, so the array_sort tiebreak must be
+    mirrored), so the hash match proves the
+    serialize→parse→explode cycle is lossless. Money crosses as
+    floor-cents BIGINT so no float ever enters the JSON text.
+
+    100 TB: one shuffle (groupBy orderkey); from_json/posexplode are
+    codegen'd JVM operators — this is the scalable pattern for nested
+    event ingestion: parse with an explicit schema (never
+    schema-inference scans) and explode to relational form once,
+    early."""
+    li = table(spark, sf_dir, "lineitem")
+    item = F.struct(F.col("l_linenumber").cast("bigint").alias("ln"),
+                    F.floor(F.col("l_extendedprice") * 100)
+                    .cast("bigint").alias("cents"))
+    nested = (li.select("l_orderkey", item.alias("item"))
+              .groupBy("l_orderkey")
+              .agg(F.to_json(F.array_sort(F.collect_list("item")))
+                   .alias("doc")))
+    parsed = nested.select(
+        "l_orderkey",
+        F.from_json("doc", "array<struct<ln:bigint,cents:bigint>>")
+        .alias("items"))
+    return (parsed.select("l_orderkey", F.posexplode("items"))
+            .select("l_orderkey", F.col("pos").cast("bigint").alias("pos"),
+                    F.col("col.ln").alias("ln"),
+                    F.col("col.cents").alias("cents")))
+
+
+@register(
+    "d105_decimal_ledger",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS gross_sum,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS net_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("engine", "D15", "decimal", "aggregate"),
+)
+def d105_decimal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DECIMAL ledger aggregation — the exact-money path that the
+    repo's floor-cents BIGINT trick approximates by hand. Prices and
+    discounts cast to DECIMAL(18,2) at the scan; the net-revenue product
+    stays in exact decimal arithmetic (scale 4) through the sum and
+    converts to DOUBLE exactly once at the end. Both engines implement
+    SQL-standard exact decimal multiply/sum, so the aggregate is
+    order-independent and bit-reproducible — unlike double summation.
+
+    100 TB: decimal aggregation is partial-aggregatable (map-side
+    combine on the 6-group key); Tungsten stores Decimal(18,2) as an
+    unscaled long, so the exactness costs no memory over BIGINT cents.
+    This is the pattern financial pipelines should use instead of
+    doubles; the floor-cents twins (d95, q1) exist for engines without
+    decimal types."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    net = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(price).cast("double").alias("gross_sum"),
+                 F.sum(net).cast("double").alias("net_sum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "d106_quantile_normalize",
+    oracle="""
+WITH long AS (
+    SELECT l_orderkey, l_linenumber, 'd' AS feat, l_discount AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'p', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'q', CAST(l_quantity AS DOUBLE)
+    FROM lineitem
+), ranked AS (
+    SELECT l_orderkey, l_linenumber, feat, val,
+           CAST(row_number() OVER (PARTITION BY feat
+                ORDER BY val, l_orderkey, l_linenumber) AS BIGINT) AS rk
+    FROM long
+), rank_means AS (
+    SELECT rk, round(avg(val), 6) AS qnorm FROM ranked GROUP BY rk
+)
+SELECT r.l_orderkey, r.l_linenumber, r.feat, r.val, r.rk, m.qnorm
+FROM ranked r JOIN rank_means m USING (rk)
+""",
+    tags=("engine", "ml-prep", "ranking", "scale"),
+)
+def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (the microarray/ML-preprocessing classic:
+    replace each feature's k-th order statistic with the MEAN of all
+    features' k-th order statistics) — powered by a scale-safe GLOBAL
+    ranking primitive. A naive ``row_number() OVER (PARTITION BY feat)``
+    puts an entire feature column into ONE task; instead each feature's
+    values are range-repartitioned on the full (feat, val, tiebreak)
+    ordering key, per-range-partition counts (one scalar row per
+    partition) prefix-sum into offsets on the driver, and the global
+    rank is offset + local row_number within the bounded range
+    partition. The result equals the single-partition window's answer —
+    the oracle IS that window — while every task holds ~n/P rows.
+
+    Ties break on the unique (l_orderkey, l_linenumber) key, so ranks
+    are deterministic regardless of where range boundaries fall. The
+    rank-mean is a cross-row double avg → rounded 6 dp on both sides
+    (e48's rule). localCheckpoint freezes the partition assignment so
+    the count pass and the rank pass see identical pids (e45's rule).
+
+    100 TB: two bounded shuffles (range partition, then rank-key hash
+    for the mean) + one metadata-sized collect (P rows). This is how
+    distributed engines implement ORDER BY-with-row-number at scale;
+    the same primitive serves ECDF and exact-quantile assignment."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'd', l_discount, 'p', l_extendedprice, "
+        "'q', CAST(l_quantity AS DOUBLE)) AS (feat, val)")
+    parts = (long.repartitionByRange(
+                 32, "feat", "val", "l_orderkey", "l_linenumber")
+             .withColumn("pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    sizes = (parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy("pid").collect())
+    offsets, acc = {}, 0
+    for row in sizes:
+        offsets[row["pid"]] = acc
+        acc += row["c"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = (Window.partitionBy("pid")
+               .orderBy("feat", "val", "l_orderkey", "l_linenumber"))
+    ranked = parts.withColumn(
+        "grk", (off[F.col("pid")] + F.row_number().over(w_local))
+        .cast("bigint"))
+    # global rank over (feat, val, key) -> per-feature rank by subtracting
+    # the count of rows in preceding features (features are equal-sized:
+    # one row per lineitem each).
+    n_per_feat = ranked.count() // 3
+    feat_base = F.create_map(
+        F.lit("d"), F.lit(0), F.lit("p"), F.lit(n_per_feat),
+        F.lit("q"), F.lit(2 * n_per_feat))
+    ranked = ranked.withColumn(
+        "rk", (F.col("grk") - feat_base[F.col("feat")]).cast("bigint"))
+    rank_means = (ranked.groupBy("rk")
+                  .agg(F.round(F.avg("val"), 6).alias("qnorm")))
+    return (ranked.join(rank_means, "rk")
+            .select("l_orderkey", "l_linenumber", "feat", "val", "rk",
+                    "qnorm"))

@@ -726,3 +726,54 @@ def e43_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nb), F.col("d2") == F.col("nb.doc_id"))
             .filter(cos >= 0.2)
             .select("d1", "d2", F.round(cos, 6).alias("cos_tfidf")))
+
+
+@register(
+    "t14_lexical_diversity",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), c AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       round(count(*) / sum(c), 6) AS ttr,
+       round(count(*) FILTER (WHERE c = 1) / sum(c), 6) AS hapax_ratio
+FROM c GROUP BY doc_id
+""",
+    tags=("north-star", "text-analysis", "quality"),
+)
+def t14_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio and
+    hapax-legomenon ratio — the vocabulary-richness signals that separate
+    natural prose (high TTR, many hapaxes) from boilerplate/template
+    text (low TTR) where t7's character-level repetition ratio is blind
+    to word-level templating. Counts are exact integers from one
+    explode + two-level aggregate; the two ratios are single divisions
+    rounded 6 dp on both engines. Documents with zero non-empty tokens
+    drop out of the grouped aggregate identically on both sides.
+
+    100 TB: explode is map-side; the (doc_id, token) pre-aggregate gets
+    map-side combine and both aggregation levels shuffle on doc_id-
+    prefixed keys, so the second level is nearly shuffle-free under AQE
+    partition reuse. No token list is ever collected to one place —
+    unlike a naive distinct-count-over-window formulation."""
+    d = table(spark, sf_dir, "documents")
+    c = (d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+         .filter(F.col("tok") != "")
+         .groupBy("doc_id", "tok")
+         .agg(F.count(F.lit(1)).alias("c")))
+    return (c.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.count_if(F.col("c") == 1).alias("n_hapax"))
+            .select(
+                "doc_id", "n_tokens", "n_types", "n_hapax",
+                F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                .alias("ttr"),
+                F.round(F.col("n_hapax") / F.col("n_tokens"), 6)
+                .alias("hapax_ratio")))

@@ -24,6 +24,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     scaling,
     sessionize,
     similarity,

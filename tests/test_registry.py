@@ -65,6 +65,14 @@ DEFERRED_ORACLES: set[str] = {
     "e54_dataset_card",
     "a21_orc_sink_roundtrip",
     "e55_ngram_decontaminate",
+    "d102_window_distribution",
+    "d103_map_hof_pipeline",
+    "d104_nested_json_inline",
+    "d105_decimal_ledger",
+    "d106_quantile_normalize",
+    "e56_khop_reach",
+    "e57_lang_mix_rebalance",
+    "t14_lexical_diversity",
 }
 
 
