@@ -32,8 +32,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark_ml_features_spark.functions.arrays import (
+    adot,
+    duckdb_dot,
+    duckdb_norm,
+    l2_norm,
+    to_double_array,
+)
 from pyspark_ml_features_spark.functions.text import tokens
 from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+from pyspark_ml_features_spark.operators.similarity import DIM
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -339,3 +347,81 @@ def e56_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n1", F.lit(0)).cast("bigint").alias("n1"),
                     F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
                     F.coalesce("n3", F.lit(0)).cast("bigint").alias("n3")))
+
+
+@register(
+    "e58_semantic_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm
+    FROM embeddings WHERE vec_id % 5 = 0
+), pairs AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6)
+          >= 0.3
+), edges AS (
+    SELECT v1 AS src, v2 AS dst FROM pairs
+    UNION ALL
+    SELECT v2 AS src, v1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT vec_id, vec_id FROM e
+    UNION
+    SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node
+), cc AS (
+    SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY cluster_id
+)
+SELECT cc.vec_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)
+""",
+    tags=("north-star", "dedup", "similarity", "graph", "iterative"),
+)
+def e58_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clustering: connected components over the
+    embedding-cosine >= 0.3 pair graph (e4c's exact pairs on the same
+    deterministic 20% sample) — modern pipelines dedup on MEANING
+    (SemDeDup-style embedding clusters) alongside the lexical MinHash
+    family, because paraphrases share no shingles but sit adjacent in
+    embedding space. Same fixpoint machinery as e45 (min-label
+    propagation, recursive-CTE oracle), different edge semantics: the
+    pair predicate is a rounded cosine over explicit left-fold dot
+    products, so the edge set — and therefore the closure — is bit-exact
+    across engines.
+
+    100 TB: the pair graph at scale comes from the banded/bucketed
+    families (e4b LSH buckets with multi-probe, e4d IVF cells —
+    measured trade-offs in DESIGN_SCALE.md "Measured ANN candidate
+    growth"), never the all-pairs join used here as the exact fixture
+    baseline; the closure cost is O(diameter) rounds like e45, and
+    semantic-dup components are as star-shaped as lexical ones.
+    cluster_size = 1 is the keep-list predicate; larger clusters keep
+    min vec_id (or best-quality via e34's policy)."""
+    e = (table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 5 == 0)
+         .select("vec_id", to_double_array("embedding").alias("emb")))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                 F.col("nrm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                 F.col("nrm").alias("n2"))
+    cos = F.round(adot(F.col("e1"), F.col("e2"))
+                  / (F.col("n1") * F.col("n2")), 6)
+    prs = (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+           .select("v1", "v2", cos.alias("cosine"))
+           .filter(F.col("cosine") >= 0.3))
+    edges = (prs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+             .unionByName(
+                 prs.select(F.col("v2").alias("src"),
+                            F.col("v1").alias("dst"))))
+    nodes = e.select(F.col("vec_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (cc.join(F.broadcast(sizes), "cluster_id")
+            .select(F.col("node").alias("vec_id"), "cluster_id",
+                    "cluster_size"))

@@ -293,3 +293,99 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.join(rank_means, "rk")
             .select("l_orderkey", "l_linenumber", "feat", "val", "rk",
                     "qnorm"))
+
+
+@register(
+    "d107_rolling_median",
+    oracle="""
+WITH fr AS (
+    SELECT user_id, event_id, value,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+    FROM events
+)
+SELECT user_id, event_id, value,
+       CASE WHEN len(arr) % 2 = 1
+            THEN arr[CAST((len(arr) + 1) / 2 AS BIGINT)]
+            ELSE arr[CAST(len(arr) / 2 AS BIGINT)]
+                 + (arr[CAST(len(arr) / 2 AS BIGINT) + 1]
+                    - arr[CAST(len(arr) / 2 AS BIGINT)]) * 0.5
+       END AS med7
+FROM fr
+""",
+    tags=("engine", "D9", "window", "robust-stats"),
+)
+def d107_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over a 7-row event window per user — the robust
+    smoother monitoring pipelines use where a rolling mean is blown up
+    by outliers (d9's frames x d77's robustness). Spark refuses median()
+    with a window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so
+    the frame's values are gathered with collect_list (frame-capable),
+    sorted, and the order statistic is computed explicitly — with the
+    interpolation written as ``lo + (hi - lo) * 0.5`` and MIRRORED
+    verbatim in the oracle (the d52/d77 rule: one explicit formula on
+    both sides, never two engines' builtins). The ordering carries the
+    unique event_id tie-break so every frame's membership is
+    deterministic.
+
+    100 TB: one shuffle on user_id + within-partition sort; the frame
+    gathers <= 7 values per row — O(frame) memory, no full-partition
+    buffering like an unbounded frame. Hot users are a partition-skew
+    concern, not an algorithmic one (AQE skew split handles them)."""
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, Window.currentRow))
+    fr = ev.select("user_id", "event_id", "value",
+                   F.array_sort(F.collect_list("value").over(w))
+                   .alias("arr"))
+    n = F.size("arr")
+    mid_odd = F.element_at("arr", ((n + 1) / 2).cast("int"))
+    lo = F.element_at("arr", (n / 2).cast("int"))
+    hi = F.element_at("arr", (n / 2).cast("int") + 1)
+    med = F.when(n % 2 == 1, mid_odd).otherwise(lo + (hi - lo) * F.lit(0.5))
+    return fr.select("user_id", "event_id", "value", med.alias("med7"))
+
+
+@register(
+    "d108_collation_distinct",
+    oracle="""
+WITH m AS (
+    SELECT c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                ELSE c_name END AS mixed
+    FROM customer
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT mixed) AS BIGINT) AS n_names_cs,
+       CAST(count(DISTINCT lower(mixed)) AS BIGINT) AS n_names_ci
+FROM m GROUP BY c_nationkey
+""",
+    tags=("engine", "D13", "collation", "spark4"),
+)
+def d108_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware distinct counting (Spark 4 collations): customer
+    names are given a deterministic mixed-casing (even keys uppercased),
+    then counted distinct per nation under binary semantics AND under
+    the UTF8_LCASE collation via ``F.collate`` — the engine-native way
+    to get case-insensitive semantics without rewriting every
+    expression in lower(). The oracle models the collated count with
+    lower(), which is equivalent for this ASCII fixture; the
+    case-sensitive count pins that the collation — not the data —
+    collapsed the variants.
+
+    100 TB: collation is expression metadata, so the distinct aggregate
+    plans exactly like any other (partial distinct + final); no UDF, no
+    second scan. Case-insensitive joins/group-bys at scale should use
+    collation for exactly this reason: the optimizer sees a plain
+    equality."""
+    c = table(spark, sf_dir, "customer")
+    mixed = (F.when(F.col("c_custkey") % 2 == 0, F.upper("c_name"))
+             .otherwise(F.col("c_name")))
+    m = c.select("c_nationkey", mixed.alias("mixed"))
+    return (m.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.count_distinct(F.col("mixed")).alias("n_names_cs"),
+                 F.count_distinct(F.collate(F.col("mixed"), "UTF8_LCASE"))
+                 .alias("n_names_ci")))

@@ -777,3 +777,57 @@ def t14_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("ttr"),
                 F.round(F.col("n_hapax") / F.col("n_tokens"), 6)
                 .alias("hapax_ratio")))
+
+
+@register(
+    "t15_readability",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(list_filter(str_split(lower(text), ' '), t -> t <> ''))
+                AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words), 6) AS flesch
+FROM f WHERE n_words >= 1
+""",
+    tags=("north-star", "text-analysis", "quality"),
+)
+def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-group syllable heuristic
+    — the classic readability quality signal (long sentences + long
+    words => low score) that rounds out the quality-filter family (t2
+    ratios, t9 LM score, t14 lexical diversity). Syllables ~ maximal
+    [aeiouy]+ runs in the lowercased text (regexp_count ≡ DuckDB
+    len(regexp_extract_all)); sentences ~ terminal-punctuation count
+    floored at 1 so the ratio never divides by zero; docs with zero
+    words are excluded identically on both sides. Counts are exact
+    integers; the score is two integer-ratio divisions through a fixed
+    literal formula, rounded 6 dp.
+
+    100 TB: pure per-row map work in whole-stage codegen — two regex
+    scans and a split per document, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    f = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(low, " "), lambda t: t != ""))
+        .cast("bigint").alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1))
+        .cast("bigint").alias("n_sentences"),
+        F.regexp_count(low, F.lit("[aeiouy]+"))
+        .cast("bigint").alias("n_syllables"))
+    return (f.filter(F.col("n_words") >= 1)
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    F.round(F.lit(206.835)
+                            - F.lit(1.015) * (F.col("n_words")
+                                              / F.col("n_sentences"))
+                            - F.lit(84.6) * (F.col("n_syllables")
+                                             / F.col("n_words")), 6)
+                    .alias("flesch")))

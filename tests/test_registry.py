@@ -73,6 +73,10 @@ DEFERRED_ORACLES: set[str] = {
     "e56_khop_reach",
     "e57_lang_mix_rebalance",
     "t14_lexical_diversity",
+    "d107_rolling_median",
+    "d108_collation_distinct",
+    "e58_semantic_dup_clusters",
+    "t15_readability",
 }
 
 
