@@ -455,3 +455,42 @@ def s10_streaming_outer_attribution(spark: SparkSession,
         .select("purchase_id", F.col("purchase_user").alias("user_id"),
                 "purchase_ts", "purchase_value", "click_id", "click_ts"))
     return run_stream_to_memory(joined, mode="append")
+
+
+def streaming_enriched_segment_windows(events: DataFrame,
+                                       dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed aggregate: each event joins
+    the static customer dimension (broadcast — no stream state, re-resolved
+    per micro-batch), then rolls up per (1 h window, market segment)."""
+    return (events.withWatermark("ts", "10 minutes")
+            .join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    F.col("c_mktsegment").alias("segment"),
+                    "n_events", "total_value"))
+
+
+@register("s11_stream_static_enrich",
+          tags=("north-star", "streaming", "join"))
+def s11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT — the most common production streaming
+    shape (click stream x user/account dimension) and the one streaming
+    join that needs NO watermark state: the static side is a plain batch
+    table, broadcast into each micro-batch, so unlike stream-stream joins
+    (s5/s10) there is no buffered-row horizon and no late-pairing
+    semantics — the dimension is simply re-read (and at deployment,
+    re-broadcast on change) per batch. Rows-only for the driver;
+    tests/test_streaming.py pins streaming == the identical batch
+    join+rollup.
+
+    100 TB/day: the stream shuffles once on the window x segment
+    aggregate key (after map-side combine); the dimension stays
+    broadcast-sized (account tables are ~GB, not TB). A dimension too
+    big to broadcast becomes a stream-stream join against its CDC feed
+    (d100's compaction is the state twin)."""
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_to_memory(
+        streaming_enriched_segment_windows(events_stream(spark, sf_dir), dim))

@@ -244,3 +244,23 @@ def test_outer_attribution_withholds_only_horizon_residue(spark):
                 .reset_index(drop=True))
     assert pending.sum() >= 1, "fixture must exercise the pending residue"
     assert_frames_match(got, expected, "outer_attribution_vs_batch")
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast enrichment (complete-mode drain) must equal
+    the identical batch join + windowed rollup."""
+    from pyspark_ml_features_spark.sources import table
+
+    stream = ALL["s11_stream_static_enrich"].fn(spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events")
+    dim = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    batch = (ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+             .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 6).alias("total_value"))
+             .select(F.col("w.start").alias("window_start"),
+                     F.col("w.end").alias("window_end"),
+                     F.col("c_mktsegment").alias("segment"),
+                     "n_events", "total_value")
+             .toPandas())
+    assert_frames_match(stream, batch, "stream_static_enrich_vs_batch")
