@@ -528,3 +528,45 @@ def a21_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_price_cents"),
                  F.min("o_orderdate").alias("first_order"),
                  F.max("o_orderdate").alias("last_order")))
+
+
+@register(
+    "a22_python_sink_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("engine", "sink", "python-datasource"),
+)
+def a22_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source API (Spark 4), proven
+    lossless: documents write through the package's ``jsonl_sink`` (one
+    Python task per partition streaming rows into a JSON-lines file, with
+    the commit-message protocol deciding which task-attempt files are
+    authoritative — a13's reader counterpart), then read back with
+    ``spark.read.json`` under an explicit schema. The aggregate over the
+    round-tripped data must hash-match the oracle computed from the
+    ORIGINAL parquet (the a15 sink-roundtrip trick), so JSON escaping of
+    arbitrary document text is pinned lossless end-to-end.
+
+    100 TB: the sink parallelizes per partition like any JVM writer; the
+    Python boundary costs one Arrow transfer of the written columns.
+    This is the pattern for pushing curated corpora INTO systems Spark
+    cannot write natively — the writer's options/commit hooks map 1:1
+    onto a real endpoint's batch-put + finalize API."""
+    from pyspark_ml_features_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    out = pid_scoped("pmfs_docs_jsonl")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d.write.format("jsonl_sink").option("path", out).mode("append").save()
+    back = spark.read.schema("doc_id bigint, lang string, text string") \
+        .json(out)
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_doc_id"),
+                 F.sum(F.length("text")).alias("sum_chars")))

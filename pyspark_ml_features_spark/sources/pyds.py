@@ -16,7 +16,9 @@ and inherits distributed execution without any JVM code.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 N_DOCS_DEFAULT = 1000
 N_PARTITIONS_DEFAULT = 8
@@ -120,7 +122,55 @@ def _make_events_source():
 SyntheticEventsDataSource, _event = _make_events_source()
 
 
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """One data file per write task; the driver-side commit sees them all."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Batch writer: each task streams its partition's rows into one
+    JSON-lines file under ``path`` (unique name per task attempt, so
+    speculative/retried attempts never collide; only files named in commit
+    messages are authoritative — the same protocol JVM sinks use)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        fn = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fn, n)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom SINK via the Python Data Source API (Spark 4) — the
+    extension shape for writing to systems without a JVM connector (a
+    REST ingest endpoint, an internal KV store): one Python task per
+    partition, commit-message protocol for exactly-once file visibility."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
 def register_python_sources(spark) -> None:
     """Idempotently register the package's Python data sources."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -77,6 +77,7 @@ DEFERRED_ORACLES: set[str] = {
     "d108_collation_distinct",
     "e58_semantic_dup_clusters",
     "t15_readability",
+    "a22_python_sink_roundtrip",
 }
 
 
