@@ -261,7 +261,7 @@ WITH RECURSIVE sub AS (
     SELECT d1, d2 FROM shared
     JOIN sizes sa ON d1 = sa.doc_id
     JOIN sizes sb ON d2 = sb.doc_id
-    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.35
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.9
 ), edges AS (
     SELECT d1 AS src, d2 AS dst FROM pairs
     UNION ALL
@@ -292,8 +292,12 @@ FROM sub s LEFT JOIN ct ON ct.src = s.doc_id
 def e56_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-hop NEIGHBORHOOD profile over the near-dup graph: for
     every document, how many documents sit at shortest-path distance
-    exactly 1, 2, and 3 across Jaccard >= 0.35 similarity edges (lower
-    threshold than e45's 0.5 so transitive chains actually form). This
+    exactly 1, 2, and 3 across Jaccard >= 0.9 similarity edges (a
+    TIGHT threshold: the synthetic corpus is so mutually similar that
+    0.5 already yields a near-complete graph at sf0.1 — 44% of ALL
+    pairs — where multi-hop reach is meaningless and frontier joins
+    quadratic; at 0.9 the graph is replica clusters plus borderline
+    bridges, exactly where 2-3-hop structure is informative). This
     is the graph-context signal dedup audits use to distinguish isolated
     near-dup pairs (n2 = n3 = 0) from template families (wide 2-3-hop
     halos), and the same bounded-BFS primitive powers "related document"
@@ -316,7 +320,7 @@ def e56_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilities, spark_ml_features.py:1); SURVEY section 2-E north-star
     scope."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    prs = jaccard_pairs(d, tokens("text"), threshold=0.35)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.9)
     edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
              .unionByName(
                  prs.select(F.col("d2").alias("src"),
@@ -425,3 +429,80 @@ def e58_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cc.join(F.broadcast(sizes), "cluster_id")
             .select(F.col("node").alias("vec_id"), "cluster_id",
                     "cluster_size"))
+
+
+@register(
+    "e59_triangle_count",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.9
+), tri AS (
+    SELECT p1.d1 AS a, p1.d2 AS b, p2.d2 AS c
+    FROM pairs p1
+    JOIN pairs p2 ON p2.d1 = p1.d2
+    JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2
+), per_node AS (
+    SELECT v, count(*) AS n_triangles FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY v
+)
+SELECT s.doc_id,
+       CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM sub s LEFT JOIN per_node p ON p.v = s.doc_id
+""",
+    tags=("north-star", "graph", "triangles"),
+)
+def e59_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE counts over the near-dup graph (same Jaccard >=
+    0.9 edge set as e56; measured at sf0.1: 0.35 gives 438k edges over
+    1000 nodes and 133M wedges — a near-complete graph where triangle
+    counting degenerates — vs 43k edges / 3.9M wedges at 0.9) — the clustering-coefficient numerator that
+    separates clique-like template families (every pair similar =>
+    triangle-dense) from hub-and-spoke false-positive stars (one doc
+    similar to many mutually-dissimilar docs => zero triangles), a
+    standard graph-quality audit on dedup output. Uses the classic
+    ordered-wedge join: with every edge stored once as (lo, hi), wedge
+    (a<b<c) exists iff edges (a,b) and (b,c) exist, and the triangle
+    closes iff (a,c) is also an edge — each triangle counted exactly
+    once with NO orientation dedup pass. Pure integer counting; the
+    oracle replays the identical three-way join.
+
+    100 TB: the ordered-edge convention is the standard distributed
+    triangle optimization (wedges generate from the LOWER-degree
+    endpoint side in production; here edge lists are tiny) — two
+    equi-join shuffles on node ids, output bounded by wedge count, no
+    quadratic blowup beyond the true wedge volume. High-degree skew
+    (a viral template hub) is the known hot key; degree-ordered wedge
+    generation bounds it at O(m^1.5) total wedges."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = (jaccard_pairs(d, tokens("text"), threshold=0.9)
+           .select("d1", "d2").localCheckpoint(eager=True))
+    p1 = prs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    p2 = prs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    p3 = prs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    per_node = (tri.select(F.col("a").alias("v"))
+                .unionByName(tri.select(F.col("b").alias("v")))
+                .unionByName(tri.select(F.col("c").alias("v")))
+                .groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles")))
+    nodes = d.select(F.col("doc_id").alias("v"))
+    return (nodes.join(per_node, "v", "left")
+            .select(F.col("v").alias("doc_id"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+                    .alias("n_triangles")))

@@ -10,6 +10,8 @@ hazard that pandas' pairwise mean would introduce).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -260,3 +262,74 @@ def d83_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(sum_cents("cents").alias("sum_price_cents"),
                  n_rows("cents").alias("n_orders")))
+
+
+@register(
+    "d109_udtf_table_arg",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(max(epoch_us(ts) - epoch_us(prev)), 0) AS BIGINT)
+           AS max_gap_us
+FROM g GROUP BY user_id
+""",
+    tags=("engine", "D20", "udf", "udtf", "table-arg"),
+)
+def d109_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (Spark 4):
+    ``gap_stats(TABLE(events) PARTITION BY user_id ORDER BY (ts,
+    event_id))`` — the engine hands each user's rows to ONE UDTF instance
+    in order and ``terminate()`` emits that user's summary, i.e. a custom
+    per-group sequential operator expressed as a table function instead
+    of applyInPandas (d21's shape). Gaps are computed as exact integer
+    MICROSECONDS via timedelta floor-division (never float
+    total_seconds(), and never date_diff('second'), which counts
+    boundary crossings, not elapsed time); the oracle mirrors with
+    epoch_us arithmetic over a lag window. Single-event users report gap
+    0 on both sides.
+
+    100 TB: PARTITION BY shuffles once on user_id; each partition
+    streams through its UDTF instance row-at-a-time — use this shape
+    when the per-group logic is genuinely sequential/stateful and
+    small-output (summaries), and applyInPandas when vectorizable.
+    Reference: no UDF surface in the reference repo
+    (spark_ml_features.py:1); SURVEY section 2-D20 family."""
+    from datetime import timedelta
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.n = 0
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            ts = row["ts"]
+            if self.prev is not None:
+                gap = (ts - self.prev) // timedelta(microseconds=1)
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev = ts
+            self.n += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.max_gap
+
+    ev = table(spark, sf_dir, "events")
+    view = f"udtf_events_{os.getpid()}"
+    ev.createOrReplaceTempView(view)
+    spark.udtf.register("gap_stats", GapStats)
+    return spark.sql(
+        f"SELECT * FROM gap_stats(TABLE({view}) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))")

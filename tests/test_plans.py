@@ -276,7 +276,15 @@ BNLJ_ALLOWED = {
     "e50_threshold_sweep",   # 5-row threshold list x pair-count relation
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
-ROW_PYTHON_ALLOWED = {"d22_row_udf", "d27_python_udtf"}
+ROW_PYTHON_ALLOWED = {
+    "d22_row_udf", "d27_python_udtf",
+    # Table-argument UDTF: the API is row-at-a-time by design (eval per
+    # row, terminate per partition); d109 emits one summary row per
+    # user, so the Python boundary is input-streaming but output-tiny —
+    # the documented "genuinely sequential per-group logic" slot of the
+    # D20 spectrum (vectorizable logic belongs in applyInPandas, d21).
+    "d109_udtf_table_arg",
+}
 # Arrow-batched Python (pandas UDF / applyInPandas / mapInPandas): the
 # documented Python-boundary operators (multimodal decode, grouped fits,
 # sketches) — everything else must stay JVM-side.
