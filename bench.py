@@ -92,6 +92,14 @@ HEADLINE = [
     "d98_asof_backward",
     "e51_greedy_packing",
     "e52_bloom_decontaminate",
+    # fifth continuation: the scale-safe global-ranking primitive
+    # (repartitionByRange + offset cumsum quantile normalization) — the
+    # one genuinely new plan shape of the batch. The rest of the batch
+    # (window distribution fns, map HOFs, JSON round-trip, decimal agg,
+    # bounded BFS, collation, readability) rides plan shapes the
+    # headline already times; e58 stays out for the e45 reason (exact
+    # all-pairs edge baseline).
+    "d106_quantile_normalize",
 ]
 
 
