@@ -506,3 +506,93 @@ def e59_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("doc_id"),
                     F.coalesce("n_triangles", F.lit(0)).cast("bigint")
                     .alias("n_triangles")))
+
+
+def _pagerank_oracle(n_iters: int = 5, threshold: float = 0.9) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — standard SQL
+    forbids aggregation inside a recursive CTE member, so a FIXED
+    iteration count unrolls instead (deterministic and engine-portable)."""
+    sql = f"""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sub),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sub),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= {threshold}
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0::DOUBLE AS r FROM sub)
+"""
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        sql += f""", r{i} AS (
+    SELECT n.node, round(0.15 + 0.85 * coalesce(c.s, 0.0), 6) AS r
+    FROM (SELECT doc_id AS node FROM sub) n
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / d.deg) AS s
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) c ON c.node = n.node)
+"""
+        prev = f"r{i}"
+    return sql + f"SELECT node AS doc_id, r AS pagerank FROM r{prev[1:]}"
+
+
+@register(
+    "e60_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("north-star", "graph", "iterative", "pagerank"),
+)
+def e60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PAGERANK (5 rounds, damping 0.85) over the
+    Jaccard >= 0.9 near-dup graph — authority propagation, the
+    quality-signal primitive web-corpus curation pipelines run over link
+    graphs (a page linked by high-rank pages inherits rank; here the
+    similarity graph stands in as the deterministic fixture). Exactness
+    across engines comes from rounding each iteration's rank to 6 dp on
+    BOTH sides: the per-node contribution sum is a cross-row double sum
+    (last-ulp order-dependent, e48's rule), and the per-iteration round
+    re-synchronizes the engines before divergence can compound — probed
+    bit-exact through all 5 rounds. The oracle unrolls the iterations as
+    chained CTEs because standard SQL forbids aggregates inside a
+    recursive CTE member. Dangling nodes hold rank 0.15 (no
+    in-contributions) identically on both sides.
+
+    100 TB: each round is the Pregel join-aggregate (edges x ranks on
+    src, sum by dst) — one shuffle per round, localCheckpoint truncating
+    lineage like connected_components; fixed iteration count makes cost
+    exactly n_iters x |edges| join work. Degree skew salts like any hot
+    key; the deployment variant adds dangling-mass redistribution and a
+    convergence-delta stop, neither of which changes the plan shape."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.9).select("d1", "d2")
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(prs.select(F.col("d2").alias("src"),
+                                     F.col("d1").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    rank = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(5):
+        contrib = (edges.join(rank, edges["src"] == rank["node"])
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("r") / F.col("deg")).alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("s")))
+        rank = (nodes.join(contrib, "node", "left")
+                .select("node",
+                        F.round(F.lit(0.15)
+                                + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
+                                6).alias("r")))
+        rank = rank.localCheckpoint(eager=True)
+    return rank.select(F.col("node").alias("doc_id"),
+                       F.col("r").alias("pagerank"))

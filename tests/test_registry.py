@@ -80,6 +80,7 @@ DEFERRED_ORACLES: set[str] = {
     "a22_python_sink_roundtrip",
     "d109_udtf_table_arg",
     "e59_triangle_count",
+    "e60_pagerank",
 }
 
 
