@@ -570,3 +570,71 @@ def a22_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("sum_doc_id"),
                  F.sum(F.length("text")).alias("sum_chars")))
+
+
+def _malformed_csv_path() -> str:
+    """Deterministic CSV with malformed rows baked in (every i % 7 == 3),
+    written once at import — atomic per-file rename with a pid-unique tmp
+    (ADVICE r3: a shared tmp name is not atomic under concurrent import),
+    identical bytes in every process."""
+    path = os.path.join(tempfile.gettempdir(), "pmfs_malformed_v1.csv")
+    if not os.path.exists(path):
+        lines = []
+        for i in range(300):
+            if i % 7 == 3:
+                lines.append(f"bad_{i},x")
+            else:
+                lines.append(f"{i},{i % 10},{(i * 25 % 1000) / 100:.2f}")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "a23_csv_malformed_tolerant",
+    oracle="""
+WITH r AS (SELECT i FROM range(0, 300) t(i) WHERE i % 7 <> 3)
+SELECT CAST(300 AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(300 - count(*) AS BIGINT) AS n_corrupt,
+       CAST(sum(i) AS BIGINT) AS sum_id,
+       CAST(sum(i % 10) AS BIGINT) AS sum_qty,
+       CAST(sum(i * 25 % 1000) AS BIGINT) AS sum_price_cents
+FROM r
+""",
+    tags=("engine", "source", "csv", "quality"),
+)
+def a23_csv_malformed_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-TOLERANT CSV ingestion (PERMISSIVE mode +
+    columnNameOfCorruptRecord): real feeds carry broken lines, and the
+    production choice is quarantine-and-continue, not fail-the-job.
+    Every i % 7 == 3 line of the deterministic fixture is malformed
+    (wrong arity + unparseable bigint); Spark populates the corrupt
+    column with the RAW line (probed: bad type, too-few and too-many
+    token rows all flag, with parseable fields still extracted) and the
+    aggregate counts valid vs quarantined rows and sums only the valid
+    ones. The oracle reproduces the expected values from the generating
+    formulas over range() — the a13 trick, since DuckDB's CSV reader has
+    different malformed-row semantics and must not be the referee.
+
+    100 TB: PERMISSIVE parsing is per-row map work in the scan; the
+    corrupt column routes to a dead-letter sink in deployment (the same
+    pattern as s9's watermark-drop accounting). DROPMALFORMED/FAILFAST
+    are the same reader one option away."""
+    path = _malformed_csv_path()
+    df = (spark.read
+          .schema("id bigint, qty bigint, price double, _corrupt string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(path))
+    ok = F.col("_corrupt").isNull()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(ok).alias("n_valid"),
+        F.count_if(~ok).alias("n_corrupt"),
+        F.sum(F.when(ok, F.col("id"))).alias("sum_id"),
+        F.sum(F.when(ok, F.col("qty"))).alias("sum_qty"),
+        F.sum(F.when(ok, F.round(F.col("price") * 100).cast("bigint")))
+        .alias("sum_price_cents"))

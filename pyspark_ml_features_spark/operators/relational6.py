@@ -20,6 +20,9 @@ north-star extensions" mandate.
 
 from __future__ import annotations
 
+import datetime
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -210,6 +213,38 @@ def d105_decimal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+def distributed_row_number(df: DataFrame, order_cols: list[str],
+                           n_partitions: int = 32) -> DataFrame:
+    """Scale-safe GLOBAL row_number over ``order_cols`` (which must end in
+    a unique tie-break for determinism): range-repartition on the full
+    ordering key, collect per-partition counts (P metadata rows), and add
+    each partition's running offset to its local row_number. Equals the
+    single-partition ``row_number() OVER (ORDER BY ...)`` — which is the
+    oracle in d106 — while every task holds ~n/P rows.
+
+    ``localCheckpoint`` freezes the partition assignment so the count
+    pass and the rank pass see identical pids (e45's rule). Correctness
+    does NOT depend on where range boundaries fall: offset + local rank
+    under a total order is the true global rank for ANY partitioning
+    that is sorted between partitions. Result adds a ``grk`` column
+    (1-based global rank) and drops nothing."""
+    parts = (df.repartitionByRange(n_partitions, *order_cols)
+             .withColumn("pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    sizes = (parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy("pid").collect())
+    offsets, acc = {}, 0
+    for row in sizes:
+        offsets[row["pid"]] = acc
+        acc += row["c"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    return (parts.withColumn(
+        "grk", (off[F.col("pid")] + F.row_number().over(w_local))
+        .cast("bigint")).drop("pid"))
+
+
 @register(
     "d106_quantile_normalize",
     oracle="""
@@ -262,23 +297,8 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         "stack(3, 'd', l_discount, 'p', l_extendedprice, "
         "'q', CAST(l_quantity AS DOUBLE)) AS (feat, val)")
-    parts = (long.repartitionByRange(
-                 32, "feat", "val", "l_orderkey", "l_linenumber")
-             .withColumn("pid", F.spark_partition_id())
-             .localCheckpoint(eager=True))
-    sizes = (parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-             .orderBy("pid").collect())
-    offsets, acc = {}, 0
-    for row in sizes:
-        offsets[row["pid"]] = acc
-        acc += row["c"]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv])
-    w_local = (Window.partitionBy("pid")
-               .orderBy("feat", "val", "l_orderkey", "l_linenumber"))
-    ranked = parts.withColumn(
-        "grk", (off[F.col("pid")] + F.row_number().over(w_local))
-        .cast("bigint"))
+    ranked = distributed_row_number(
+        long, ["feat", "val", "l_orderkey", "l_linenumber"], 32)
     # global rank over (feat, val, key) -> per-feature rank by subtracting
     # the count of rows in preceding features (features are equal-sized:
     # one row per lineitem each).
@@ -389,3 +409,52 @@ def d108_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_distinct(F.col("mixed")).alias("n_names_cs"),
                  F.count_distinct(F.collate(F.col("mixed"), "UTF8_LCASE"))
                  .alias("n_names_ci")))
+
+
+@register(
+    "d110_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderdate >= DATE '1994-01-01'
+  AND o_orderdate < DATE '1996-01-01'
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "sql", "parameterized"),
+)
+def d110_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL with named markers and an IDENTIFIER() table
+    parameter (Spark 3.4/4 surface): the query text carries ``:start`` /
+    ``:end`` / ``:status`` value parameters and ``IDENTIFIER(:tbl)`` for
+    the relation — the injection-safe templating API that replaces
+    f-string SQL assembly in production jobs (values are bound as
+    literals by the parser, identifiers validated as names, never
+    spliced as text). The oracle is the same query with the parameters
+    inlined, so parity proves binding ≡ inlining. Money aggregates as
+    floor-cents BIGINT per the parity conventions.
+
+    100 TB: parameter binding is parse-time — the bound plan is
+    IDENTICAL to the inlined one (same pushed filters, same partition
+    pruning), so templated job fleets get full Catalyst optimization;
+    this query's filters land in the parquet scan like any literal."""
+    view = f"orders_param_{os.getpid()}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :start
+          AND o_orderdate < :end
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": view,
+              "start": datetime.date(1994, 1, 1),
+              "end": datetime.date(1996, 1, 1),
+              "status": "F"})

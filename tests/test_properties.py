@@ -119,3 +119,25 @@ def test_connected_components_matches_union_find(spark, case):
            for r in connected_components(nodes, edges).collect()}
     want = _py_components(n, edges_list)
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=3),
+                min_size=1, max_size=60))
+def test_distributed_row_number_matches_sorted_order(spark, vals):
+    """The range-partition + offset global ranking (d106's primitive) must
+    equal a plain sorted-order index for ANY tie distribution — including
+    the adversarial all-equal case, where determinism comes entirely from
+    the unique tie-break column."""
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(vals)], schema="v int, k int")
+    got = {(r["v"], r["k"]): r["grk"]
+           for r in distributed_row_number(df, ["v", "k"], 8).collect()}
+    want = {(v, k): i + 1
+            for i, (v, k) in enumerate(sorted((v, k)
+                                              for k, v in enumerate(vals)))}
+    assert got == want

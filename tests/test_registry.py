@@ -81,6 +81,8 @@ DEFERRED_ORACLES: set[str] = {
     "d109_udtf_table_arg",
     "e59_triangle_count",
     "e60_pagerank",
+    "d110_parameterized_sql",
+    "a23_csv_malformed_tolerant",
 }
 
 
