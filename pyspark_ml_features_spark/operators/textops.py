@@ -831,3 +831,85 @@ def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.lit(84.6) * (F.col("n_syllables")
                                              / F.col("n_words")), 6)
                     .alias("flesch")))
+
+
+@register(
+    "t16_gopher_rules",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(toks, t -> length(t)))
+                 / len(toks), 6) AS mean_word_len,
+           round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 / len(toks), 6) AS frac_alpha_words,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with']))
+                AS BIGINT) AS n_stop_hits
+    FROM f WHERE len(toks) >= 1
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+       CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_count,
+       CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS BIGINT)
+           AS ok_word_len,
+       CAST(frac_alpha_words >= 0.8 AS BIGINT) AS ok_alpha,
+       CAST(n_stop_hits >= 2 AS BIGINT) AS ok_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND frac_alpha_words >= 0.8
+            AND n_stop_hits >= 2 AS BIGINT) AS keep
+FROM m
+""",
+    tags=("north-star", "text-analysis", "quality", "gopher"),
+)
+def t16_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-filter rule bundle (Rae et al. 2021, the
+    published heuristics most production corpus filters start from):
+    word-count bounds [50, 100k], mean word length in [3, 10], >= 80% of
+    words containing an alphabetic character, and >= 2 distinct hits
+    from the paper's stopword probe set — each rule emitted as its own
+    0/1 flag next to the raw signal, plus the conjunctive ``keep``, so
+    downstream can audit WHICH rule rejected a document (the
+    rule-attribution report real pipelines require; t2/t9/t14/t15 carry
+    the complementary scoring signals). All counts are exact integers;
+    the two ratios are single divisions rounded 6 dp; flags cast BIGINT
+    on both sides (boolean columns cross engines as different pandas
+    kinds). Symbol-ratio and line-shape Gopher rules are omitted — the
+    fixture corpus has no punctuation or newlines, so they would be
+    all-constant and unverifiable.
+
+    100 TB: pure per-row map work in whole-stage codegen, no shuffle;
+    the keep-list predicate composes with e25's curation pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    f = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "be", "to", "of", "and", "that", "have",
+                      "with")])
+    m = f.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.round(F.aggregate("toks", F.lit(0).cast("bigint"),
+                            lambda a, t: a + F.length(t))
+                / F.size("toks"), 6).alias("mean_word_len"),
+        F.round(F.size(F.filter("toks", lambda t: t.rlike("[a-z]")))
+                / F.size("toks"), 6).alias("frac_alpha_words"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop))
+        .cast("bigint").alias("n_stop_hits"))
+    ok_count = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_mwl = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_alpha = F.col("frac_alpha_words") >= 0.8
+    ok_stop = F.col("n_stop_hits") >= 2
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "frac_alpha_words",
+        "n_stop_hits",
+        ok_count.cast("bigint").alias("ok_count"),
+        ok_mwl.cast("bigint").alias("ok_word_len"),
+        ok_alpha.cast("bigint").alias("ok_alpha"),
+        ok_stop.cast("bigint").alias("ok_stopwords"),
+        (ok_count & ok_mwl & ok_alpha & ok_stop).cast("bigint")
+        .alias("keep"))

@@ -83,6 +83,8 @@ DEFERRED_ORACLES: set[str] = {
     "e60_pagerank",
     "d110_parameterized_sql",
     "a23_csv_malformed_tolerant",
+    "t16_gopher_rules",
+    "e61_qgram_fuzzy_join",
 }
 
 
