@@ -517,3 +517,52 @@ def test_snapshot_diff_is_copartitioned(spark):
     tree = plan.split("\n\n")[0]
     assert "WindowGroupLimit" in plan
     assert tree.count("Exchange") == 2
+
+
+def test_qgram_fuzzy_join_is_hash_join_on_gram(spark):
+    """e61's candidate generation must be an equi-join on the gram key —
+    a hash/sort-merge join, never the all-pairs product it replaces. This
+    is the plan property that makes fuzzy joining viable at 100 TB."""
+    plan = _plan(spark, "e61_qgram_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_distributed_rank_uses_range_partitioning(spark):
+    """d106's global-ranking primitive must range-partition on the full
+    ordering key (the pre-checkpoint stage — localCheckpoint truncates
+    the final plan's lineage, so assert on the stage itself) and rank
+    inside pid-bounded windows, never a partition-less window that would
+    funnel a feature column into one task."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("k"))
+    staged = df.repartitionByRange(8, "v", "k")
+    pre = staged._sc._jvm.PythonSQLUtils.explainString(
+        staged._jdf.queryExecution(), "formatted")
+    assert "rangepartitioning" in pre.lower()
+
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    out = distributed_row_number(df, ["v", "k"], 8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Window" in plan, "expected a Window operator for the local rank"
+    # formatted explain puts window args on their own 'Arguments:' line:
+    # the spec must partition by pid (bounded partitions), i.e. every
+    # windowspecdefinition leads with the pid column
+    specs = [seg for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs and all(seg.startswith("pid") for seg in specs), \
+        "rank window must partition by pid (bounded partitions)"
+
+
+def test_pagerank_round_is_single_shuffle_join(spark):
+    """e60's per-round plan: contribution join + aggregate, no cartesian,
+    no nested loop — the Pregel step shape."""
+    plan = _plan(spark, "e60_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
