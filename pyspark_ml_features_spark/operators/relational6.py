@@ -301,8 +301,9 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         long, ["feat", "val", "l_orderkey", "l_linenumber"], 32)
     # global rank over (feat, val, key) -> per-feature rank by subtracting
     # the count of rows in preceding features (features are equal-sized:
-    # one row per lineitem each).
-    n_per_feat = ranked.count() // 3
+    # one row per lineitem each — so count the SOURCE table, a columnless
+    # parquet count, instead of re-scanning the checkpointed long form).
+    n_per_feat = li.count()
     feat_base = F.create_map(
         F.lit("d"), F.lit(0), F.lit("p"), F.lit(n_per_feat),
         F.lit("q"), F.lit(2 * n_per_feat))
