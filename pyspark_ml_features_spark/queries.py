@@ -102,8 +102,11 @@ DRIVER_WINDOW = [
     "e42_dup_cluster_stats",
 ]
 # Round-5 rotation note: if CORRECTNESS_r04 grades this window green, every
-# declared query will have a driver row — fill the next window with
-# whatever new surface lands in round 5 (the registry tests enforce that no
-# already-green oracle query wastes a graded slot).
+# query declared BEFORE this window filled has a driver row. The post-window
+# backlog (tests/test_registry.py:DEFERRED_ORACLES, 59 oracle queries
+# d80-d110/e43-e61/t13-t16/a19-a23 plus rows-only s8-s11) now EXCEEDS one
+# 50-slot window — rotate r5 with the oldest-first 50 and carry the
+# remainder (plus any r5-new surface) to r6. All are locally hash-verified
+# at sf0.01 AND sf0.1 by drive_contract + the parity sweep.
 
 registry.reorder(DRIVER_WINDOW)
