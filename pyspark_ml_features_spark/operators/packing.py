@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash, rolling_hash, tokens
+from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -598,3 +599,72 @@ def e57_lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_share",
         weight.alias("weight"),
         F.ceil(weight).cast("bigint").alias("epochs"))
+
+
+@register(
+    "e62_split_leakage_report",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh,
+        CAST((doc_id * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
+            AS in_train
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2,
+           round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6)
+               AS jaccard
+    FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+)
+SELECT p.d1, p.d2, p.jaccard,
+       ta.in_train AS in_train1, tb.in_train AS in_train2,
+       CAST(ta.in_train <> tb.in_train AS BIGINT) AS is_leak
+FROM pairs p
+JOIN sub ta ON ta.doc_id = p.d1
+JOIN sub tb ON tb.doc_id = p.d2
+""",
+    tags=("north-star", "curation", "dedup", "split", "leakage"),
+)
+def e62_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit — the check every pipeline must run
+    AFTER splitting: a near-duplicate pair straddling the train/eval
+    boundary silently inflates eval scores, and naive random splits leak
+    exactly this way (dedup must happen BEFORE or ACROSS the split,
+    which is why production splits hash the dedup-cluster id, not the
+    document id). Documents split ~80/20 by the d90 LCG key hash
+    (deterministic, engine-portable); every exact-Jaccard >= 0.5 pair
+    (e45's edge set) is emitted with both sides' split membership and an
+    ``is_leak`` flag, so the output is both the quarantine list and the
+    leak-rate numerator. On this fixture the report is non-empty by
+    construction — replica docs land on both sides of any id-hash split,
+    demonstrating the failure mode the cluster-id split fixes (e45's
+    cluster_id is the join key for that repair).
+
+    100 TB: the pair generation is the candidate-bounded family (banded
+    at deployment scale — e33/e2d); membership joins are broadcast-sized
+    (two BIGINT columns); the split predicate is scan-side arithmetic.
+    No new shuffle beyond the pair join itself."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    in_train = (((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+                 % F.lit(2048)) < 1638).cast("bigint")
+    membership = d.select("doc_id", in_train.alias("in_train"))
+    prs = (jaccard_pairs(d, tokens("text"), threshold=0.5)
+           .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+    ta = membership.select(F.col("doc_id").alias("d1"),
+                           F.col("in_train").alias("in_train1"))
+    tb = membership.select(F.col("doc_id").alias("d2"),
+                           F.col("in_train").alias("in_train2"))
+    return (prs.join(F.broadcast(ta), "d1").join(F.broadcast(tb), "d2")
+            .select("d1", "d2", "jaccard", "in_train1", "in_train2",
+                    (F.col("in_train1") != F.col("in_train2"))
+                    .cast("bigint").alias("is_leak")))

@@ -85,6 +85,7 @@ DEFERRED_ORACLES: set[str] = {
     "a23_csv_malformed_tolerant",
     "t16_gopher_rules",
     "e61_qgram_fuzzy_join",
+    "e62_split_leakage_report",
 }
 
 
