@@ -494,3 +494,43 @@ def s11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return run_stream_to_memory(
         streaming_enriched_segment_windows(events_stream(spark, sf_dir), dim))
+
+
+def chained_window_rollup(events: DataFrame) -> DataFrame:
+    """TWO stateful aggregations chained in one streaming query (Spark 4
+    capability — earlier versions rejected a second stateful operator):
+    15-minute (window, event_type) counts re-aggregate into 1-hour
+    super-windows via ``F.window`` over the level-1 window column."""
+    lvl1 = (events.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w1"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (lvl1.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"),
+                         "event_type")
+            .agg(F.sum("n").alias("n_total"),
+                 F.count(F.lit(1)).alias("n_buckets"))
+            .select(F.col("w2.start").alias("window_start"),
+                    F.col("w2.end").alias("window_end"),
+                    "event_type", "n_total", "n_buckets"))
+
+
+@register("s12_chained_stateful_windows",
+          tags=("north-star", "streaming", "chained-stateful"))
+def s12_chained_stateful_windows(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Chained stateful streaming — the multi-level rollup (minutely →
+    hourly → daily) that previously required one job per level with an
+    intermediate sink now runs as ONE query with two watermarked
+    aggregations; Spark propagates the watermark through the first
+    aggregate so the second's state is bounded too. Append mode is
+    mandatory (each level emits windows only as the watermark closes
+    them), so the drain's result is exactly the CLOSED 1-hour windows —
+    tests/test_streaming.py pins streaming == batch twin minus the
+    windows still inside the final watermark horizon (the same residue
+    accounting as s10).
+
+    100 TB/day: two shuffles (level-1 window×type key, level-2
+    super-window key), each state store bounded by watermark horizon ×
+    key cardinality; the level-2 input is already aggregate-sized. This
+    replaces sink+re-read pipelines and their double storage cost."""
+    return run_stream_to_memory(
+        chained_window_rollup(events_stream(spark, sf_dir)), mode="append")

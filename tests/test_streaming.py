@@ -264,3 +264,32 @@ def test_stream_static_enrich_equals_batch(spark):
                      "n_events", "total_value")
              .toPandas())
     assert_frames_match(stream, batch, "stream_static_enrich_vs_batch")
+
+
+def test_chained_stateful_windows_match_batch_closed_set(spark):
+    """Two chained stateful aggregations (append mode): the drain emits
+    exactly the 1-hour super-windows the final watermark closed — the
+    batch twin filtered to window_end <= max(ts) - 10 min."""
+    from pyspark_ml_features_spark.sources import table
+    from pyspark_ml_features_spark.streaming.events import (
+        chained_window_rollup,
+    )
+
+    stream = (ALL["s12_chained_stateful_windows"].fn(spark, SF_DIR)
+              .toPandas())
+    ev = table(spark, SF_DIR, "events")
+    lvl1 = (ev.groupBy(F.window("ts", "15 minutes").alias("w1"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+    batch = (lvl1.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"),
+                          "event_type")
+             .agg(F.sum("n").alias("n_total"),
+                  F.count(F.lit(1)).alias("n_buckets"))
+             .select(F.col("w2.start").alias("window_start"),
+                     F.col("w2.end").alias("window_end"),
+                     "event_type", "n_total", "n_buckets"))
+    import pyspark.sql.functions as FF
+    wm = ev.agg(FF.max("ts")).collect()[0][0] - __import__(
+        "datetime").timedelta(minutes=10)
+    closed = batch.filter(F.col("window_end") <= FF.lit(wm)).toPandas()
+    assert_frames_match(stream, closed, "chained_stateful_vs_batch_closed")
