@@ -1403,3 +1403,80 @@ def e49_signature_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = pid_scoped("pmfs_minhash_store")
     minhash_signatures(d).write.mode("overwrite").parquet(store)
     return pairs_from_signatures(spark.read.parquet(store))
+
+
+@register(
+    "e63_sorted_neighborhood",
+    oracle="""
+WITH sub AS (
+    SELECT doc_id, text, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), ranked AS (
+    SELECT doc_id, sh,
+           CAST(row_number() OVER (ORDER BY substr(text, 1, 24), doc_id)
+                AS BIGINT) AS rk
+    FROM sub
+), cand AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM ranked a JOIN ranked b
+      ON b.rk > a.rk AND b.rk <= a.rk + 5
+)
+SELECT d1, d2, rank_gap,
+       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+FROM cand
+WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+""",
+    tags=("north-star", "E2", "dedup", "blocking"),
+)
+def e63_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking (Hernandez & Stolfo) — the third
+    classic candidate-generation strategy beside the inverted index (e3)
+    and LSH banding (e2d/e33): sort the corpus by a blocking key (the
+    24-char text prefix), and only pairs within a rank window (w=5) are
+    candidates, each verified by exact Jaccard >= 0.5. The global rank
+    comes from d106's ``distributed_row_number`` primitive — never a
+    single-partition window — and the window-of-ranks join is an
+    EQUI-join (each left row explodes to its w following ranks), so each
+    candidate pair is generated exactly once with no inequality-join
+    nested loop. Deterministic via the (prefix, doc_id) tie-break; the
+    oracle replays the identical construction with DuckDB's row_number +
+    range join.
+
+    100 TB: candidates are exactly w*n (linear — the strategy's selling
+    point vs quadratic blocking failure modes); cost is one distributed
+    sort + one equi-join shuffle. Weakness (documented, measurable with
+    e46-style audits): recall depends on near-dups sharing a PREFIX —
+    replica docs with different leading tokens are missed, which is why
+    production systems run multi-pass sorted-neighborhood with several
+    keys, or prefer banded MinHash (e33)."""
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    W = 5
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id", F.substring("text", 1, 24).alias("pfx"),
+                 F.array_distinct(tokens("text")).alias("sh")))
+    ranked = (distributed_row_number(d, ["pfx", "doc_id"], 16)
+              .select("doc_id", "sh", F.col("grk").alias("rk")))
+    a = ranked.select(F.col("doc_id").alias("d1"),
+                      F.col("sh").alias("sh1"), F.col("rk").alias("rk1"),
+                      F.explode(F.sequence(
+                          F.col("rk") + 1, F.col("rk") + W)).alias("rk"))
+    b = ranked.select(F.col("doc_id").alias("d2"),
+                      F.col("sh").alias("sh2"), "rk")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = (inter.cast("double")
+           / (F.size("sh1") + F.size("sh2") - inter))
+    return (a.join(b, "rk")
+            .select("d1", "d2",
+                    (F.col("rk") - F.col("rk1")).cast("bigint")
+                    .alias("rank_gap"),
+                    F.round(jac, 6).alias("jaccard"),
+                    jac.alias("_j"))
+            .filter(F.col("_j") >= 0.5)
+            .drop("_j"))

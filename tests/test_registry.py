@@ -86,6 +86,7 @@ DEFERRED_ORACLES: set[str] = {
     "t16_gopher_rules",
     "e61_qgram_fuzzy_join",
     "e62_split_leakage_report",
+    "e63_sorted_neighborhood",
 }
 
 
