@@ -615,3 +615,26 @@ def test_incremental_cc_warm_start_saves_rounds(spark):
             .join(warm.withColumnRenamed("cluster_id", "w"), "node")
             .filter(F.col("c") != F.col("w")).count())
     assert diff == 0, "warm-start labels must equal the cold fixpoint"
+
+
+def test_sorted_neighborhood_candidates_linear_and_density_bounded(run):
+    """e63's defining property is candidate LINEARITY (exactly <= w*n
+    candidate pairs), and its recall on THIS fixture is density-bounded:
+    the saturated corpus has a quadratic true-pair set (3,810 J>=0.5
+    pairs among 100 sampled docs = 77% of all pairs), so any linear
+    blocking can reach at most w*n/|truth| ~ 0.13 recall here — measured
+    0.054. Pin the bound arithmetic and the measured floor; precision is
+    1.0 by construction (every emitted pair passed the exact verify)."""
+    truth = {(r["d1"], r["d2"]) for r in run("e3_jaccard_pairs").collect()}
+    sn_rows = run("e63_sorted_neighborhood").collect()
+    # e63 orders pairs by RANK (d1 = lower sort rank), not by doc id —
+    # normalize to (min, max) before comparing with e3's id-ordered pairs
+    sn = {(min(r["d1"], r["d2"]), max(r["d1"], r["d2"])) for r in sn_rows}
+    n_docs = 100  # doc_id % 5 == 0 at sf0.01
+    w = 5
+    assert len(sn) <= w * n_docs, "candidates must stay linear (w*n)"
+    assert sn <= truth, "every emitted pair must be a true J>=0.5 pair"
+    recall = len(sn & truth) / len(truth)
+    upper = min(1.0, w * n_docs / len(truth))
+    assert recall <= upper + 1e-9
+    assert recall >= 0.04, f"recall {recall} collapsed below measured floor"
