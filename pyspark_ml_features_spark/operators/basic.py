@@ -638,3 +638,54 @@ def a23_csv_malformed_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ok, F.col("qty"))).alias("sum_qty"),
         F.sum(F.when(ok, F.round(F.col("price") * 100).cast("bigint")))
         .alias("sum_price_cents"))
+
+
+@register(
+    "a24_ctas_insert_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "sink", "sql-ddl"),
+)
+def a24_ctas_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DDL managed-table lifecycle: CREATE TABLE AS SELECT writes the
+    pre-1995 half of orders into a managed parquet table, INSERT INTO
+    ... SELECT appends the rest, and the aggregate over the REASSEMBLED
+    table must hash-match the oracle over the original — proving the
+    CTAS + INSERT path (the warehouse-ETL idiom, distinct from d50's
+    DataFrame saveAsTable) loses and duplicates nothing across the two
+    writes. pid-scoped table name + DROP/rmtree-first + exit cleanup per
+    the d50 warehouse rules (in-memory catalog, persistent directory).
+
+    100 TB: CTAS/INSERT INTO parallelize like any write; the split
+    predicate demonstrates the backfill-then-append pattern (historical
+    CTAS, incremental INSERTs) that partitioned tables extend with
+    dynamic partition overwrite (a19)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark_ml_features_spark.tmp_artifacts import register as keep_tmp
+
+    tbl = f"pmfs_ctas_orders_{os.getpid()}"
+    view = f"orders_ctas_src_{os.getpid()}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    keep_tmp(f"{warehouse}/{tbl}")
+    spark.sql(f"""
+        CREATE TABLE {tbl} USING parquet AS
+        SELECT * FROM {view} WHERE o_orderdate < DATE '1995-01-01'""")
+    spark.sql(f"""
+        INSERT INTO {tbl}
+        SELECT * FROM {view} WHERE o_orderdate >= DATE '1995-01-01'""")
+    return (spark.table(tbl)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("sum_cents")))

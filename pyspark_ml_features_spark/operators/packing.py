@@ -668,3 +668,103 @@ def e62_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("d1", "d2", "jaccard", "in_train1", "in_train2",
                     (F.col("in_train1") != F.col("in_train2"))
                     .cast("bigint").alias("is_leak")))
+
+
+@register(
+    "e65_mixture_epoch_expansion",
+    oracle="""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(str_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS nt
+    FROM documents
+), per AS (
+    SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM per_doc
+    GROUP BY lang
+), t AS (
+    SELECT lang, n_tokens, sum(n_tokens) OVER () AS total,
+           CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE)
+                     WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                     WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS target_share
+    FROM per
+), w AS (
+    SELECT lang, target_share,
+           round(target_share * total / n_tokens, 6) AS weight
+    FROM t
+), rep AS (
+    SELECT d.doc_id, d.lang, d.nt, w.target_share,
+           CAST(floor(w.weight) AS BIGINT)
+           + CAST((d.doc_id * 1103515245 + 12345) % 2048
+                  < round((w.weight - floor(w.weight)) * 2048)
+                  AS BIGINT) AS repeats
+    FROM per_doc d JOIN w ON d.lang = w.lang
+), virtual AS (
+    SELECT r.lang, r.target_share, r.nt
+    FROM rep r, unnest(range(1, r.repeats + 1)) AS u(i)
+)
+SELECT lang, target_share,
+       CAST(count(*) AS BIGINT) AS n_virtual_docs,
+       CAST(sum(nt) AS BIGINT) AS n_virtual_tokens,
+       round(sum(nt) / (sum(sum(nt)) OVER ()), 6) AS achieved_share
+FROM virtual
+GROUP BY lang, target_share
+""",
+    tags=("north-star", "curation", "mixing", "sampling"),
+)
+def e65_mixture_epoch_expansion(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """APPLY the mixture (e57's weights turned into training rows): each
+    document repeats ``floor(weight)`` times plus one more with
+    probability ``frac(weight)`` — decided by the d90 LCG key hash
+    against an integer threshold ``round(frac * 2048)``, so the
+    fractional epoch is deterministic, engine-portable, and auditable
+    (stochastic-rounding epoch expansion, the standard way samplers hit
+    a non-integer epoch multiplier). Documents explode into their
+    virtual copies (guarded sequence — Spark's sequence(1, 0) is
+    DESCENDING, so zero-repeat docs map to an empty array) and the
+    achieved token mix per language is reported next to the target; on
+    this fixture the LCG tracks each fractional part within the
+    per-language doc-count granularity. The oracle replays the exact
+    arithmetic including the unnest(range()).
+
+    100 TB: weights are a |langs|-row broadcast; the expansion is a
+    map-side explode whose output volume is exactly sum(weights x
+    tokens) ~ total x 1 under a normalized target — no shuffle until
+    the final report aggregate. The repeats column (not the explode)
+    is what a production packer consumes (e51)."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tokens("text"), lambda t: t != "")) \
+        .cast("bigint")
+    per_doc = d.select("doc_id", "lang", ntok.alias("nt"))
+    per = per_doc.groupBy("lang").agg(F.sum("nt").alias("n_tokens"))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    target = (F.when(F.col("lang") == "en", F.lit(0.40))
+              .when(F.col("lang").isin("de", "es", "fr", "zh"), F.lit(0.15))
+              .otherwise(F.lit(0.0)))
+    w = (per.withColumn("total", total)
+         .withColumn("target_share", target)
+         .withColumn("weight", F.round(
+             F.col("target_share") * F.col("total") / F.col("n_tokens"), 6))
+         .select("lang", "target_share", "weight"))
+    base = F.floor(F.col("weight")).cast("bigint")
+    frac = F.col("weight") - F.floor(F.col("weight"))
+    lcg = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2048)
+    extra = (lcg < F.round(frac * 2048)).cast("bigint")
+    rep = (per_doc.join(F.broadcast(w), "lang")
+           .withColumn("repeats", base + extra))
+    virtual = rep.select(
+        "lang", "target_share", "nt",
+        F.explode(F.when(F.col("repeats") >= 1,
+                         F.sequence(F.lit(1), F.col("repeats")))
+                  .otherwise(F.array())).alias("copy_i"))
+    agg = (virtual.groupBy("lang", "target_share")
+           .agg(F.count(F.lit(1)).alias("n_virtual_docs"),
+                F.sum("nt").alias("n_virtual_tokens")))
+    grand = F.sum("n_virtual_tokens").over(Window.partitionBy())
+    return agg.select(
+        "lang", "target_share", "n_virtual_docs", "n_virtual_tokens",
+        F.round(F.col("n_virtual_tokens") / grand, 6)
+        .alias("achieved_share"))

@@ -638,3 +638,22 @@ def test_sorted_neighborhood_candidates_linear_and_density_bounded(run):
     upper = min(1.0, w * n_docs / len(truth))
     assert recall <= upper + 1e-9
     assert recall >= 0.04, f"recall {recall} collapsed below measured floor"
+
+
+def test_multipass_sorted_neighborhood_lifts_recall(run):
+    """e64's second sort key must strictly lift recall over single-pass
+    e63 while keeping candidates linear (<= 2*w*n): measured 0.054 ->
+    0.186 on the fixture. Pass masks partition the found set: every pair
+    carries mask 1 (prefix), 2 (suffix), or 3 (both)."""
+    truth = {(r["d1"], r["d2"]) for r in run("e3_jaccard_pairs").collect()}
+    single = {(min(r["d1"], r["d2"]), max(r["d1"], r["d2"]))
+              for r in run("e63_sorted_neighborhood").collect()}
+    rows = run("e64_multipass_sorted_neighborhood").collect()
+    multi = {(r["d1"], r["d2"]) for r in rows}
+    assert multi <= truth
+    assert len(multi) <= 2 * 5 * 100
+    r1 = len(single & truth) / len(truth)
+    r2 = len(multi & truth) / len(truth)
+    assert r2 > r1, f"second pass must lift recall ({r1} -> {r2})"
+    assert r2 >= 0.15, f"multipass recall {r2} collapsed below measured"
+    assert {r["pass_mask"] for r in rows} <= {1, 2, 3}

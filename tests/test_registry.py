@@ -87,6 +87,9 @@ DEFERRED_ORACLES: set[str] = {
     "e61_qgram_fuzzy_join",
     "e62_split_leakage_report",
     "e63_sorted_neighborhood",
+    "e64_multipass_sorted_neighborhood",
+    "a24_ctas_insert_roundtrip",
+    "e65_mixture_epoch_expansion",
 }
 
 
