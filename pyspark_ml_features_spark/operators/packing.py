@@ -768,3 +768,99 @@ def e65_mixture_epoch_expansion(spark: SparkSession,
         "lang", "target_share", "n_virtual_docs", "n_virtual_tokens",
         F.round(F.col("n_virtual_tokens") / grand, 6)
         .alias("achieved_share"))
+
+
+@register(
+    "e66_cluster_split_no_leakage",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM sub
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), split AS (
+    SELECT doc_id, cluster_id,
+           CAST((cluster_id * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
+               AS in_train
+    FROM cc
+), leaks AS (
+    SELECT count(*) AS n_leak FROM pairs p
+    JOIN split a ON a.doc_id = p.d1
+    JOIN split b ON b.doc_id = p.d2
+    WHERE a.in_train <> b.in_train
+)
+SELECT CAST(sum(in_train) AS BIGINT) AS n_train_docs,
+       CAST(count(*) - sum(in_train) AS BIGINT) AS n_eval_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       (SELECT CAST(n_leak AS BIGINT) FROM leaks) AS n_leak_pairs
+FROM split
+""",
+    tags=("north-star", "curation", "split", "leakage", "graph"),
+)
+def e66_cluster_split_no_leakage(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The REPAIR for e62's split leakage: split on the DUP-CLUSTER id
+    (e45's connected components), not the document id — every member of
+    a near-dup cluster shares its cluster's LCG coin flip, so no
+    Jaccard >= 0.5 pair can straddle the boundary BY CONSTRUCTION. The
+    report carries the train/eval doc counts, the cluster count, and the
+    cross-split leak count, which both engines must agree is exactly
+    zero — the hash check proves the guarantee, not just asserts it
+    (the e62 -> e66 pair is the before/after of the standard
+    dedup-aware-split recipe).
+
+    100 TB: one extra broadcast-sized join vs e62 (doc -> cluster_id
+    from the stored e45 output); the split predicate stays scan-side
+    arithmetic on the cluster id. The trade-off vs id-splits is
+    granularity: clusters move between train/eval atomically, so share
+    targets are hit within max-cluster-size tolerance."""
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.5).select("d1", "d2")
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(prs.select(F.col("d2").alias("src"),
+                                     F.col("d1").alias("dst"))))
+    cc = connected_components(d.select(F.col("doc_id").alias("node")),
+                              edges)
+    in_train = (((F.col("cluster_id") * F.lit(1103515245) + F.lit(12345))
+                 % F.lit(2048)) < 1638).cast("bigint")
+    split = cc.select(F.col("node").alias("doc_id"), "cluster_id",
+                      in_train.alias("in_train"))
+    sa = split.select(F.col("doc_id").alias("d1"),
+                      F.col("in_train").alias("t1"))
+    sb = split.select(F.col("doc_id").alias("d2"),
+                      F.col("in_train").alias("t2"))
+    n_leak = (prs.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+              .filter(F.col("t1") != F.col("t2"))
+              .agg(F.count(F.lit(1)).alias("n_leak")))
+    summary = split.agg(
+        F.sum("in_train").alias("n_train_docs"),
+        (F.count(F.lit(1)) - F.sum("in_train")).alias("n_eval_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"))
+    return (summary.crossJoin(F.broadcast(n_leak))
+            .select("n_train_docs", "n_eval_docs", "n_clusters",
+                    F.col("n_leak").alias("n_leak_pairs")))

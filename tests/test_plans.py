@@ -274,6 +274,7 @@ BNLJ_ALLOWED = {
     "e43_tfidf_cosine_pairs",  # single-row n_docs aggregate cross join (e8 shape)
     "d91_equidepth_histogram",  # single-row decile-boundary cross join
     "e50_threshold_sweep",   # 5-row threshold list x pair-count relation
+    "e66_cluster_split_no_leakage",  # single-row leak-count cross join
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

@@ -90,6 +90,7 @@ DEFERRED_ORACLES: set[str] = {
     "e64_multipass_sorted_neighborhood",
     "a24_ctas_insert_roundtrip",
     "e65_mixture_epoch_expansion",
+    "e66_cluster_split_no_leakage",
 }
 
 
