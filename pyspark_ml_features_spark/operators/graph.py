@@ -40,7 +40,13 @@ from pyspark_ml_features_spark.functions.arrays import (
     to_double_array,
 )
 from pyspark_ml_features_spark.functions.text import tokens
-from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+from pyspark_ml_features_spark.operators.dedup import (
+    MINHASH_AFFINE,
+    MINHASH_P,
+    MINHASH_SHINGLE_B,
+    jaccard_pairs,
+    minhash_signatures,
+)
 from pyspark_ml_features_spark.operators.similarity import DIM
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -596,3 +602,101 @@ def e60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = rank.localCheckpoint(eager=True)
     return rank.select(F.col("node").alias("doc_id"),
                        F.col("r").alias("pagerank"))
+
+
+def _cluster_sig_oracle() -> str:
+    from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
+
+    sig_cols = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AFFINE))
+    return f"""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, text, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM sub
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), th AS (
+    SELECT doc_id,
+           list_transform(str_split(text, ' '),
+                          tok -> {duckdb_rolling_hash('tok')}) AS th
+    FROM sub
+), sh3 AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+                          i -> (((th[i] * {MINHASH_SHINGLE_B} + th[i+1])
+                                 % {MINHASH_P}) * {MINHASH_SHINGLE_B}
+                                + th[i+2]) % {MINHASH_P}) AS sh
+    FROM th
+), cx AS (
+    SELECT cc.cluster_id, s.doc_id, unnest(s.sh) AS x
+    FROM sh3 s JOIN cc ON cc.doc_id = s.doc_id
+)
+SELECT cluster_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_members,
+       {sig_cols}
+FROM cx GROUP BY cluster_id
+"""
+
+
+@register(
+    "e67_cluster_minhash_signatures",
+    oracle=_cluster_sig_oracle(),
+    tags=("north-star", "E2", "dedup", "sketch", "mergeable"),
+)
+def e67_cluster_minhash_signatures(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """MERGEABLE MinHash: a duplicate CLUSTER's signature is the
+    elementwise MIN of its members' signatures — and that equals the
+    MinHash of the members' UNION shingle set (min over a union = min of
+    per-set mins), which is what the oracle computes DIRECTLY from the
+    pooled shingles. The hash match is therefore a cross-engine proof of
+    the mergeability theorem that makes MinHash a distributed sketch:
+    signatures combine associatively in any order (map-side combine,
+    incremental ingest e32, cluster rollup here) with no access to the
+    original text. Clusters from e45's connected components (token-set
+    J >= 0.5); signatures over e33's engine-exact 3-gram shingle field.
+    Docs too short to shingle (< 3 tokens) carry no signature and drop
+    from both sides identically.
+
+    100 TB: the merge is a groupBy-min over 128-byte rows — the cheapest
+    possible cluster aggregate; a new member folds in with one min()
+    against the stored cluster signature (e49's signature store keyed by
+    cluster instead of doc). Estimated cluster-to-cluster Jaccard from
+    these signatures prices CROSS-CLUSTER merges without touching
+    documents."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.5).select("d1", "d2")
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(prs.select(F.col("d2").alias("src"),
+                                     F.col("d1").alias("dst"))))
+    cc = connected_components(d.select(F.col("doc_id").alias("node")),
+                              edges) \
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+    sigs = minhash_signatures(d.select("doc_id", "text"))
+    k = len(MINHASH_AFFINE)
+    return (sigs.join(F.broadcast(cc), "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 *[F.min(f"s{i}").alias(f"s{i}") for i in range(k)]))

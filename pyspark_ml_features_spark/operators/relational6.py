@@ -459,3 +459,79 @@ def d110_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
               "start": datetime.date(1994, 1, 1),
               "end": datetime.date(1996, 1, 1),
               "status": "F"})
+
+
+@register(
+    "d111_rollup_share_of_parent",
+    oracle="""
+WITH r AS (
+    SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+           CAST(grouping(n.n_regionkey) * 2 + grouping(c.c_nationkey)
+                AS BIGINT) AS gid,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_regionkey, c.c_nationkey)
+)
+SELECT child.region, child.nation, child.gid, child.cents,
+       round(child.cents / parent.cents, 6) AS share_of_parent
+FROM r child
+JOIN r parent
+  ON (child.gid = 0 AND parent.gid = 1
+      AND parent.region = child.region)
+  OR (child.gid = 1 AND parent.gid = 3)
+UNION ALL
+SELECT region, nation, gid, cents, CAST(1.0 AS DOUBLE)
+FROM r WHERE gid = 3
+""",
+    tags=("engine", "D7", "rollup", "reporting"),
+)
+def d111_rollup_share_of_parent(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ROLLUP with SHARE-OF-PARENT — the hierarchical report every BI
+    layer builds on subtotals (nation revenue as a share of its region,
+    region as a share of the grand total): one ROLLUP pass produces all
+    three levels, then each level joins its parent subtotal by
+    grouping_id (nation rows equi-join their region subtotal; region
+    rows cross-join the single broadcast grand-total row — allowlisted;
+    the grand row itself reports share 1). Money stays
+    floor-cents BIGINT through the rollup so subtotals are exact; only
+    the final share divides (round 6 dp). grouping_id bit order is
+    probed identical across engines (d92).
+
+    100 TB: one shuffle for the rollup (Expand feeds partial
+    aggregates); the self-join joins a |nations|+|regions|+1-row table
+    to itself — metadata-sized. The same shape extends to any
+    dimension hierarchy (category/subcategory, org trees)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    base = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+    r = (base.rollup(n["n_regionkey"].alias("region"),
+                     c["c_nationkey"].alias("nation"))
+         .agg(F.grouping_id().cast("bigint").alias("gid"),
+              F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+              .alias("cents")))
+    region_totals = (r.filter(F.col("gid") == 1)
+                     .select(F.col("region").alias("p_region"),
+                             F.col("cents").alias("p_cents")))
+    nation_rows = (r.filter(F.col("gid") == 0)
+                   .join(F.broadcast(region_totals),
+                         F.col("region") == F.col("p_region"))
+                   .select("region", "nation", "gid", "cents",
+                           F.round(F.col("cents") / F.col("p_cents"), 6)
+                           .alias("share_of_parent")))
+    grand_total = (r.filter(F.col("gid") == 3)
+                   .select(F.col("cents").alias("g_cents")))
+    region_rows = (r.filter(F.col("gid") == 1)
+                   .crossJoin(F.broadcast(grand_total))
+                   .select("region", "nation", "gid", "cents",
+                           F.round(F.col("cents") / F.col("g_cents"), 6)
+                           .alias("share_of_parent")))
+    grand = (r.filter(F.col("gid") == 3)
+             .select("region", "nation", "gid", "cents",
+                     F.lit(1.0).alias("share_of_parent")))
+    return nation_rows.unionByName(region_rows).unionByName(grand)

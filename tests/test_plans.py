@@ -275,6 +275,7 @@ BNLJ_ALLOWED = {
     "d91_equidepth_histogram",  # single-row decile-boundary cross join
     "e50_threshold_sweep",   # 5-row threshold list x pair-count relation
     "e66_cluster_split_no_leakage",  # single-row leak-count cross join
+    "d111_rollup_share_of_parent",  # single-row grand-total cross join
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

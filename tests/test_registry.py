@@ -91,6 +91,8 @@ DEFERRED_ORACLES: set[str] = {
     "a24_ctas_insert_roundtrip",
     "e65_mixture_epoch_expansion",
     "e66_cluster_split_no_leakage",
+    "e67_cluster_minhash_signatures",
+    "d111_rollup_share_of_parent",
 }
 
 
