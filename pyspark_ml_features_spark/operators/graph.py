@@ -700,3 +700,61 @@ def e67_cluster_minhash_signatures(spark: SparkSession,
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  *[F.min(f"s{i}").alias(f"s{i}") for i in range(k)]))
+
+
+def _cluster_pair_oracle() -> str:
+    n_match = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_AFFINE)))
+    return f"""
+WITH sigs AS (SELECT * FROM ({_cluster_sig_oracle()}) t)
+SELECT c1, c2, n_match,
+       n_match / {len(MINHASH_AFFINE)}.0 AS est_jaccard
+FROM (
+    SELECT a.cluster_id AS c1, b.cluster_id AS c2,
+           CAST({n_match} AS BIGINT) AS n_match
+    FROM sigs a JOIN sigs b ON a.cluster_id < b.cluster_id
+)
+WHERE n_match >= 6
+"""
+
+
+@register(
+    "e68_cluster_pair_similarity",
+    oracle=_cluster_pair_oracle(),
+    tags=("north-star", "E2", "dedup", "sketch", "graph"),
+)
+def e68_cluster_pair_similarity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CROSS-CLUSTER merge pricing from e67's merged signatures: estimate
+    Jaccard between duplicate CLUSTERS (matches/16 agreeing signature
+    components, reported at >= 6/16 ~ 0.375) without touching any
+    document text — the decision input for whether two clusters the
+    edge-threshold kept apart should merge in the next dedup generation.
+    Everything flows from the 128-byte cluster signatures, so the
+    estimate is engine-exact and the oracle replays the identical
+    comparison over its own independently-computed union-shingle
+    signatures (e67's mergeability proof makes the two sides
+    comparable at all).
+
+    100 TB: the fixture compares all cluster pairs (bounded here;
+    allowlisted all-pairs ground-truth shape, e4c's precedent) — at
+    scale the cluster signatures feed the SAME banding machinery as
+    documents (e33 keyed by cluster_id instead of doc_id), so candidate
+    cluster pairs come from band equi-joins, never O(C^2)."""
+    sigs = e67_cluster_minhash_signatures(spark, sf_dir) \
+        .localCheckpoint(eager=True)
+    k = len(MINHASH_AFFINE)
+    a = sigs.select(F.col("cluster_id").alias("c1"),
+                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(k)])
+    b = sigs.select(F.col("cluster_id").alias("c2"),
+                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(k)])
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
+        for i in range(k))
+    return (a.join(F.broadcast(b), F.col("c1") < F.col("c2"))
+            .withColumn("n_match", n_match)
+            .filter(F.col("n_match") >= 6)
+            .select("c1", "c2", "n_match",
+                    (F.col("n_match") / F.lit(float(k)))
+                    .alias("est_jaccard")))

@@ -276,6 +276,9 @@ BNLJ_ALLOWED = {
     "e50_threshold_sweep",   # 5-row threshold list x pair-count relation
     "e66_cluster_split_no_leakage",  # single-row leak-count cross join
     "d111_rollup_share_of_parent",  # single-row grand-total cross join
+    "e68_cluster_pair_similarity",  # all-pairs cluster ground truth
+                                    # (bounded; scale path = cluster-level
+                                    # banding, see docstring)
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

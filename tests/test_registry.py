@@ -93,6 +93,7 @@ DEFERRED_ORACLES: set[str] = {
     "e66_cluster_split_no_leakage",
     "e67_cluster_minhash_signatures",
     "d111_rollup_share_of_parent",
+    "e68_cluster_pair_similarity",
 }
 
 
