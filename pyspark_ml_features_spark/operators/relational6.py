@@ -535,3 +535,60 @@ def d111_rollup_share_of_parent(spark: SparkSession,
              .select("region", "nation", "gid", "cents",
                      F.lit(1.0).alias("share_of_parent")))
     return nation_rows.unionByName(region_rows).unionByName(grand)
+
+
+@register(
+    "d112_loo_target_encoding",
+    oracle="""
+WITH c AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       CAST((sum(cents) OVER (PARTITION BY o_orderpriority) - cents)
+            * 1000000
+            // (count(*) OVER (PARTITION BY o_orderpriority) - 1)
+            AS BIGINT) AS loo_mean_microcents
+FROM c
+""",
+    tags=("engine", "ml-prep", "encoding", "window"),
+)
+def d112_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the categorical-feature encoding
+    that replaces each category with the mean target of the OTHER rows
+    in that category (including the row's own target leaks the label
+    into the feature; LOO is the standard fix): one unpartitioned-frame
+    window computes the group sum and count, each row subtracts itself,
+    and the mean is reported in FIXED-POINT micro-cents via integer
+    division — no float anywhere. The all-integer form is deliberate
+    twice over: double sums are partition-order dependent, AND a
+    rounded float division is engine-divergent exactly at rounding
+    boundaries (prototyped: DuckDB's round-after-divide evaluates the
+    division in extended precision, so a quotient whose true value
+    crosses the 6-dp boundary INSIDE one double ulp rounds differently
+    than Spark's IEEE double quotient — observed on this very data).
+    Positive operands make Spark's truncating DIV ≡ DuckDB's flooring
+    // ; groups here always have >= 2 rows so the denominator is never
+    zero.
+
+    100 TB: one shuffle on the category key; the window needs only two
+    running aggregates per partition, no buffering. Skewed categories
+    (most rows in one priority) are the known hot key — at scale the
+    same arithmetic decomposes into a pre-aggregated (sum, count)
+    broadcast join-back, which AQE effectively produces here anyway.
+    Reference: the reference's feature tooling (spark_ml_features.py:1)
+    has label indexing but no target encoding; SURVEY §2-B extension."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select("o_orderkey", "o_orderpriority",
+                 F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    w = Window.partitionBy("o_orderpriority")
+    staged = c.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        ((F.sum("cents").over(w) - F.col("cents")) * F.lit(1000000))
+        .alias("num"),
+        (F.count(F.lit(1)).over(w) - 1).alias("den"))
+    return staged.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.expr("num DIV den").alias("loo_mean_microcents"))

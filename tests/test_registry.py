@@ -94,6 +94,7 @@ DEFERRED_ORACLES: set[str] = {
     "e67_cluster_minhash_signatures",
     "d111_rollup_share_of_parent",
     "e68_cluster_pair_similarity",
+    "d112_loo_target_encoding",
 }
 
 
