@@ -689,3 +689,50 @@ def a24_ctas_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
                  .alias("sum_cents")))
+
+
+@register(
+    "a25_xml_sink_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "source", "xml", "sink"),
+)
+def a25_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 ships the spark-xml reader/
+    writer built in — no external package), proven LOSSLESS the a15 way:
+    orders projects to (bigint key, string priority, bigint cents) — the
+    cents computed BEFORE the write so only integers and strings cross
+    the text format — writes to XML with an explicit rowTag, reads back
+    under an explicit schema (XML inference is a full pre-scan, same
+    rule as a17's JSON), and the aggregate over the round-trip must
+    hash-match the oracle computed from the ORIGINAL parquet. DuckDB
+    cannot read XML, which is exactly why the oracle runs on the source
+    table: equality proves the sink-source cycle changed nothing.
+
+    100 TB: XML is a row-major text format — fine as an interchange
+    sink, wrong as an analytical store (no column pruning, no predicate
+    pushdown, ~3-5x parquet's bytes); the round-trip exists because
+    enterprise feeds still speak XML. Writes are map-only; the read-back
+    parallelizes per file split like any text source."""
+    out = pid_scoped("pmfs_orders_xml")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    (o.write.format("xml").option("rowTag", "order")
+      .mode("overwrite").save(out))
+    back = (spark.read.format("xml").option("rowTag", "order")
+            .schema("o_orderkey bigint, o_orderpriority string, cents bigint")
+            .load(out))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_price_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))

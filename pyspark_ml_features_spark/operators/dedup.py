@@ -1582,3 +1582,115 @@ def e64_multipass_sorted_neighborhood(spark: SparkSession,
             .filter(F.col("_j") >= 0.5)
             .select("d1", "d2", "pass_mask",
                     F.round("_j", 6).alias("jaccard")))
+
+
+@register(
+    "e69_dup_span_report",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i + 1:i + 5], ' ') AS gram
+  FROM words, UNNEST(range(0, greatest(len(w) - 4, 0))) AS t(i)
+),
+dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 5) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+  FROM isl GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS spans, sum(e - s) AS dupw
+  FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(a.spans AS BIGINT) AS n_dup_spans,
+       CAST(a.dupw AS BIGINT) AS dup_words,
+       CAST((a.dupw * 10000) // len(w.w) AS BIGINT) AS dup_bp
+FROM agg a JOIN words w USING (doc_id)
+""",
+    tags=("north-star", "E1", "dedup", "span-level", "llm-pipeline"),
+)
+def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level duplication report — the granularity between e1's
+    whole-document and e31's whole-line dedup, after the published
+    observation that training corpora contain long VERBATIM substrings
+    repeated across otherwise-distinct documents (boilerplate, quoted
+    passages, templated sections) that document-level dedup never sees.
+
+    Method (exact, no suffix array needed for the report form): every
+    word 5-gram is emitted with its START POSITION via one
+    ``posexplode``; a gram occurring in >= 2 DISTINCT documents marks
+    positions ``[pos, pos+5)`` as duplicated; per document the marked
+    intervals merge into MAXIMAL spans with one gap-and-islands pass
+    (running ``max(end)`` over the position order — a new island starts
+    exactly when the next interval begins past everything seen, so
+    touching/overlapping k-gram windows coalesce into the full repeated
+    passage). Output per affected doc: span count, duplicated word
+    count, and duplicated fraction in basis points (fixed-point DIV per
+    the d112 rule — no float division behind an exact oracle).
+
+    100 TB: the gram shuffle dominates; production swaps the gram STRING
+    for its 8-byte rolling-hash fingerprint exactly as e36 does for
+    whole documents (collision check optional at this k), making the
+    shuffle ~8 bytes/token. The islands pass shuffles once on doc_id
+    with integer-only state. Within-doc-only repeats are deliberately
+    excluded (cross-doc contamination is the dedup target; t7 already
+    scores within-doc repetition).
+    """
+    K = 5
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.when(F.size("w") >= K,
+                    F.sequence(F.lit(0), F.size("w") - K)
+                    ).otherwise(F.array().cast("array<int>"))
+    grams = words.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            starts,
+            lambda i: F.array_join(F.slice("w", i + 1, K), " ")))
+        .alias("pos", "gram"))
+    dupg = (grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2).select("gram"))
+    hits = grams.join(dupg, "gram").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + K).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    brk = hits.select(
+        "doc_id", "pos",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1)
+        .otherwise(0).alias("new_island"))
+    isl = brk.select("doc_id", "pos",
+                     F.sum("new_island").over(w_ord).alias("island"))
+    spans = (isl.groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"), (F.max("pos") + K).alias("e")))
+    agg = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum(F.col("e") - F.col("s")).alias("dup_words")))
+    return (agg.join(words.select("doc_id", F.size("w").alias("n_words")),
+                     "doc_id")
+            .select("doc_id",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    "n_dup_spans", "dup_words",
+                    F.expr("(dup_words * 10000) DIV n_words")
+                    .alias("dup_bp")))

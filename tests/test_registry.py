@@ -95,6 +95,8 @@ DEFERRED_ORACLES: set[str] = {
     "d111_rollup_share_of_parent",
     "e68_cluster_pair_similarity",
     "d112_loo_target_encoding",
+    "a25_xml_sink_roundtrip",
+    "e69_dup_span_report",
 }
 
 
