@@ -592,3 +592,51 @@ def d112_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "o_orderkey", "o_orderpriority", "cents",
         F.expr("num DIV den").alias("loo_mean_microcents"))
+
+
+@register(
+    "d113_sql_udf",
+    oracle="""
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents
+FROM (SELECT unnest(range(1992, 1999)) AS yr) spine
+LEFT JOIN orders ON CAST(year(o_orderdate) AS BIGINT) = CAST(yr AS BIGINT)
+GROUP BY yr
+""",
+    tags=("engine", "D20", "sql-udf", "function-spectrum"),
+)
+def d113_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``) — the
+    DECLARATIVE slot of the D20 function spectrum: a scalar SQL UDF
+    (floor-cents) used inside the aggregate and a table-valued SQL UDF
+    (year spine) used in the FROM clause, joined LEFT so empty years
+    survive with zero counts. Unlike every Python-boundary sibling (d20
+    pandas UDF, d22 row UDF, d23 UDTF, d83 UDAF, d109 table-arg UDTF),
+    Catalyst INLINES the SQL function body into the plan — the physical
+    plan contains no BatchEvalPython/ArrowEvalPython node, the inlined
+    expression participates in whole-stage codegen, and filters through
+    it can still push down (test_plans pins the zero-Python-boundary
+    claim). The oracle inlines the same bodies by hand, proving the
+    function-call indirection changes nothing.
+
+    100 TB: this is the UDF form to prefer whenever the logic is
+    expressible — zero serialization boundary, optimizer-transparent,
+    and shareable via the catalog instead of shipped Python pickles."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pmfs_d113_orders")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION pmfs_floor_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(x * 100) AS BIGINT)""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION pmfs_year_spine(a INT, b INT)
+        RETURNS TABLE(yr INT) RETURN SELECT explode(sequence(a, b))""")
+    return spark.sql("""
+        SELECT CAST(yr AS BIGINT) AS yr,
+               count(o_orderkey) AS n_orders,
+               coalesce(sum(pmfs_floor_cents(o_totalprice)), 0) AS sum_cents
+        FROM pmfs_year_spine(1992, 1998)
+        LEFT JOIN pmfs_d113_orders
+          ON CAST(year(o_orderdate) AS BIGINT) = CAST(yr AS BIGINT)
+        GROUP BY yr""")

@@ -571,3 +571,14 @@ def test_pagerank_round_is_single_shuffle_join(spark):
     plan = _plan(spark, "e60_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_udf_inlines_to_zero_python_boundary(spark):
+    """d113's SQL-language UDFs must be inlined by Catalyst: no Python
+    eval node anywhere, and the scalar UDF's floor-cents body visible as
+    a plain expression feeding the aggregate (the docstring's claim)."""
+    plan = _plan(spark, "d113_sql_udf")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "FLOOR" in plan.upper(), "inlined floor-cents body not found"

@@ -97,6 +97,7 @@ DEFERRED_ORACLES: set[str] = {
     "d112_loo_target_encoding",
     "a25_xml_sink_roundtrip",
     "e69_dup_span_report",
+    "d113_sql_udf",
 }
 
 
