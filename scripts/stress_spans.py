@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Span-dedup (e69) volume stress: measure how the duplicate-passage
+report's intermediate and output volumes grow with corpus size.
+
+The scale claim under test: unlike any pair-producing dedup (e3/e2*/e33,
+whose output is pairs and can grow quadratically), e69's volumes are
+ - gram rows   = sum(len(doc) - 4)            -> linear in corpus tokens
+ - dup grams   <= distinct grams              -> sublinear (vocabulary)
+ - hit rows    <= gram rows                   -> linear worst case
+ - OUTPUT rows <= n_docs (one report row/doc) -> linear, always
+so the operator cannot blow up on a pathologically self-similar corpus —
+the exact corpus shape that saturates banded pair joins (stress_dedup).
+
+Tiers: sf0.01 (500 docs), sf0.1 (5k), and sf0.1 replicated 5x with a
+per-replica leading marker token (25k docs, maximally cross-duplicated:
+every original passage now repeats in 5 places) — the worst case for any
+pair-based method and the demonstration that the span report stays flat.
+
+Usage: cd /tmp && python /root/repo/scripts/stress_spans.py
+Results recorded in DESIGN_SCALE.md ("Span-level dedup volumes").
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+K = 5
+
+
+def tiers(spark: SparkSession):
+    d001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n01 = d01.count()
+    reps = spark.range(5).select(F.col("id").alias("rep"))
+    d5x = (d01.crossJoin(reps)
+           .select((F.col("doc_id") + F.col("rep") * n01).alias("doc_id"),
+                   F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                            F.lit(" "), F.col("text")).alias("text")))
+    return [("sf0.01", d001), ("sf0.1", d01), ("sf0.1 x5", d5x)]
+
+
+def measure(docs: DataFrame) -> dict:
+    t0 = time.time()
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.when(F.size("w") >= K,
+                    F.sequence(F.lit(0), F.size("w") - K)
+                    ).otherwise(F.array().cast("array<int>"))
+    grams = words.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            starts, lambda i: F.array_join(F.slice("w", i + 1, K), " ")))
+        .alias("pos", "gram"))
+    n_grams = grams.count()
+    dupg = (grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2).select("gram"))
+    n_dupg = dupg.count()
+    hits = grams.join(dupg, "gram").select("doc_id", "pos")
+    n_hits = hits.count()
+    n_out = hits.select("doc_id").distinct().count()
+    return {"n_docs": docs.count(), "grams": n_grams, "dup_grams": n_dupg,
+            "hits": n_hits, "out_rows": n_out, "wall": time.time() - t0}
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"{'tier':>9} {'docs':>7} {'grams':>9} {'dup_grams':>9} "
+          f"{'hits':>9} {'out_rows':>8} {'wall_s':>7}")
+    for name, docs in tiers(spark):
+        m = measure(docs)
+        print(f"{name:>9} {m['n_docs']:>7} {m['grams']:>9} "
+              f"{m['dup_grams']:>9} {m['hits']:>9} {m['out_rows']:>8} "
+              f"{m['wall']:>7.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
