@@ -100,6 +100,11 @@ HEADLINE = [
     # headline already times; e58 stays out for the e45 reason (exact
     # all-pairs edge baseline).
     "d106_quantile_normalize",
+    # round-4 session: span-level duplicate-passage report — output is
+    # bounded by n_docs (one report row per doc) so it is the dedup-family
+    # member whose cost CANNOT explode on a self-similar corpus; measured
+    # volume table in DESIGN_SCALE.md "Span-level dedup volumes".
+    "e69_dup_span_report",
 ]
 
 
