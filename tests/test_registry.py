@@ -127,11 +127,69 @@ def test_deferred_queries_are_driver_green_or_rows_only():
 
 def test_window_has_no_already_green_oracle_queries():
     """Graded slots are scarce: an oracle query that is already green in a
-    past round must not occupy a round-3 slot (rows-only queries are exempt
-    — their weak rows-ran check is re-run each round for free)."""
+    past round must not occupy a graded slot (rows-only queries are exempt
+    — their weak rows-ran check is re-run each round for free). Exception:
+    once EVERY oracle query is green (saturation), re-grading is the only
+    thing left. _compute_window enforces this automatically the moment new
+    CORRECTNESS grades land; this test is the tripwire that it did."""
     green = _driver_green()
     qs = registry.all_queries()
+    ungraded_exist = any(q.oracle is not None and n not in green
+                         for n, q in qs.items())
+    if not ungraded_exist:
+        return
     for name in queries.DRIVER_WINDOW:
         if qs[name].oracle is not None:
             assert name not in green, (
                 f"{name} already has a green driver row — rotate it out")
+
+
+def test_auto_rotation_keeps_manual_window_while_ungraded():
+    """Before the round-4 grades land, the promised window must be the
+    curated one verbatim (mid-round composition stability)."""
+    qs = registry.all_queries()
+    manual_oracles = {n for n in queries.MANUAL_WINDOW_R4
+                      if qs[n].oracle is not None}
+    green = _driver_green()
+    if not (green & manual_oracles):
+        assert queries.DRIVER_WINDOW == queries.MANUAL_WINDOW_R4
+
+
+def test_auto_rotation_recomposes_once_grades_land():
+    """Simulate CORRECTNESS_r04 grading the whole manual window green: the
+    next window must be exactly the first 50 ungraded oracle queries in
+    registration order (backlog > 50 today), retrying nothing green and
+    wasting no slot."""
+    qs = registry.all_queries()
+    green = _driver_green() | set(queries.MANUAL_WINDOW_R4)
+    seen = green | {n for n, q in qs.items() if q.oracle is None}
+    window = queries._compute_window(green, seen)
+    assert len(window) == 50
+    assert all(qs[n].oracle is not None and n not in green for n in window)
+    expected = [n for n, q in qs.items()
+                if q.oracle is not None and n not in green][:50]
+    assert window == expected
+
+
+def test_auto_rotation_retries_driver_failures():
+    """A window entry the driver errored on (no hash-green row) must stay
+    in the recomposed window — failures are retried, not dropped."""
+    qs = registry.all_queries()
+    manual_oracles = [n for n in queries.MANUAL_WINDOW_R4
+                      if qs[n].oracle is not None]
+    failed = manual_oracles[0]
+    green = _driver_green() | (set(manual_oracles) - {failed})
+    window = queries._compute_window(green, green)
+    assert failed in window
+
+
+def test_auto_rotation_pads_with_rows_only_at_saturation():
+    """When every oracle query is green, the window fills with rows-only
+    re-runs (free weak checks) and then green oracles — never short."""
+    qs = registry.all_queries()
+    green = {n for n, q in qs.items() if q.oracle is not None}
+    seen = set(qs)
+    window = queries._compute_window(green, seen)
+    assert len(window) == 50
+    rows_only = [n for n in window if qs[n].oracle is None]
+    assert rows_only, "saturated window should lead with rows-only re-runs"
