@@ -1584,16 +1584,37 @@ def e64_multipass_sorted_neighborhood(spark: SparkSession,
                     F.round("_j", 6).alias("jaccard")))
 
 
-@register(
-    "e69_dup_span_report",
-    oracle="""
-WITH words AS (
+def _duckdb_gram5_key() -> str:
+    """DuckDB twin of the packed two-base 5-gram fingerprint (``i`` is the
+    1-based gram start in the lambda scope): for each base,
+    ``fold(th[i..i+4], (acc, h) -> (acc*B + h) % p)``, then pack the two
+    31-bit results into one BIGINT (k1·2³¹ + k2 < 2⁶²)."""
+    from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
+
+    def fold(base: int) -> str:
+        expr = "th[i]"
+        for j in range(1, 5):
+            expr = f"(({expr}) * {base} + th[i + {j}]) % {MINHASH_P}"
+        return expr
+
+    return f"""words AS (
   SELECT doc_id, str_split(text, ' ') AS w FROM documents
 ),
-grams AS (
-  SELECT doc_id, i AS pos, array_to_string(w[i + 1:i + 5], ' ') AS gram
-  FROM words, UNNEST(range(0, greatest(len(w) - 4, 0))) AS t(i)
+th0 AS (
+  SELECT doc_id, list_transform(w, tok -> {duckdb_rolling_hash('tok')}) AS th
+  FROM words
 ),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ({fold(10007)}) * 2147483648 + ({fold(5003)}) AS gram
+  FROM th0, UNNEST(range(1, greatest(len(th) - 4, 0) + 1)) AS t(i)
+)"""
+
+
+@register(
+    "e69_dup_span_report",
+    oracle=f"""
+WITH {_duckdb_gram5_key()},
 dupg AS (
   SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 ),
@@ -1649,25 +1670,46 @@ def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and duplicated fraction in basis points (fixed-point DIV per
     the d112 rule — no float division behind an exact oracle).
 
-    100 TB: the gram shuffle dominates; production swaps the gram STRING
-    for its 8-byte rolling-hash fingerprint exactly as e36 does for
-    whole documents (collision check optional at this k), making the
-    shuffle ~8 bytes/token. The islands pass shuffles once on doc_id
-    with integer-only state. Within-doc-only repeats are deliberately
-    excluded (cross-doc contamination is the dedup target; t7 already
-    scores within-doc repetition).
+    100 TB: the gram shuffle dominates, so grams travel as 8-byte packed
+    two-base fingerprints (e33's numeric shingle combine, extended to
+    k=5 and double-width: two independent 31-bit folds packed into one
+    BIGINT — effective key space 2^62, collision-free in practice and
+    IDENTICAL on both engines, so the oracle stays bit-exact). The
+    islands pass shuffles once on doc_id with integer-only state.
+    Within-doc-only repeats are deliberately excluded (cross-doc
+    contamination is the dedup target; t7 already scores within-doc
+    repetition).
     """
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+
     K = 5
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split("text", " ").alias("w"))
-    starts = F.when(F.size("w") >= K,
-                    F.sequence(F.lit(0), F.size("w") - K)
+    # token hashes materialized once per row (own Project — the e5/e33
+    # lesson), then each gram key is an O(K) numeric combine over the
+    # hash array: two independent bases folded mod p and packed into one
+    # BIGINT (k1*2^31 + k2 < 2^62) — an 8-byte shuffle key instead of a
+    # ~30-byte gram string, and the oracle mirrors the same arithmetic
+    # so parity stays bit-exact (cross-engine collision-free by
+    # construction: both engines compute the identical key).
+    th_docs = words.select(
+        "doc_id", "w",
+        F.transform("w", lambda tok: rolling_hash(tok)).alias("th"))
+
+    def fold(i, base):
+        expr = F.element_at("th", i)
+        for j in range(1, K):
+            expr = (expr * base + F.element_at("th", i + j)) % MINHASH_P
+        return expr
+
+    starts = F.when(F.size("th") >= K,
+                    F.sequence(F.lit(1), F.size("th") - (K - 1))
                     ).otherwise(F.array().cast("array<int>"))
-    grams = words.select(
+    grams = th_docs.select(
         "doc_id",
         F.posexplode(F.transform(
             starts,
-            lambda i: F.array_join(F.slice("w", i + 1, K), " ")))
+            lambda i: fold(i, 10007) * F.lit(2147483648) + fold(i, 5003)))
         .alias("pos", "gram"))
     dupg = (grams.groupBy("gram")
             .agg(F.countDistinct("doc_id").alias("nd"))
