@@ -143,11 +143,17 @@ def e3b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even on corpora with tiny vocabularies."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     t = tokens("text")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1),
-            F.element_at(t, i + 2)))
+    # Guard n_tok < 3 the t7 way: greatest(n-2, 0) still yields the
+    # DESCENDING sequence(1, 0) = [1, 0], and element_at(t, i+2) throws
+    # out-of-bounds on any document under 3 words.
+    shingles = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
     return jaccard_pairs(d.withColumn("__sh", shingles), F.col("__sh"),
                          threshold=0.01)
 
