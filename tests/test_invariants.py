@@ -403,6 +403,17 @@ def test_shingle_ops_survive_short_documents(spark, tmp_path):
     assert e27[1]["n_overlap"] == 0 and not e27[1]["contaminated"]
     assert e27[4]["n_overlap"] == 1 and e27[4]["contaminated"]
 
+    # Round-4 session: e3b and e55 had the same unguarded pattern
+    # (reproduced: INVALID_ARRAY_INDEX on a 2-word doc) — they and the
+    # 5-gram e69 must run clean over this fixture, emitting no pairs/
+    # flags/spans from the sub-k documents.
+    e3b = ALL["e3b_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    assert e3b.count() == 0  # only doc_id 97 is sampled (%5 == 2 others)
+    e55 = ALL["e55_ngram_decontaminate"].fn(spark, sf_dir).collect()
+    assert all(r["doc_id"] not in (1, 2, 3) for r in e55)
+    e69 = ALL["e69_dup_span_report"].fn(spark, sf_dir).collect()
+    assert all(r["doc_id"] not in (1, 2, 3) for r in e69)
+
 
 def test_banded_simhash_finds_every_close_pair(run, spark):
     """Pigeonhole COMPLETENESS contract (VERDICT r2 #6): banding is a
