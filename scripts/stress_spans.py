@@ -46,15 +46,31 @@ def tiers(spark: SparkSession):
 
 
 def measure(docs: DataFrame) -> dict:
+    """Mirrors e69's production pipeline: packed two-base 8-byte gram
+    fingerprints (not gram strings) are what shuffles."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+    from pyspark_ml_features_spark.operators.dedup import MINHASH_P
+
     t0 = time.time()
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    starts = F.when(F.size("w") >= K,
-                    F.sequence(F.lit(0), F.size("w") - K)
+    th_docs = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "),
+                    lambda tok: rolling_hash(tok)).alias("th"))
+
+    def fold(i, base):
+        expr = F.element_at("th", i)
+        for j in range(1, K):
+            expr = (expr * base + F.element_at("th", i + j)) % MINHASH_P
+        return expr
+
+    starts = F.when(F.size("th") >= K,
+                    F.sequence(F.lit(1), F.size("th") - (K - 1))
                     ).otherwise(F.array().cast("array<int>"))
-    grams = words.select(
+    grams = th_docs.select(
         "doc_id",
         F.posexplode(F.transform(
-            starts, lambda i: F.array_join(F.slice("w", i + 1, K), " ")))
+            starts,
+            lambda i: fold(i, 10007) * F.lit(2147483648) + fold(i, 5003)))
         .alias("pos", "gram"))
     n_grams = grams.count()
     dupg = (grams.groupBy("gram")
