@@ -582,3 +582,50 @@ def test_sql_udf_inlines_to_zero_python_boundary(spark):
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
     assert "FLOOR" in plan.upper(), "inlined floor-cents body not found"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AUTOMATIC complement to d40's manual salting: with AQE skew-join
+    on (the repo's default session posture), a hot-key sort-merge join is
+    re-planned at runtime into split skewed partitions — the final adaptive
+    plan carries SortMergeJoin(skew=true). Thresholds are lowered to make
+    the 400k-row fixture register as skewed; production keeps defaults and
+    relies on the same mechanism at real sizes (DESIGN_SCALE "Global
+    posture"). d40 stays the explicit rewrite for engines/joins AQE cannot
+    rescue (e.g. a skewed aggregate, which OptimizeSkewedJoin never touches
+    — that one needs d89's salted two-phase rewrite)."""
+    import pyspark.sql.functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        left = spark.range(400000).select(
+            F.when(F.col("id") < 300000, 0)
+            .otherwise((F.col("id") % 99) + 1).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = left.join(right, "k").groupBy().agg(F.sum("v").alias("s"))
+        j.collect()  # AQE finalizes only on execution of THIS DataFrame
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, \
+            "AQE did not split the skewed partitions"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
