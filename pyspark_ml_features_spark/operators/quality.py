@@ -372,3 +372,71 @@ def e55_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_shingles", "n_shared",
                     (F.col("n_shared").cast("double") / F.col("n_shingles"))
                     .alias("contamination")))
+
+
+@register(
+    "e70_token_budget_selection",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST((10000 * len(list_filter(t,
+               w -> w IN ('the', 'a', 'of', 'and', 'is')))) // len(t)
+              AS BIGINT) AS quality_bp
+  FROM tok
+), ranked AS (
+  SELECT doc_id, n_tokens, quality_bp,
+         CAST(row_number() OVER (ORDER BY quality_bp DESC, doc_id)
+              AS BIGINT) AS rk,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM ranked_src
+)
+SELECT doc_id, n_tokens, quality_bp, rk, cum_tokens
+FROM ranked WHERE cum_tokens <= 10000
+""".replace("ranked_src", "scored"),
+    tags=("north-star", "llm-pipeline", "curation", "scale", "scan"),
+)
+def e70_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET corpus selection — the data-constrained-training step:
+    rank every document by a quality score and keep the best until a fixed
+    token budget (10,000 here) is exhausted. The score is Gopher-style
+    stopword density in basis points (documents containing function words
+    are natural language; symbol soup is not — t16 carries the full rule
+    bundle), ties broken by doc_id so the cut is deterministic.
+
+    The engine piece is the GLOBAL RUNNING TOTAL under a total order —
+    computed by ``distributed_prefix_sum`` (d106's ranking primitive
+    extended to carry a measure): range-repartition on (score desc via
+    negation, doc_id), per-partition (count, token-sum) collected as P
+    metadata rows, driver prefix-sums them into offsets, and each row's
+    global rank/cumulative is offset + its bounded local window value.
+    The oracle IS the single-partition window this replaces; every task
+    holds ~n/P rows, so the selection runs at any corpus size — a full
+    sort into one partition (ntile/global window) would not.
+
+    100 TB: one range shuffle + one metadata collect; the budget cut is
+    then a partition-local filter. The same scan primitive serves
+    quota-by-quality curricula and size-capped shard assembly."""
+    from pyspark_ml_features_spark.functions.text import STOPWORDS, tokens
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_prefix_sum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    scored = (d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("hits"))
+        .select("doc_id", "n_tokens",
+                F.expr("(10000 * hits) DIV n_tokens").alias("quality_bp"))
+        .withColumn("neg_bp", -F.col("quality_bp")))
+    ranked = distributed_prefix_sum(
+        scored, ["neg_bp", "doc_id"], "n_tokens", 16)
+    return (ranked.filter(F.col("gcum") <= 10000)
+            .select("doc_id", "n_tokens", "quality_bp",
+                    F.col("grk").alias("rk"),
+                    F.col("gcum").alias("cum_tokens")))

@@ -245,6 +245,47 @@ def distributed_row_number(df: DataFrame, order_cols: list[str],
         .cast("bigint")).drop("pid"))
 
 
+def distributed_prefix_sum(df: DataFrame, order_cols: list[str],
+                           value_col: str,
+                           n_partitions: int = 16) -> DataFrame:
+    """Scale-safe GLOBAL running total of ``value_col`` under the total
+    order ``order_cols`` (which must end in a unique tie-break) — the
+    measure-carrying sibling of :func:`distributed_row_number`: range-
+    repartition on the full ordering key, collect per-partition (count,
+    sum) — P metadata rows — prefix-sum them into rank and value offsets
+    on the driver, and add each partition's offsets to its local
+    row_number/windowed sum. Equals the single-partition
+    ``sum(v) OVER (ORDER BY ...)`` while every task holds ~n/P rows.
+    Adds ``grk`` (1-based global rank) and ``gcum`` (inclusive global
+    running sum); localCheckpoint freezes pid assignment (e45's rule)."""
+    parts = (df.repartitionByRange(n_partitions, *order_cols)
+             .withColumn("pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    sizes = (parts.groupBy("pid")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.sum(value_col).alias("s"))
+             .orderBy("pid").collect())
+    rk_off: dict[int, int] = {}
+    sum_off: dict[int, int] = {}
+    acc_c, acc_s = 0, 0
+    for row in sizes:
+        rk_off[row["pid"]] = acc_c
+        sum_off[row["pid"]] = acc_s
+        acc_c += row["c"]
+        acc_s += row["s"]
+    rk_map = F.create_map(*[F.lit(x) for kv in rk_off.items() for x in kv])
+    sm_map = F.create_map(*[F.lit(x) for kv in sum_off.items() for x in kv])
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    return (parts
+            .withColumn("grk", (rk_map[F.col("pid")]
+                                + F.row_number().over(w_local))
+                        .cast("bigint"))
+            .withColumn("gcum", (sm_map[F.col("pid")]
+                                 + F.sum(value_col).over(w_local))
+                        .cast("bigint"))
+            .drop("pid"))
+
+
 @register(
     "d106_quantile_normalize",
     oracle="""

@@ -98,6 +98,7 @@ DEFERRED_ORACLES: set[str] = {
     "a25_xml_sink_roundtrip",
     "e69_dup_span_report",
     "d113_sql_udf",
+    "e70_token_budget_selection",
 }
 
 
