@@ -141,3 +141,30 @@ def test_distributed_row_number_matches_sorted_order(spark, vals):
             for i, (v, k) in enumerate(sorted((v, k)
                                               for k, v in enumerate(vals)))}
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=0, max_value=50)),
+                min_size=1, max_size=60))
+def test_distributed_prefix_sum_matches_window(spark, rows):
+    """The measure-carrying scan (e70's primitive) must equal the
+    single-partition running sum for ANY tie/weight distribution —
+    ranks from the order, cumulative from the weights, offsets from the
+    per-partition metadata pass."""
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(int(v), i, int(w)) for i, (v, w) in enumerate(rows)],
+        schema="v int, k int, w int")
+    got = {(r["v"], r["k"]): (r["grk"], r["gcum"])
+           for r in distributed_prefix_sum(df, ["v", "k"], "w", 8).collect()}
+    acc = 0
+    want = {}
+    ordered = sorted((v, k, w) for k, (v, w) in enumerate(rows))
+    for i, (v, k, w) in enumerate(ordered):
+        acc += w
+        want[(v, k)] = (i + 1, acc)
+    assert got == want
