@@ -491,3 +491,133 @@ def e30_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               "byte_sum"]).astype("int64")
 
     return d.mapInPandas(_synth_and_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+# --- real image resize (BMP is codec-free: raw padded pixel rows) -----------
+
+RESIZE_OUT = 4  # nearest-neighbor target: RESIZE_OUT x RESIZE_OUT
+
+IMAGE_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("src_w", LongType()),
+    StructField("src_h", LongType()),
+    StructField("out_w", LongType()),
+    StructField("out_h", LongType()),
+    StructField("checksum", LongType()),
+])
+
+
+def synth_bmp(doc_id: int, w: int, h: int) -> bytes:
+    """Byte-exact 24-bit uncompressed BMP: real file+info headers, rows
+    padded to 4 bytes and stored BOTTOM-UP (the format's quirks, kept so
+    the parser has to handle them). Grey pixel value at TOP-DOWN (x, y) is
+    ``(x*7 + y*13 + doc_id) % 256`` — deterministic, so every downstream
+    resize feature has an arithmetic oracle."""
+    import struct
+
+    import numpy as np
+
+    x = np.arange(w, dtype="int64")
+    y = np.arange(h, dtype="int64")
+    grey = ((x[None, :] * 7 + y[:, None] * 13 + doc_id) % 256).astype("uint8")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        row = np.repeat(grey[r], 3).tobytes()  # B=G=R
+        rows += row + b"\x00" * (row_bytes - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       row_bytes * h, 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + row_bytes * h, 0, 0, 54)
+    return hdr + info + bytes(rows)
+
+
+def parse_resize_bmp(payload: bytes) -> tuple[int, int, int]:
+    """REAL decode + resize on a codec-free format: parse the BMP headers
+    (struct reads at spec offsets), un-pad and un-flip the pixel array
+    back to top-down, nearest-neighbor it to RESIZE_OUT² (src index =
+    dst*src_dim // out — the standard integer mapping), and reduce to a
+    position-weighted checksum ``Σ v·(yy·out + xx + 1)`` so any drift in
+    padding, row order, or the sampling map breaks the value, not just
+    the shape. Returns (src_w, src_h, checksum)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if (hdr_size, bpp, comp) != (40, 24, 0) or h <= 0:
+        raise ValueError("only uncompressed bottom-up 24-bit BMP supported")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype="uint8",
+                        count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, :w * 3:3]  # blue channel (==grey)
+    grey = rows[::-1]                              # un-flip to top-down
+    sx = (np.arange(RESIZE_OUT, dtype="int64") * w) // RESIZE_OUT
+    sy = (np.arange(RESIZE_OUT, dtype="int64") * h) // RESIZE_OUT
+    small = grey[np.ix_(sy, sx)].astype("int64")
+    weights = (np.arange(RESIZE_OUT * RESIZE_OUT, dtype="int64") + 1
+               ).reshape(RESIZE_OUT, RESIZE_OUT)
+    return int(w), int(h), int((small * weights).sum())
+
+
+@register(
+    "e71_image_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, xx, yy,
+         ((xx * w) // {RESIZE_OUT} * 7 + (yy * h) // {RESIZE_OUT} * 13
+          + doc_id) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, {RESIZE_OUT})) AS tx(xx),
+       UNNEST(range(0, {RESIZE_OUT})) AS ty(yy)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS src_w,
+       CAST(h AS BIGINT) AS src_h,
+       CAST({RESIZE_OUT} AS BIGINT) AS out_w,
+       CAST({RESIZE_OUT} AS BIGINT) AS out_h,
+       CAST(sum(v * (yy * {RESIZE_OUT} + xx + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id, w, h
+""",
+    tags=("north-star", "multimodal", "udf", "resize"),
+)
+def e71_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + RESIZE, oracle-checked end to end — the resize
+    slot of the multimodal ladder (e13b headers, e29 audio, e30 frames):
+    build a byte-exact 24-bit uncompressed BMP per document (dimensions
+    derived from doc_id; padded bottom-up rows — the real format quirks),
+    push it through the binary-column → Arrow ``mapInPandas`` path, then
+    decode the pixel array and nearest-neighbor it to 4×4 with vectorized
+    numpy — BMP needs no codec, so unlike the e13 stub nothing here is
+    faked. The DuckDB oracle recomputes the resized checksum purely
+    arithmetically (nearest-neighbor of a formula image is the formula at
+    the sampled indices), so drift in the builder OR the decoder — a
+    padding slip, a forgotten row flip, an off-by-one in the sampling map
+    — breaks the hash, not just the row count.
+
+    100 TB shape: identical to every media extractor here — binary
+    payloads stream batch-by-batch through Arrow, output is narrow typed
+    metadata, embarrassingly parallel, no shuffle; a real JPEG/PNG
+    pipeline swaps parse_resize_bmp's body for a codec call behind the
+    same schema and batch shape."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth_and_resize(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = synth_bmp(i, 5 + i % 4, 4 + i % 3)
+                w, h, checksum = parse_resize_bmp(payload)
+                out.append((i, w, h, RESIZE_OUT, RESIZE_OUT, checksum))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "src_w", "src_h", "out_w",
+                              "out_h", "checksum"]).astype("int64")
+
+    return d.mapInPandas(_synth_and_resize, schema=IMAGE_RESIZE_SCHEMA)

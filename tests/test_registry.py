@@ -99,6 +99,7 @@ DEFERRED_ORACLES: set[str] = {
     "e69_dup_span_report",
     "d113_sql_udf",
     "e70_token_budget_selection",
+    "e71_image_resize",
 }
 
 
