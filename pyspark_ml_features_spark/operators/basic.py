@@ -736,3 +736,48 @@ def a25_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cents").alias("sum_price_cents"),
                  F.min("o_orderkey").alias("min_key"),
                  F.max("o_orderkey").alias("max_key")))
+
+
+@register(
+    "a26_text_source_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("engine", "source", "text", "sink"),
+)
+def a26_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW TEXT-LINES ingestion — ``spark.read.text``, the source format
+    every LLM corpus pipeline starts from (one record per line, no schema
+    at all), proven lossless the a15 way: documents serialize to
+    tab-delimited lines (doc_id, lang, text — the fixture corpus contains
+    no tabs/newlines, the caveat any delimited-line format carries),
+    write through the text sink, read back as the single ``value``
+    column, and re-split with LIMITED split(n=3) so only the first two
+    tabs delimit. The per-lang aggregate over the reparsed lines must
+    hash-match the oracle computed from the ORIGINAL parquet.
+
+    100 TB: text files split by line boundaries, so the read
+    parallelizes like CSV without quoting overhead; parsing is one
+    codegen'd split per line. This is the landing pattern for raw
+    corpora (Common-Crawl-style line dumps) before they ever become
+    parquet — a13/a22 are its custom-connector siblings."""
+    out = pid_scoped("pmfs_documents_txt")
+    d = table(spark, sf_dir, "documents")
+    (d.select(F.concat_ws("\t", F.col("doc_id").cast("string"),
+                          F.col("lang"), F.col("text")).alias("value"))
+     .write.mode("overwrite").text(out))
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = back.select(
+        F.element_at(parts, 1).cast("bigint").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).alias("text"))
+    return (parsed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_doc_id"),
+                 F.sum(F.length("text")).alias("sum_chars")))

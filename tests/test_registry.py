@@ -100,6 +100,7 @@ DEFERRED_ORACLES: set[str] = {
     "d113_sql_udf",
     "e70_token_budget_selection",
     "e71_image_resize",
+    "a26_text_source_roundtrip",
 }
 
 
