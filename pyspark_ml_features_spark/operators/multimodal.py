@@ -621,3 +621,106 @@ def e71_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "out_h", "checksum"]).astype("int64")
 
     return d.mapInPandas(_synth_and_resize, schema=IMAGE_RESIZE_SCHEMA)
+
+
+# --- real audio resample (integer decimation on the PCM path) ---------------
+
+RESAMPLE_FACTOR = 2
+RESAMPLE_OUT_RATE = WAV_SAMPLE_RATE // RESAMPLE_FACTOR
+
+AUDIO_RESAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("rate_in", LongType()),
+    StructField("rate_out", LongType()),
+    StructField("n_in", LongType()),
+    StructField("n_out", LongType()),
+    StructField("crossings_out", LongType()),
+    StructField("max_abs_out", LongType()),
+])
+
+
+def resample_wav(payload: bytes) -> bytes:
+    """REAL resample on the codec-free path: decode the PCM chunk, take
+    every RESAMPLE_FACTOR-th sample (integer decimation — the 16 kHz →
+    8 kHz step speech pipelines run), and RE-ENCODE a canonical WAV at the
+    reduced rate. Returns bytes so the output is itself a valid media
+    payload, not just features."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (_, _, _, _, fmt_size, audio_fmt, n_channels, sample_rate, _, _,
+     bits, _, data_size) = struct.unpack("<4sI4s4sIHHIIHH4sI", payload[:44])
+    if (fmt_size, audio_fmt, n_channels, bits) != (16, 1, 1, 16):
+        raise ValueError("only canonical mono 16-bit PCM supported")
+    samples = np.frombuffer(payload[44:44 + data_size], dtype="<i2")
+    out = samples[::RESAMPLE_FACTOR]
+    rate = sample_rate // RESAMPLE_FACTOR
+    data = out.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ",
+        16, 1, 1, rate, rate * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+@register(
+    "e72_audio_resample",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         256 + n_chars % 256 AS n_in,
+         1 + doc_id % 8 AS q
+  FROM documents
+)
+SELECT doc_id,
+       {WAV_SAMPLE_RATE}::BIGINT AS rate_in,
+       {RESAMPLE_OUT_RATE}::BIGINT AS rate_out,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST((n_in + 1) // 2 AS BIGINT) AS n_out,
+       CAST(((n_in + 1) // 2 - 1) // q AS BIGINT) AS crossings_out,
+       1000::BIGINT AS max_abs_out
+FROM p
+""",
+    tags=("north-star", "multimodal", "udf", "resample"),
+)
+def e72_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio RESAMPLE, oracle-checked end to end — the audio sibling
+    of e71's image resize, completing the media ladder's transform slots:
+    per document, build the e29-style square-wave WAV (16 kHz, period
+    2q samples with q = 1 + doc_id % 8 — even periods so decimation is
+    exact), decode the PCM chunk, DECIMATE by 2 (the 16 kHz → 8 kHz step
+    speech pipelines run), re-encode a canonical 8 kHz WAV, and re-parse
+    THAT file for its features — so the checked numbers have passed
+    through decode → transform → encode → decode, proving the re-encoded
+    payload is itself valid. The oracle is pure arithmetic: decimating a
+    period-2q square wave yields a period-q square wave of ceil(n/2)
+    samples, which crosses zero exactly (ceil(n/2)-1) // q times and
+    keeps |s| = 1000 everywhere.
+
+    100 TB shape: identical to the other media extractors — Arrow
+    batches, narrow typed output, no shuffle; a real codec pipeline
+    swaps the decimator for a polyphase filter behind the same
+    schema."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _synth_resample_verify(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n_in = int(i), 256 + int(n) % 256
+                wav = synth_wav(i, n_in, 2 * (1 + i % 8))
+                wav2 = resample_wav(wav)
+                rate2, n_out, crossings, max_abs, _ = \
+                    parse_wav_features(wav2)
+                out.append((i, WAV_SAMPLE_RATE, rate2, n_in, n_out,
+                            crossings, max_abs))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "rate_in", "rate_out", "n_in",
+                              "n_out", "crossings_out", "max_abs_out"]
+            ).astype("int64")
+
+    return d.mapInPandas(_synth_resample_verify,
+                         schema=AUDIO_RESAMPLE_SCHEMA)

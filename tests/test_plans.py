@@ -300,6 +300,7 @@ ARROW_ALLOWED = {
     "e13b_image_header_parse", "e29_audio_features",
     "e30_video_frame_sample",
     "e71_image_resize",  # real BMP decode+resize — numpy over Arrow batches
+    "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)
     "e51_greedy_packing",  # stateful fold with reset — not window-expressible;

@@ -101,6 +101,7 @@ DEFERRED_ORACLES: set[str] = {
     "e70_token_budget_selection",
     "e71_image_resize",
     "a26_text_source_roundtrip",
+    "e72_audio_resample",
 }
 
 
