@@ -105,6 +105,10 @@ HEADLINE = [
     # member whose cost CANNOT explode on a self-similar corpus; measured
     # volume table in DESIGN_SCALE.md "Span-level dedup volumes".
     "e69_dup_span_report",
+    # round-4 session closers: the Arrow-media family was previously
+    # unrepresented in the headline; e71 (real BMP decode + resize) times
+    # the binary-column mapInPandas path end to end.
+    "e71_image_resize",
 ]
 
 
