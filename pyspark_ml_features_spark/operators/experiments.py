@@ -1,0 +1,225 @@
+"""Experimentation & behavioral statistics: Welch A/B test, exact EWMA
+time-decay features, and event transition matrices.
+
+The reference's ML-utility surface (validation curves, probability
+predictions — /root/reference/spark_ml_features_local.py:96-200) treats
+model EVALUATION as a first-class engine concern; this module extends that
+stance to the statistics a production experimentation/feature platform
+computes on the warehouse directly, with the repo's exactness discipline:
+integer-cent power sums in DECIMAL (order-independent, shuffle-safe), the
+closed-form statistic evaluated on IEEE doubles from identical inputs on
+both engines (division and sqrt are correctly rounded per IEEE 754 — no
+libm transcendentals, per the d31b/d30b precedent), cross-row doubles
+rounded 6 dp.
+
+Scale notes per query are inline; none of the three shuffles anything
+bigger than (group key, fixed-width aggregation state).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources.io import table
+
+
+@register(
+    "d114_ab_welch_ttest",
+    oracle="""
+WITH m AS (
+    SELECT o_custkey % 2 AS arm,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), s AS (
+    SELECT count(*) FILTER (WHERE arm = 0) AS n0,
+           count(*) FILTER (WHERE arm = 1) AS n1,
+           sum(CAST(cents AS DECIMAL(28,0))) FILTER (WHERE arm = 0) AS sx0,
+           sum(CAST(cents AS DECIMAL(28,0))) FILTER (WHERE arm = 1) AS sx1,
+           sum(CAST(cents AS DECIMAL(28,0)) * cents)
+               FILTER (WHERE arm = 0) AS sxx0,
+           sum(CAST(cents AS DECIMAL(28,0)) * cents)
+               FILTER (WHERE arm = 1) AS sxx1
+    FROM m
+), d AS (
+    SELECT n0, n1,
+           CAST(sx0 AS DOUBLE) / n0 AS m0,
+           CAST(sx1 AS DOUBLE) / n1 AS m1,
+           (CAST(sxx0 AS DOUBLE)
+            - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0)
+               / (n0 - 1) AS v0,
+           (CAST(sxx1 AS DOUBLE)
+            - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1)
+               / (n1 - 1) AS v1
+    FROM s
+)
+SELECT n0, n1,
+       round(m0 / 100, 6) AS mean0_dollars,
+       round(m1 / 100, 6) AS mean1_dollars,
+       round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+       round((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+             / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6) AS welch_df
+FROM d
+""",
+    tags=("engine", "stats", "experimentation"),
+)
+def d114_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two deterministic
+    experiment arms (``o_custkey % 2``) on order value — the A/B-test
+    readout as ONE conditional hash aggregate: a single scan emits
+    FILTER-style conditional power sums (n, Σx, Σx² per arm, the d71
+    construct) that combine map-side into a one-row state; the t statistic
+    and Welch–Satterthwaite degrees of freedom evaluate on the driver-side
+    row in closed form. Engine-exact: cents are integers, sums are
+    DECIMAL (order-independent), the statistic's division/sqrt tree is
+    mirrored node-for-node in the oracle and both engines' IEEE ops are
+    correctly rounded.
+
+    100 TB: this is the scan-shaped query AQE cannot make cheaper and a
+    cluster cannot make wrong — zero joins, zero windows, a six-number
+    aggregation state, output exactly one row. Per-experiment variants
+    just add the experiment id to the groupBy."""
+    od = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = od.select((F.col("o_custkey") % 2).alias("arm"),
+                  cents.alias("cents"))
+    dec = F.col("cents").cast("decimal(28,0)")
+    in_arm = lambda a, expr: F.sum(  # noqa: E731
+        F.when(F.col("arm") == a, expr))
+    s = m.agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).alias("n1"),
+        in_arm(0, dec).alias("sx0"),
+        in_arm(1, dec).alias("sx1"),
+        in_arm(0, dec * F.col("cents")).alias("sxx0"),
+        in_arm(1, dec * F.col("cents")).alias("sxx1"))
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("sx0").cast("double") / n0
+    m1 = F.col("sx1").cast("double") / n1
+    v0 = ((F.col("sxx0").cast("double")
+           - F.col("sx0").cast("double") * F.col("sx0").cast("double") / n0)
+          / (n0 - 1))
+    v1 = ((F.col("sxx1").cast("double")
+           - F.col("sx1").cast("double") * F.col("sx1").cast("double") / n1)
+          / (n1 - 1))
+    se2 = v0 / n0 + v1 / n1
+    return s.select(
+        n0, n1,
+        F.round(m0 / 100, 6).alias("mean0_dollars"),
+        F.round(m1 / 100, 6).alias("mean1_dollars"),
+        F.round((m1 - m0) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(se2 * se2
+                / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                   + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
+        .alias("welch_df"))
+
+
+@register(
+    "d115_ewma_decay",
+    oracle="""
+WITH ranked AS (
+    SELECT o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+    FROM orders
+), recent AS (
+    SELECT o_custkey, cents,
+           CAST(1 << (16 - rk) AS BIGINT) AS w
+    FROM ranked WHERE rk <= 16
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(sum(cents * w) AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT)
+           AS ewma_microdollars
+FROM recent
+GROUP BY o_custkey
+""",
+    tags=("engine", "ml-prep", "time-decay"),
+)
+def d115_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed order-value feature per customer — the
+    recency-weighted mean every churn/LTV model wants — with EXACT
+    arithmetic: each customer's 16 most recent orders get weight
+    2^(16-rank), a BIGINT (halving decay, most recent heaviest), so the
+    weighted sum stays an exact integer end to end: the output is
+    FIXED-POINT micro-dollars via truncating integer division (the d112
+    rule — round(int/int, 6) is not engine-portable; Spark's DIV ≡
+    DuckDB's // for positive operands). The naive formulation is a
+    sequential recursion (ewma_t = a·x_t + (1-a)·ewma_{t-1}); the closed
+    form turns it into a rank window plus one hash aggregate — no
+    recursion, no iteration.
+
+    Rank ties break on the unique o_orderkey, so weights are
+    deterministic. 100 TB: one shuffle on o_custkey serves both the
+    window and the aggregate (same key), per-task state is the partition's
+    rows, and WindowGroupLimit-style early pruning applies since rank>16
+    rows are dropped immediately."""
+    od = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ranked = od.select(
+        "o_custkey", cents.alias("cents"),
+        F.row_number().over(w).alias("rk")).filter(F.col("rk") <= 16)
+    recent = ranked.withColumn(
+        "w", F.expr("CAST(shiftleft(1, 16 - rk) AS BIGINT)"))
+    agg = recent.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recent"),
+        F.sum(F.col("cents") * F.col("w")).alias("wsum"),
+        F.sum("w").alias("wtot"))
+    return agg.select(
+        "o_custkey", "n_recent",
+        F.expr("wsum * 10000L DIV wtot").alias("ewma_microdollars"))
+
+
+@register(
+    "e74_transition_matrix",
+    oracle="""
+WITH nxt AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+    FROM events
+), cnt AS (
+    SELECT from_type, to_type, count(*) AS n_trans
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_trans,
+       n_trans * 1000000
+           // CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+           AS prob_ppm
+FROM cnt
+""",
+    tags=("engine", "behavioral", "markov"),
+)
+def e74_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (view→click→purchase...): per user, pair each event with its
+    successor via lead() ordered by (ts, event_id); count each
+    (from, to) pair; row-normalize into transition probabilities with a
+    window sum over the TINY aggregated matrix (|event_types|² rows), not
+    the raw events. The behavioral-modeling counterpart of e26's text
+    bigram LM, computed on the events table.
+
+    100 TB: one shuffle on user_id for the lead() window (each user's
+    stream sorts within its partition), then the (from, to) count
+    combines map-side into at most |types|² cells — the normalization
+    window touches only those cells. Counts are integers and the
+    probability is emitted as fixed-point parts-per-million via
+    truncating integer division (the d112 rule)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    cnt = (nxt.filter(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type").count()
+           .withColumnRenamed("count", "n_trans"))
+    tot = Window.partitionBy("from_type")
+    return (cnt.withColumn("tot", F.sum("n_trans").over(tot))
+            .select("from_type", "to_type", "n_trans",
+                    F.expr("n_trans * 1000000L DIV tot").alias("prob_ppm")))

@@ -12,6 +12,7 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
     array_scaling,
     basic,
     dedup,
+    experiments,
     features,
     graph,
     ml,

@@ -44,3 +44,56 @@ def test_assert_quality_gates(spark):
     with pytest.raises(ValueError, match="n_null_a"):
         assert_quality({"n_rows": 100, "n_null_a": 7})
     assert_quality({"n_rows": 100, "n_null_a": 7}, max_null_fraction=0.1)
+
+
+# --- runtime plan metrics (plans.metrics) -------------------------------
+
+def test_runtime_metrics_aggregate_query(spark):
+    """A shuffling aggregate reports real shuffle bytes, the scan row
+    count, and the result cardinality from the executed plan."""
+    from pyspark_ml_features_spark.plans.metrics import runtime_metrics
+
+    li = table(spark, SF_DIR, "lineitem")
+    n_in = li.count()
+    out = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    n_out = len(out.collect())
+    m = runtime_metrics(out)
+    assert m.shuffle_bytes_written > 0
+    assert m.shuffle_records_written > 0
+    assert m.scan_output_rows == n_in
+    assert m.output_rows == n_out
+    assert m.spill_bytes == 0  # sf0.01 fits in memory with room to spare
+    r = m.row()
+    assert r["shuffle_MiB"] >= 0 and r["out_rows"] == n_out
+
+
+def test_runtime_metrics_broadcast_join(spark):
+    """A broadcast join reports broadcast relation bytes separately from
+    shuffle bytes (a broadcast is NOT a shuffle)."""
+    from pyspark_ml_features_spark.plans.metrics import runtime_metrics
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    j = (li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+         .groupBy("o_orderpriority").count())
+    j.collect()
+    m = runtime_metrics(j)
+    assert m.broadcast_bytes > 0
+
+
+def test_runtime_metrics_shared_exchange_counted_once(spark):
+    """Window + aggregate on the SAME key reuse one Exchange; the walk
+    must report exactly one Exchange node (reuse-dedup by node id)."""
+    from pyspark_ml_features_spark.plans.metrics import runtime_metrics
+
+    ev = table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (ev.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 3)
+           .groupBy("user_id").count())
+    out.collect()
+    m = runtime_metrics(out)
+    exchanges = [n for n in m.nodes if n.name == "Exchange"]
+    assert len(exchanges) == 1
+    assert m.shuffle_bytes_written > 0

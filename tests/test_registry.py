@@ -102,6 +102,9 @@ DEFERRED_ORACLES: set[str] = {
     "e71_image_resize",
     "a26_text_source_roundtrip",
     "e72_audio_resample",
+    "d114_ab_welch_ttest",
+    "d115_ewma_decay",
+    "e74_transition_matrix",
 }
 
 
