@@ -64,10 +64,13 @@ def jaccard_pairs(docs: DataFrame, shingle_col, threshold: float) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("shared")))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # per-doc size join-back: corpus-scaling, so NO broadcast hint (the
+    # e8-vocab rule) — AQE broadcasts at small SF from runtime sizes and
+    # degrades to a shuffle join at corpus scale
     out = (
         shared
-        .join(F.broadcast(sa), F.col("d1") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("d2") == F.col("sb.doc_id"))
+        .join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
         .select(
             "d1", "d2",
             (F.col("shared").cast("double")
@@ -1250,9 +1253,9 @@ def e39_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     overlap = (F.col("shared").cast("double")
                / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")))
-    return (shared
-            .join(F.broadcast(sa), F.col("d1") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("d2") == F.col("sb.doc_id"))
+    return (shared  # per-doc size join-back: no hint (e8-vocab rule)
+            .join(sa, F.col("d1") == F.col("sa.doc_id"))
+            .join(sb, F.col("d2") == F.col("sb.doc_id"))
             .select("d1", "d2", F.col("shared").cast("bigint").alias("shared"),
                     overlap.alias("overlap"))
             .filter(F.col("overlap") >= 0.9))
@@ -1583,7 +1586,8 @@ def e64_multipass_sorted_neighborhood(spark: SparkSession,
     sb = d.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
-    return (cand.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+    # shingle-array join-back is corpus-scaling: no broadcast hint
+    return (cand.join(sa, "d1").join(sb, "d2")
             .withColumn("_j", jac)
             .filter(F.col("_j") >= 0.5)
             .select("d1", "d2", "pass_mask",

@@ -223,3 +223,68 @@ def e74_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cnt.withColumn("tot", F.sum("n_trans").over(tot))
             .select("from_type", "to_type", "n_trans",
                     F.expr("n_trans * 1000000L DIV tot").alias("prob_ppm")))
+
+
+@register(
+    "d116_chi_square_independence",
+    oracle="""
+WITH cells AS (
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           count(*) AS obs
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+), tot AS (
+    SELECT priority, status, obs,
+           CAST(sum(obs) OVER (PARTITION BY priority) AS BIGINT) AS row_tot,
+           CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT) AS col_tot,
+           CAST(sum(obs) OVER () AS BIGINT) AS grand
+    FROM cells
+)
+SELECT priority, status, obs,
+       row_tot * col_tot * 1000000 // grand AS expected_micro,
+       CAST(((obs * grand - row_tot * col_tot)::HUGEINT
+             * (obs * grand - row_tot * col_tot) * 1000000000)
+            // (row_tot::HUGEINT * col_tot * grand) AS BIGINT)
+           AS contrib_nano
+FROM tot
+""",
+    tags=("engine", "stats", "experimentation"),
+)
+def d116_chi_square_independence(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (order priority × order status)
+    with a FULLY exact fixed-point statistic — zero float operations:
+    observed counts aggregate once (map-side combinable), the marginals
+    come from window sums over the |priorities|×|statuses| CELL table
+    (~15 rows — the windows never touch raw data), and each cell's
+    expected count and chi-square contribution are integer arithmetic:
+    expected_micro = row·col·10^6 DIV grand, contrib_nano =
+    (obs·grand − row·col)² ·10^9 DIV (row·col·grand), computed in
+    DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (the numerator
+    square reaches ~10^27; both engines' 128-bit integer paths carry it;
+    truncating DIV ≡ // on the always-non-negative square — the d112
+    rule). Σ contrib_nano / 10^9 is the chi-square statistic, summable
+    EXACTLY downstream because every term is an integer.
+
+    100 TB: one scan + one tiny-key shuffle; the test statistic family
+    (d114 Welch t, this) covers the two standard experimentation
+    readouts with engine-exact reproducibility."""
+    od = table(spark, sf_dir, "orders")
+    cells = (od.groupBy(F.col("o_orderpriority").alias("priority"),
+                        F.col("o_orderstatus").alias("status"))
+             .agg(F.count(F.lit(1)).alias("obs")))
+    tot = (cells
+           .withColumn("row_tot", F.sum("obs").over(
+               Window.partitionBy("priority")).cast("bigint"))
+           .withColumn("col_tot", F.sum("obs").over(
+               Window.partitionBy("status")).cast("bigint"))
+           .withColumn("grand", F.sum("obs").over(
+               Window.partitionBy()).cast("bigint")))
+    return tot.withColumn(
+        "num", F.col("obs") * F.col("grand")
+        - F.col("row_tot") * F.col("col_tot")).select(
+        "priority", "status", "obs",
+        F.expr("row_tot * col_tot * 1000000L DIV grand")
+        .alias("expected_micro"),
+        F.expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000000L)"
+               " DIV CAST(row_tot * col_tot * grand AS DECIMAL(38,0))"
+               " AS BIGINT)").alias("contrib_nano"))

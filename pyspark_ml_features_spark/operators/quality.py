@@ -440,3 +440,93 @@ def e70_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "quality_bp",
                     F.col("grk").alias("rk"),
                     F.col("gcum").alias("cum_tokens")))
+
+
+@register(
+    "d117_constraint_audit",
+    oracle="""
+SELECT 'orphan_lineitem' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'dup_lineitem_key',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+UNION ALL
+SELECT 'discount_out_of_range',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'null_custkey',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_after_shipdate_horizon',
+       CAST(count(*) FILTER (
+            WHERE o_orderdate > TIMESTAMP '2026-01-01') AS BIGINT)
+FROM orders
+""",
+    tags=("engine", "data-quality"),
+)
+def d117_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table constraint audit — the contract check a 100 TB
+    ingestion runs before publishing a snapshot: referential integrity
+    (lineitems whose order is missing — LEFT ANTI join, one key
+    shuffle), primary-key uniqueness (duplicate (l_orderkey,
+    l_linenumber) rows counted as sum(n-1) over violating groups; the
+    testdata genuinely contains such duplicates, so this check is
+    exercised non-trivially), and domain/range rules (discount ∈ [0,1],
+    non-positive prices, null keys, future dates) as conditional
+    aggregates folded into ONE pass per table. Output is the fixed
+    (check_name, n_violations) report shape monitoring systems ingest.
+
+    Complements d35 (per-column null/distinct profile) and e54 (corpus
+    dataset card): those describe the data, this one enforces contracts
+    across tables. 100 TB: the domain checks ride a single scan per
+    table (conditional sums, map-side combinable); the uniqueness check
+    shuffles only the key columns; the anti join shuffles keys once —
+    nothing is row-wise Python and no check materializes violations,
+    only counts."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+
+    orphan = (li.select("l_orderkey")
+              .join(od.select("o_orderkey"),
+                    li["l_orderkey"] == od["o_orderkey"], "left_anti")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+              .select(F.lit("orphan_lineitem").alias("check_name"),
+                      "n_violations"))
+    dup = (li.groupBy("l_orderkey", "l_linenumber")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1)
+           .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint").alias("n_violations"))
+           .select(F.lit("dup_lineitem_key").alias("check_name"),
+                   "n_violations"))
+    li_domain = (li.agg(
+        F.count(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 1), F.lit(1)))
+        .cast("bigint").alias("n_violations"))
+        .select(F.lit("discount_out_of_range").alias("check_name"),
+                "n_violations"))
+    od_domain = (od.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), F.lit(1)))
+        .cast("bigint").alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, F.lit(1)))
+        .cast("bigint").alias("nonpositive_totalprice"),
+        F.count(F.when(F.col("o_orderdate")
+                       > F.lit("2026-01-01").cast("timestamp"), F.lit(1)))
+        .cast("bigint").alias("orderdate_after_shipdate_horizon"))
+        .selectExpr(
+            "stack(3, 'null_custkey', null_custkey, "
+            "'nonpositive_totalprice', nonpositive_totalprice, "
+            "'orderdate_after_shipdate_horizon', "
+            "orderdate_after_shipdate_horizon) "
+            "AS (check_name, n_violations)"))
+    return orphan.unionAll(dup).unionAll(li_domain).unionAll(od_domain)

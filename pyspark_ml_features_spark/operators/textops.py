@@ -443,8 +443,10 @@ def t9_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.countDistinct("w").alias("v_size")))
     p = ((F.col("n_pair") + 1).cast("double")
          / (F.col("n_w1") + F.col("v_size")).cast("double"))
-    ps = (bi.join(F.broadcast(c12), ["w1", "w2"])
-          .join(F.broadcast(c1), "w1")
+    # c12/c1 are vocabulary-sized (unbounded on a web corpus): no hint
+    # (the e8 rule); the single-row vocab aggregate keeps its broadcast
+    ps = (bi.join(c12, ["w1", "w2"])
+          .join(c1, "w1")
           .crossJoin(F.broadcast(vocab))
           .select("doc_id", p.alias("p"))
           .groupBy("doc_id")
@@ -484,8 +486,8 @@ def t10_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.countDistinct("w").alias("v_size")))
     log_p = F.log((F.col("n_pair") + 1).cast("double")
                   / (F.col("n_w1") + F.col("v_size")).cast("double"))
-    ps = (bi.join(F.broadcast(c12), ["w1", "w2"])
-          .join(F.broadcast(c1), "w1")
+    ps = (bi.join(c12, ["w1", "w2"])  # vocab-sized: no hint (e8 rule)
+          .join(c1, "w1")
           .crossJoin(F.broadcast(vocab))
           .select("doc_id", log_p.alias("lp"))
           .groupBy("doc_id")
@@ -722,8 +724,9 @@ def e43_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot")))
     na, nb = nrm.alias("na"), nrm.alias("nb")
     cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
-    return (dots.join(F.broadcast(na), F.col("d1") == F.col("na.doc_id"))
-            .join(F.broadcast(nb), F.col("d2") == F.col("nb.doc_id"))
+    return (dots  # per-doc norm join-back: corpus-scaling, no hint
+            .join(na, F.col("d1") == F.col("na.doc_id"))
+            .join(nb, F.col("d2") == F.col("nb.doc_id"))
             .filter(cos >= 0.2)
             .select("d1", "d2", F.round(cos, 6).alias("cos_tfidf")))
 

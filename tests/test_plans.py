@@ -211,8 +211,26 @@ def test_no_broadcast_hint_on_unbounded_aggregates(spark):
     so we count them: exactly one (the single-row n_docs aggregate). Same
     check for e27, whose only hint is the benchmark-sized eval shingle set
     (bounded by assumption, documented in its docstring)."""
-    for name, max_hints in (("e8_tfidf_topterms", 1),
-                            ("e27_decontaminate", 1)):
+    for name, max_hints in (
+            ("e8_tfidf_topterms", 1),
+            ("e27_decontaminate", 1),
+            # r4: the measured-volume table (PLAN_AUDIT.md) exposed
+            # corpus-scaling hints the r3 vocab-rule sweep missed — the
+            # e3-family per-doc size/norm join-backs, e64's shingle-array
+            # join-back, and t9/t10's vocabulary-sized count tables. All
+            # removed; the only hint each may keep is a single-row
+            # aggregate (n_docs / v_size).
+            ("e3_jaccard_pairs", 0),
+            ("e3b_ngram_jaccard_pairs", 0),
+            ("e39_overlap_pairs", 0),
+            ("e64_multipass_sorted_neighborhood", 0),
+            # e43's only hinted relation is the single-row n_docs
+            # aggregate, but it appears in four aliased lineages
+            # (a/b term weights, na/nb norms) — 4 ResolvedHint nodes,
+            # one 1-row relation
+            ("e43_tfidf_cosine_pairs", 4),
+            ("t9_lm_quality", 1),
+            ("t10_perplexity", 1)):
         df = ALL[name].fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         n = analyzed.count("ResolvedHint")

@@ -105,6 +105,8 @@ DEFERRED_ORACLES: set[str] = {
     "d114_ab_welch_ttest",
     "d115_ewma_decay",
     "e74_transition_matrix",
+    "d116_chi_square_independence",
+    "d117_constraint_audit",
 }
 
 
