@@ -530,3 +530,50 @@ def d117_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderdate_after_shipdate_horizon) "
             "AS (check_name, n_violations)"))
     return orphan.unionAll(dup).unionAll(li_domain).unionAll(od_domain)
+
+
+@register(
+    "d119_k_anonymity",
+    oracle="""
+WITH qi AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           count(*) AS sz
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT CAST(sz AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sz * count(*) AS BIGINT) AS n_rows,
+       CAST(sz < 5 AS BIGINT) AS risky
+FROM qi GROUP BY sz
+""",
+    tags=("engine", "data-quality", "privacy"),
+)
+def d119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination
+    (nationality × market segment × account-balance band): the
+    re-identification risk report a privacy review runs before a
+    dataset ships. Two stacked map-side-combinable aggregates: QI
+    groups with their sizes, then the size histogram — each row says
+    how many equivalence classes have exactly `group_size` members and
+    flags classes below the k=5 threshold (the dataset's k-anonymity is
+    the smallest group_size present). All counts integer-exact; the
+    balance band uses floor(x/1000) — a single correctly-rounded IEEE
+    division, identical on both engines.
+
+    100 TB: output is |distinct sizes| rows, the first aggregate
+    shuffles only QI-cardinality groups, and generalization ladders
+    (coarser bands) just re-run the same two-aggregate shape."""
+    c = table(spark, sf_dir, "customer")
+    qi = (c.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("sz")))
+    return (qi.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_groups"))
+            .select(F.col("sz").cast("bigint").alias("group_size"),
+                    F.col("n_groups").cast("bigint").alias("n_groups"),
+                    (F.col("sz") * F.col("n_groups")).cast("bigint")
+                    .alias("n_rows"),
+                    (F.col("sz") < 5).cast("bigint").alias("risky")))

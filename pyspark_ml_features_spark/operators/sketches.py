@@ -172,3 +172,89 @@ def d46_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ni") / F.col("theta")).alias("est_overlap"),
                 (F.col("ni").cast("double") / F.col("nu"))
                 .alias("jaccard_est")))
+
+
+# Count-min geometry: depth 4 affine hashes over the 2^31-1 prime field
+# (the e33 permutation family), width 256. Fixed constants so both engines
+# compute the identical sketch.
+_CMS_W = 256
+_CMS_HASHES = ((999983, 12289), (999979, 24593), (999961, 49157),
+               (999959, 98317))
+_CMS_P = 2147483647
+
+
+@register(
+    "d118_count_min_sketch",
+    oracle=f"""
+WITH keys AS (
+    SELECT l_partkey AS pk FROM lineitem
+), cms AS (
+    SELECT d.j, ((h.a * pk + h.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+           count(*) AS cnt
+    FROM keys
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(j)
+    JOIN (VALUES {", ".join(f"({j}, {a}, {b})"
+                            for j, (a, b) in enumerate(_CMS_HASHES))})
+         AS h(j, a, b) ON h.j = d.j
+    GROUP BY d.j, bucket
+), truth AS (
+    SELECT pk, count(*) AS true_cnt FROM keys GROUP BY pk
+    ORDER BY true_cnt DESC, pk LIMIT 10
+), probes AS (
+    SELECT t.pk, t.true_cnt, h.j,
+           ((h.a * t.pk + h.b) % {_CMS_P}) % {_CMS_W} AS bucket
+    FROM truth t
+    CROSS JOIN (VALUES {", ".join(f"({j}, {a}, {b})"
+                                  for j, (a, b) in enumerate(_CMS_HASHES))})
+         AS h(j, a, b)
+)
+SELECT p.pk, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS cms_est,
+       CAST(min(c.cnt) - p.true_cnt AS BIGINT) AS overcount
+FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.pk, p.true_cnt
+""",
+    tags=("engine", "sketch", "scale"),
+)
+def d118_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with a HASH-EXACT oracle — the mergeable
+    frequency sketch (Cormode & Muthukrishnan) as pure integer
+    arithmetic: depth-4 affine hashes over the 2^31-1 prime field (the
+    e33 permutation family) into width-256 counter rows, built by
+    exploding each key into its 4 (row, bucket) cells and counting —
+    a map-side-combinable aggregate to a FIXED 1024-cell state,
+    mergeable across partitions/days by cell-wise addition. Point
+    estimates for the top-10 true-frequency keys take min over the 4
+    probed cells; `overcount = est - true` is the sketch's signature
+    one-sided error, ≥ 0 by construction (the pytest invariant d38's
+    HLL can never offer — HLL estimates are engine-specific, this
+    sketch is deterministic, hence the exact oracle).
+
+    100 TB: the sketch state is 1024 integers regardless of data volume
+    (vs the exact groupBy's |keys| rows); the probe join broadcasts the
+    GEOMETRY-bounded cell table. a·pk stays < 2^63 for keys < 9·10^12
+    at these multipliers."""
+    li = table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").alias("pk"))
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (((F.lit(a) * F.col("pk") + F.lit(b)) % _CMS_P) % _CMS_W)
+                 .alias("bucket"))
+        for j, (a, b) in enumerate(_CMS_HASHES)])
+    cms = (keys.select(F.explode(cells).alias("c"))
+           .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    truth = (keys.groupBy("pk").agg(F.count(F.lit(1)).alias("true_cnt"))
+             .orderBy(F.col("true_cnt").desc(), "pk").limit(10))
+    probes = truth.select(
+        "pk", "true_cnt", F.explode(cells).alias("c")).select(
+        "pk", "true_cnt", F.col("c.j").alias("j"),
+        F.col("c.bucket").alias("bucket"))
+    # cms is geometry-bounded (1024 cells): broadcast hint is safe at any SF
+    return (probes.join(F.broadcast(cms), ["j", "bucket"])
+            .groupBy("pk", "true_cnt")
+            .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+            .select("pk", F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    "cms_est",
+                    (F.col("cms_est") - F.col("true_cnt")).cast("bigint")
+                    .alias("overcount")))

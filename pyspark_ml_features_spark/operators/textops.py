@@ -916,3 +916,42 @@ def t16_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.cast("bigint").alias("ok_stopwords"),
         (ok_count & ok_mwl & ok_alpha & ok_stop).cast("bigint")
         .alias("keep"))
+
+
+@register(
+    "e75_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+), bucketed AS (
+    SELECT doc_id,
+           {duckdb_rolling_hash('term')} % 64 AS bucket
+    FROM tok
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n
+FROM bucketed GROUP BY doc_id, bucket
+""",
+    tags=("engine", "ml-prep", "text"),
+)
+def e75_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (sklearn FeatureHasher / vw --hash) at corpus
+    scale: tokens map straight to a FIXED 64-bucket feature space via
+    the repo's portable polynomial rolling hash (integer arithmetic,
+    engine-exact — no vocabulary pass, no dictionary to build, ship, or
+    keep consistent across training runs), then per-(doc, bucket)
+    counts form the sparse feature rows. Collisions are the accepted
+    trade-off of the method; determinism means the SAME collisions on
+    every engine and every run, which is what makes incremental
+    training data appendable.
+
+    100 TB: one explode + one map-side-combinable aggregate; output is
+    bounded by docs × 64. The vocabulary-sized intermediate of e8/e18
+    never exists — that is the point of the method."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (tok.select(
+        "doc_id",
+        (rolling_hash("term") % 64).cast("bigint").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n")))

@@ -107,6 +107,9 @@ DEFERRED_ORACLES: set[str] = {
     "e74_transition_matrix",
     "d116_chi_square_independence",
     "d117_constraint_audit",
+    "d118_count_min_sketch",
+    "d119_k_anonymity",
+    "e75_feature_hashing",
 }
 
 
