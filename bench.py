@@ -109,6 +109,14 @@ HEADLINE = [
     # unrepresented in the headline; e71 (real BMP decode + resize) times
     # the binary-column mapInPandas path end to end.
     "e71_image_resize",
+    # round-4 third session: one representative per new family — the
+    # experimentation statistics (conditional-power-sum scan shape) and
+    # the exact count-min sketch (explode-to-cells + geometry-bounded
+    # probe join). d115/e74/d116/d117/d119/e75 ride plan shapes the
+    # headline already times (key-window + agg, tiny-cell windows,
+    # two-level aggs, explode+agg).
+    "d114_ab_welch_ttest",
+    "d118_count_min_sketch",
 ]
 
 
