@@ -781,3 +781,42 @@ def a26_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("sum_doc_id"),
                  F.sum(F.length("text")).alias("sum_chars")))
+
+
+@register(
+    "a27_multipath_read",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "source", "multipath"),
+)
+def a27_multipath_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path ingestion: orders split by a key predicate into two
+    separate parquet directories (the daily-drop layout real lakes
+    accumulate — many physical roots, one logical table), then read back
+    with a MULTI-PATH ``spark.read.parquet(p1, p2)`` — one scan node over
+    both file sets, not a union of two scans — and aggregated. The
+    round-tripped aggregate must hash-match the oracle computed from the
+    ORIGINAL single-file table, proving the split+multi-read is lossless
+    and complete (no row lost or doubled at the path boundary).
+
+    100 TB: multi-path (and glob) reads keep partition pruning and
+    pushdown per file set; the alternative — N separate reads unioned —
+    plans N scans and loses cross-path file-size coalescing."""
+    out1 = pid_scoped("pmfs_orders_even")
+    out2 = pid_scoped("pmfs_orders_odd")
+    od = table(spark, sf_dir, "orders")
+    od.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+        "overwrite").parquet(out1)
+    od.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite").parquet(out2)
+    back = spark.read.parquet(out1, out2)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("sum_cents")))

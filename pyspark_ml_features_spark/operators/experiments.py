@@ -288,3 +288,39 @@ def d116_chi_square_independence(spark: SparkSession,
         F.expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000000L)"
                " DIV CAST(row_tot * col_tot * grand AS DECIMAL(38,0))"
                " AS BIGINT)").alias("contrib_nano"))
+
+
+@register(
+    "d120_rfm_features",
+    oracle="""
+SELECT o_custkey,
+       CAST(date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-01')
+            AS BIGINT) AS recency_days,
+       count(*) AS frequency,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("engine", "ml-prep", "features"),
+)
+def d120_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) — the classic customer
+    feature triple every churn, LTV, and segmentation model starts from —
+    as ONE map-side-combinable aggregate: days since the customer's last
+    order (against a fixed snapshot anchor, the way a feature store pins
+    a training cutoff), order count, and exact integer-cent spend. Pairs
+    with d115 (EWMA time-decay) as the feature-store family: d115 weights
+    recent behavior, RFM summarizes the lifetime.
+
+    100 TB: one scan, one shuffle on o_custkey carrying three
+    fixed-width states; the anchor is a literal so no global-max pass or
+    single-row join exists in the plan."""
+    od = table(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-01").cast("timestamp")
+    return (od.groupBy("o_custkey")
+            .agg(F.datediff(anchor, F.max("o_orderdate")).cast("bigint")
+                 .alias("recency_days"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("monetary_cents")))

@@ -110,6 +110,8 @@ DEFERRED_ORACLES: set[str] = {
     "d118_count_min_sketch",
     "d119_k_anonymity",
     "e75_feature_hashing",
+    "a27_multipath_read",
+    "d120_rfm_features",
 }
 
 
