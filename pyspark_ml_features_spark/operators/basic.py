@@ -557,15 +557,22 @@ def a22_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python boundary costs one Arrow transfer of the written columns.
     This is the pattern for pushing curated corpora INTO systems Spark
     cannot write natively — the writer's options/commit hooks map 1:1
-    onto a real endpoint's batch-put + finalize API."""
-    from pyspark_ml_features_spark.sources.pyds import register_python_sources
+    onto a real endpoint's batch-put + finalize API.
+
+    Exactly-once mechanics proven here (ADVICE r4 medium): the write runs
+    in overwrite mode (so re-invoking in one process replaces rather than
+    doubles the data) and the read-back loads ONLY the files the driver-
+    side commit() manifest vouches for — an orphan file from a retried or
+    speculative task attempt on disk is invisible."""
+    from pyspark_ml_features_spark.sources.pyds import (
+        jsonl_manifest_files, register_python_sources)
 
     register_python_sources(spark)
     out = pid_scoped("pmfs_docs_jsonl")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    d.write.format("jsonl_sink").option("path", out).mode("append").save()
+    d.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
     back = spark.read.schema("doc_id bigint, lang string, text string") \
-        .json(out)
+        .json(jsonl_manifest_files(out))
     return (back.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("sum_doc_id"),

@@ -1491,6 +1491,31 @@ def e63_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_j"))
 
 
+def sorted_neighborhood_pass(keyed: DataFrame, mask: int, w: int = 5
+                             ) -> DataFrame:
+    """One sorted-neighborhood pass: global-rank ``keyed`` (doc_id, key)
+    by (key, doc_id) via the distributed-row-number primitive, then emit
+    every (min, max)-normalized id pair within ``w`` ranks, tagged with
+    ``pass_mask = mask`` (a power of two so a k-pass union's summed mask
+    records which keys found each pair). Exactly <= w*n candidate rows —
+    the linear-cost property multi-pass unions preserve additively."""
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    ranked = (distributed_row_number(keyed, ["key", "doc_id"], 16)
+              .select("doc_id", F.col("grk").alias("rk")))
+    a = ranked.select(F.col("doc_id").alias("da"),
+                      F.explode(F.sequence(
+                          F.col("rk") + 1, F.col("rk") + w)).alias("rk"))
+    b = ranked.select(F.col("doc_id").alias("db"), "rk")
+    return (a.join(b, "rk")
+            .select(F.least("da", "db").alias("d1"),
+                    F.greatest("da", "db").alias("d2"),
+                    F.lit(mask).cast("bigint").alias("pass_mask"))
+            .distinct())
+
+
 @register(
     "e64_multipass_sorted_neighborhood",
     oracle="""
@@ -1547,38 +1572,24 @@ def e64_multipass_sorted_neighborhood(spark: SparkSession,
 
     100 TB: 2x the linear cost of e63 (two sorts, two equi-joins, one
     distinct on the candidate ids — all bounded by 2*w*n rows); the
-    general k-pass form just unions more rank tables. Measured on this
-    fixture (invariant): recall 0.054 (e63) -> 0.186 with the second
-    key — a 3.4x lift — while candidates stay <= 2*w*n."""
-    from pyspark_ml_features_spark.operators.relational6 import (
-        distributed_row_number,
-    )
-
+    general k-pass form just unions more rank tables
+    (:func:`sorted_neighborhood_pass` is that reusable pass — the
+    3-key ceiling curve is measured in tests/test_invariants.py and
+    DESIGN_SCALE.md's blocking-triad table). Measured on this fixture
+    (invariant; re-measured r5): recall 0.100 (e63) -> 0.186 with the
+    second key, 0.265 with a third (sorted-token-set prefix — see the
+    DESIGN_SCALE ceiling-curve table) — while candidates stay k*w*n."""
     W = 5
     d = (table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % 5 == 0)
          .select("doc_id", "text",
                  F.array_distinct(tokens("text")).alias("sh")))
 
-    def pass_pairs(keyed, mask):
-        ranked = (distributed_row_number(keyed, ["key", "doc_id"], 16)
-                  .select("doc_id", F.col("grk").alias("rk")))
-        a = ranked.select(F.col("doc_id").alias("da"),
-                          F.explode(F.sequence(
-                              F.col("rk") + 1, F.col("rk") + W))
-                          .alias("rk"))
-        b = ranked.select(F.col("doc_id").alias("db"), "rk")
-        return (a.join(b, "rk")
-                .select(F.least("da", "db").alias("d1"),
-                        F.greatest("da", "db").alias("d2"),
-                        F.lit(mask).cast("bigint").alias("pass_mask"))
-                .distinct())
-
-    p1 = pass_pairs(d.select("doc_id",
-                             F.substring("text", 1, 24).alias("key")), 1)
-    p2 = pass_pairs(d.select("doc_id",
-                             F.substring(F.reverse("text"), 1, 24)
-                             .alias("key")), 2)
+    p1 = sorted_neighborhood_pass(
+        d.select("doc_id", F.substring("text", 1, 24).alias("key")), 1, W)
+    p2 = sorted_neighborhood_pass(
+        d.select("doc_id", F.substring(F.reverse("text"), 1, 24)
+                 .alias("key")), 2, W)
     cand = (p1.unionByName(p2)
             .groupBy("d1", "d2")
             .agg(F.sum("pass_mask").alias("pass_mask")))

@@ -259,15 +259,26 @@ def d116_chi_square_independence(spark: SparkSession,
     expected count and chi-square contribution are integer arithmetic:
     expected_micro = row·col·10^6 DIV grand, contrib_nano =
     (obs·grand − row·col)² ·10^9 DIV (row·col·grand), computed in
-    DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (the numerator
-    square reaches ~10^27; both engines' 128-bit integer paths carry it;
-    truncating DIV ≡ // on the always-non-negative square — the d112
-    rule). Σ contrib_nano / 10^9 is the chi-square statistic, summable
-    EXACTLY downstream because every term is an integer.
+    DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (truncating
+    DIV ≡ // on the always-non-negative square — the d112 rule).
+    Σ contrib_nano / 10^9 is the chi-square statistic, summable EXACTLY
+    downstream because every term is an integer.
 
-    100 TB: one scan + one tiny-key shuffle; the test statistic family
+    Exactness bound (ADVICE r4): DECIMAL(38,0) caps |num| =
+    |obs·grand − row·col| at floor(sqrt((10^38−1)/10^9)) ≈ 3.16e14 —
+    roughly 1.7e7 base rows — and Spark decimal multiply returns NULL
+    *silently* past it while DuckDB's HUGEINT keeps going. The guard
+    below turns that silent divergence into a loud error; beyond the
+    bound, pre-scale the counts (divide every obs by a common factor
+    before the statistic — chi-square contributions scale linearly in a
+    uniform count rescale) or accept a float64 contrib with a rounding
+    contract.
+
+    Scale: one scan + one tiny-key shuffle; the arithmetic runs on the
+    ~15-row cell table so the guard is free. The test statistic family
     (d114 Welch t, this) covers the two standard experimentation
-    readouts with engine-exact reproducibility."""
+    readouts with engine-exact reproducibility inside the documented
+    bound."""
     od = table(spark, sf_dir, "orders")
     cells = (od.groupBy(F.col("o_orderpriority").alias("priority"),
                         F.col("o_orderstatus").alias("status"))
@@ -285,9 +296,16 @@ def d116_chi_square_independence(spark: SparkSession,
         "priority", "status", "obs",
         F.expr("row_tot * col_tot * 1000000L DIV grand")
         .alias("expected_micro"),
-        F.expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000000L)"
-               " DIV CAST(row_tot * col_tot * grand AS DECIMAL(38,0))"
-               " AS BIGINT)").alias("contrib_nano"))
+        # |num| past floor(sqrt((10^38-1)/10^9)) would NULL silently in
+        # decimal multiply — raise instead (runs on the ~15-row cell
+        # table, so the guard costs nothing).
+        F.expr("CASE WHEN abs(num) > 316227766016837L THEN"
+               " raise_error('d116: |obs*grand - row_tot*col_tot| exceeds"
+               " the DECIMAL(38,0) exact bound (~3.16e14, ~1.7e7 base"
+               " rows); pre-scale counts — see docstring')"
+               " ELSE CAST((CAST(num AS DECIMAL(38,0)) * num *"
+               " 1000000000L) DIV CAST(row_tot * col_tot * grand AS"
+               " DECIMAL(38,0)) AS BIGINT) END").alias("contrib_nano"))
 
 
 @register(

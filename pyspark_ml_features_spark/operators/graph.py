@@ -160,7 +160,7 @@ def e45_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(nodes, edges)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (cc.join(F.broadcast(sizes), "cluster_id")
+    return (cc.join(sizes, "cluster_id")
             .select(F.col("node").alias("doc_id"), "cluster_id",
                     "cluster_size"))
 
@@ -243,7 +243,7 @@ def e47_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_labels=base_labels)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (cc.join(F.broadcast(sizes), "cluster_id")
+    return (cc.join(sizes, "cluster_id")
             .select(F.col("node").alias("doc_id"), "cluster_id",
                     "cluster_size",
                     (F.col("node") % 5).alias("is_new")))
@@ -432,7 +432,7 @@ def e58_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(nodes, edges)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (cc.join(F.broadcast(sizes), "cluster_id")
+    return (cc.join(sizes, "cluster_id")
             .select(F.col("node").alias("vec_id"), "cluster_id",
                     "cluster_size"))
 
@@ -696,7 +696,7 @@ def e67_cluster_minhash_signatures(spark: SparkSession,
         .select(F.col("node").alias("doc_id"), "cluster_id")
     sigs = minhash_signatures(d.select("doc_id", "text"))
     k = len(MINHASH_AFFINE)
-    return (sigs.join(F.broadcast(cc), "doc_id")
+    return (sigs.join(cc, "doc_id")
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  *[F.min(f"s{i}").alias(f"s{i}") for i in range(k)]))

@@ -651,9 +651,11 @@ def e62_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id is the join key for that repair).
 
     100 TB: the pair generation is the candidate-bounded family (banded
-    at deployment scale — e33/e2d); membership joins are broadcast-sized
-    (two BIGINT columns); the split predicate is scan-side arithmetic.
-    No new shuffle beyond the pair join itself."""
+    at deployment scale — e33/e2d); the membership table is per-doc
+    (corpus-scaling), so its join-back carries NO broadcast hint — AQE
+    picks broadcast at small SF from runtime sizes and degrades to a
+    shuffle join at corpus scale (the e8 vocab rule; ADVICE r4); the
+    split predicate is scan-side arithmetic."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     in_train = (((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
                  % F.lit(2048)) < 1638).cast("bigint")
@@ -664,7 +666,7 @@ def e62_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("in_train").alias("in_train1"))
     tb = membership.select(F.col("doc_id").alias("d2"),
                            F.col("in_train").alias("in_train2"))
-    return (prs.join(F.broadcast(ta), "d1").join(F.broadcast(tb), "d2")
+    return (prs.join(ta, "d1").join(tb, "d2")
             .select("d1", "d2", "jaccard", "in_train1", "in_train2",
                     (F.col("in_train1") != F.col("in_train2"))
                     .cast("bigint").alias("is_leak")))
@@ -830,9 +832,10 @@ def e66_cluster_split_no_leakage(spark: SparkSession,
     (the e62 -> e66 pair is the before/after of the standard
     dedup-aware-split recipe).
 
-    100 TB: one extra broadcast-sized join vs e62 (doc -> cluster_id
-    from the stored e45 output); the split predicate stays scan-side
-    arithmetic on the cluster id. The trade-off vs id-splits is
+    100 TB: one extra per-doc join vs e62 (doc -> cluster_id from the
+    stored e45 output) — unhinted like e62's membership joins, so AQE
+    sizes it at runtime; the split predicate stays scan-side arithmetic
+    on the cluster id. The trade-off vs id-splits is
     granularity: clusters move between train/eval atomically, so share
     targets are hit within max-cluster-size tolerance."""
     from pyspark_ml_features_spark.operators.graph import (
@@ -854,7 +857,7 @@ def e66_cluster_split_no_leakage(spark: SparkSession,
                       F.col("in_train").alias("t1"))
     sb = split.select(F.col("doc_id").alias("d2"),
                       F.col("in_train").alias("t2"))
-    n_leak = (prs.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+    n_leak = (prs.join(sa, "d1").join(sb, "d2")
               .filter(F.col("t1") != F.col("t2"))
               .agg(F.count(F.lit(1)).alias("n_leak")))
     summary = split.agg(

@@ -104,19 +104,47 @@ MANUAL_WINDOW_R4 = [
 ]
 
 def _driver_grades() -> tuple[set[str], set[str]]:
-    """(hash-green names, all names ever graded) across CORRECTNESS_r*.json."""
+    """(hash-green names, all names ever graded) across CORRECTNESS_r*.json.
+
+    The glob is anchored on the repo checkout root (two levels above this
+    file). From an installed/zipped package that directory has no
+    CORRECTNESS files; override with SPARK_GRAFT_REPO_ROOT, and in either
+    case a missing-file situation is logged (not silent) so the fallback
+    to the curated round-4 window is visible (ADVICE r4)."""
     import json
+    import os
     from pathlib import Path
 
     green: set[str] = set()
     seen: set[str] = set()
-    repo = Path(__file__).resolve().parent.parent
-    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+    repo = Path(os.environ.get("SPARK_GRAFT_REPO_ROOT",
+                               Path(__file__).resolve().parent.parent))
+    paths = sorted(repo.glob("CORRECTNESS_r*.json"))
+    if not paths:
+        import logging
+        logging.getLogger(__name__).warning(
+            "no CORRECTNESS_r*.json under %s — driver window falls back to "
+            "the curated round-4 list (set SPARK_GRAFT_REPO_ROOT to the "
+            "repo checkout if this is an installed package)", repo)
+    for path in paths:
         for name, row in json.loads(path.read_text()).items():
             seen.add(name)
             if row.get("err") is None and row.get("hash_match"):
                 green.add(name)
     return green, seen
+
+
+# Ungraded oracle queries promoted to the FRONT of the recomposed window
+# (VERDICT r4 task 5): components this brief grades as first-class that
+# registration order would otherwise push past the 50-slot boundary.
+PRIORITY_BACKLOG = [
+    "d106_quantile_normalize",
+]
+
+# Slots reserved for queries that have NEVER produced a driver row
+# (VERDICT r4 task 3): a rows-only query with zero driver executions
+# outranks an oracle query that is at least locally hash-verified.
+FRESH_SLOTS = 5
 
 
 def _compute_window(green: set[str], seen: set[str]) -> list[str]:
@@ -138,26 +166,36 @@ def _compute_window(green: set[str], seen: set[str]) -> list[str]:
     Registration order is module-import order, not historical addition
     order, so a late addition to an early module can jump the queue —
     acceptable: the guarantee is determinism and no wasted slots, not
-    FIFO fairness."""
+    FIFO fairness. Two adjustments (VERDICT r4 tasks 3+5): PRIORITY_BACKLOG
+    entries float to the backlog head, and up to FRESH_SLOTS slots are
+    reserved for never-driver-run rows-only queries ahead of the backlog
+    tail — a query with zero driver executions beats one that is at least
+    locally hash-verified."""
     reg = registry.all_queries()
     manual_oracles = [n for n in MANUAL_WINDOW_R4
                       if n in reg and reg[n].oracle is not None]
     if not any(n in green for n in manual_oracles):
         return MANUAL_WINDOW_R4
     backlog = [n for n in reg if reg[n].oracle is not None and n not in green]
+    priority = [n for n in PRIORITY_BACKLOG if n in backlog]
+    backlog = priority + [n for n in backlog if n not in priority]
     fresh_rows = [n for n in reg if reg[n].oracle is None and n not in seen]
     rerun_rows = [n for n in reg if reg[n].oracle is None and n in seen]
     saturated = [n for n in reg if reg[n].oracle is not None and n in green]
-    return (backlog + fresh_rows + rerun_rows + saturated)[:50]
+    n_fresh = min(len(fresh_rows), FRESH_SLOTS)
+    cut = max(0, 50 - n_fresh)
+    return (backlog[:cut] + fresh_rows + backlog[cut:]
+            + rerun_rows + saturated)[:50]
 
 
 DRIVER_WINDOW = _compute_window(*_driver_grades())
 
-# Round-5 rotation happens AUTOMATICALLY via _compute_window the moment
-# CORRECTNESS_r04 lands: the 72-query oracle backlog
-# (tests/test_registry.py:DEFERRED_ORACLES) exceeds one 50-slot window, so
-# the first 50 in registration order rotate in and the remainder (plus any
-# r5-new surface) carries to r6. All are locally hash-verified at sf0.01
-# AND sf0.1 by drive_contract + the parity sweep.
+# CORRECTNESS_r04 landed all-green, so _compute_window has recomposed for
+# round 5: PRIORITY_BACKLOG, then the ungraded-oracle backlog in
+# registration order (first ~45), then FRESH_SLOTS reserved for the
+# never-driver-run streaming queries s8–s12. The backlog remainder (plus
+# any r5-new surface, capped so it fits one window) carries to r6. All
+# backlog entries are locally hash-verified at sf0.01 AND sf0.1 by
+# drive_contract + the parity sweep.
 
 registry.reorder(DRIVER_WINDOW)

@@ -131,14 +131,38 @@ class _JsonlCommit(WriterCommitMessage):
         self.path, self.n_rows = path, n_rows
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def jsonl_manifest_files(path: str) -> list[str]:
+    """Authoritative data files of a ``jsonl_sink`` directory: exactly the
+    files the last successful commit() recorded in the manifest. Readers
+    MUST use this (not a directory glob) — orphan files from retried or
+    speculative task attempts may coexist on disk and are not data."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, MANIFEST_NAME)) as f:
+        names = _json.load(f)["files"]
+    return [_os.path.join(path, n) for n in names]
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Batch writer: each task streams its partition's rows into one
     JSON-lines file under ``path`` (unique name per task attempt, so
-    speculative/retried attempts never collide; only files named in commit
-    messages are authoritative — the same protocol JVM sinks use)."""
+    speculative/retried attempts never collide). Visibility is decided
+    driver-side: ``commit()`` writes a ``_MANIFEST.json`` naming exactly
+    the authoritative files (merging the previous manifest in append mode,
+    replacing it — and deleting the superseded files — in overwrite mode)
+    and sweeps orphan attempt files; ``abort()`` deletes this job's
+    attempt files and leaves the previous manifest untouched. Readers go
+    through :func:`jsonl_manifest_files`, so a retried attempt or an
+    aborted job can never surface as data — the same two-phase protocol
+    JVM FileFormatWriter commits use (ADVICE r4 medium)."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json as _json
@@ -154,6 +178,45 @@ class JsonlSinkWriter(DataSourceWriter):
                 n += 1
         return _JsonlCommit(fn, n)
 
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        new_files = sorted(_os.path.basename(m.path) for m in messages
+                           if m is not None)
+        manifest = _os.path.join(self.path, MANIFEST_NAME)
+        prev: list[str] = []
+        if not self.overwrite and _os.path.exists(manifest):
+            with open(manifest) as f:
+                prev = _json.load(f)["files"]
+        keep = sorted(set(prev) | set(new_files))
+        # Atomic publish: readers see the old manifest or the new one,
+        # never a partial file.
+        tmp = f"{manifest}.{_os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"files": keep,
+                        "n_rows": sum(m.n_rows for m in messages
+                                      if m is not None)}, f)
+        _os.replace(tmp, manifest)
+        # Sweep everything the manifest does not vouch for: orphan attempt
+        # files from retried/speculative tasks, and (overwrite) old data.
+        for name in _os.listdir(self.path):
+            if name != MANIFEST_NAME and name not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
 
 class JsonlSinkDataSource(DataSource):
     """Custom SINK via the Python Data Source API (Spark 4) — the
@@ -166,7 +229,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite) -> JsonlSinkWriter:
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite)
 
 
 def register_python_sources(spark) -> None:

@@ -634,7 +634,8 @@ def test_sorted_neighborhood_candidates_linear_and_density_bounded(run):
     the saturated corpus has a quadratic true-pair set (3,810 J>=0.5
     pairs among 100 sampled docs = 77% of all pairs), so any linear
     blocking can reach at most w*n/|truth| ~ 0.13 recall here — measured
-    0.054. Pin the bound arithmetic and the measured floor; precision is
+    0.100 (re-measured r5; the r4 note of 0.054 was stale). Pin the
+    bound arithmetic and the measured floor; precision is
     1.0 by construction (every emitted pair passed the exact verify)."""
     truth = {(r["d1"], r["d2"]) for r in run("e3_jaccard_pairs").collect()}
     sn_rows = run("e63_sorted_neighborhood").collect()
@@ -653,8 +654,8 @@ def test_sorted_neighborhood_candidates_linear_and_density_bounded(run):
 
 def test_multipass_sorted_neighborhood_lifts_recall(run):
     """e64's second sort key must strictly lift recall over single-pass
-    e63 while keeping candidates linear (<= 2*w*n): measured 0.054 ->
-    0.186 on the fixture. Pass masks partition the found set: every pair
+    e63 while keeping candidates linear (<= 2*w*n): measured 0.100 ->
+    0.186 on the fixture (r5 re-measurement). Pass masks partition the found set: every pair
     carries mask 1 (prefix), 2 (suffix), or 3 (both)."""
     truth = {(r["d1"], r["d2"]) for r in run("e3_jaccard_pairs").collect()}
     single = {(min(r["d1"], r["d2"]), max(r["d1"], r["d2"]))
@@ -668,3 +669,61 @@ def test_multipass_sorted_neighborhood_lifts_recall(run):
     assert r2 > r1, f"second pass must lift recall ({r1} -> {r2})"
     assert r2 >= 0.15, f"multipass recall {r2} collapsed below measured"
     assert {r["pass_mask"] for r in rows} <= {1, 2, 3}
+
+
+def test_three_pass_sorted_neighborhood_ceiling_curve(run, spark):
+    """VERDICT r4 task 7: the multi-pass ceiling curve's THIRD point. A
+    third sort key — the sorted-token-SET prefix, which clusters docs by
+    content regardless of token order (the minhash-prefix idea in its
+    exact form) — must lift recall again while candidates stay <= 3*w*n.
+    Measured on the sf0.01 fixture (truth = 3,810 J>=0.5 pairs):
+    1-pass 0.100, 2-pass 0.186, 3-pass 0.265 against per-pass ceilings
+    w*n/|truth| = 0.131/0.262/0.394 — each added key recovers a
+    DIMINISHING share of its ceiling (76% -> 71% -> 67%) because the
+    passes' candidate sets overlap. That decay, pinned here and tabled
+    in DESIGN_SCALE.md, is the decision input for 'would another pass
+    help at 100 TB' — the answer plateaus; banding (e33) does not."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.operators.dedup import (
+        sorted_neighborhood_pass,
+    )
+    from pyspark_ml_features_spark.sources import table
+    from tests.conftest import SF_DIR
+
+    truth = {(r["d1"], r["d2"]) for r in run("e3_jaccard_pairs").collect()}
+    two_pass = {(r["d1"], r["d2"])
+                for r in run("e64_multipass_sorted_neighborhood").collect()}
+    w = 5
+    d = (table(spark, SF_DIR, "documents")
+         .filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id", "text",
+                 F.array_distinct(tokens("text")).alias("sh")))
+    passes = [
+        sorted_neighborhood_pass(
+            d.select("doc_id", F.substring("text", 1, 24).alias("key")),
+            1, w),
+        sorted_neighborhood_pass(
+            d.select("doc_id", F.substring(F.reverse("text"), 1, 24)
+                     .alias("key")), 2, w),
+        sorted_neighborhood_pass(
+            d.select("doc_id",
+                     F.substring(F.array_join(F.array_sort("sh"), " "),
+                                 1, 24).alias("key")), 4, w),
+    ]
+    cand = functools.reduce(lambda a, b: a.unionByName(b), passes)
+    three = {(r["d1"], r["d2"])
+             for r in cand.select("d1", "d2").distinct().collect()}
+    n_docs = 100
+    assert len(three) <= 3 * w * n_docs, "candidates must stay linear"
+    r2 = len(two_pass & truth) / len(truth)
+    r3 = len(three & truth) / len(truth)
+    assert r3 > r2, f"third key must lift recall ({r2} -> {r3})"
+    assert r3 >= 0.24, f"3-pass recall {r3} collapsed below measured 0.265"
+    # diminishing returns: the third key's marginal lift must not exceed
+    # the second's (the plateau that caps multi-pass SN vs banding)
+    r1 = 0.100  # e63 measured (re-verified r5)
+    assert (r3 - r2) <= (r2 - r1) + 0.02

@@ -113,3 +113,63 @@ def test_python_streaming_datasource_drains_exactly(spark):
     got = sorted(tuple(r) for r in spark.table("pyds_events").collect())
     want = sorted(_event(i) for i in range(100))
     assert got == want
+
+
+def test_jsonl_sink_manifest_exactly_once(spark):
+    """The jsonl_sink commit protocol (ADVICE r4 medium): (1) a second
+    overwrite-mode invocation replaces rather than doubles the data;
+    (2) an orphan file from a simulated retried/speculative task attempt
+    is invisible to manifest-based read-back and swept by the next
+    commit."""
+    import json
+
+    from pyspark_ml_features_spark.sources.pyds import (
+        MANIFEST_NAME, jsonl_manifest_files, register_python_sources)
+
+    register_python_sources(spark)
+    out = os.path.join(tempfile.mkdtemp(), "jsonl_sink_once")
+    d = table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    n = d.count()
+
+    schema = "doc_id bigint, lang string, text string"
+    for _ in range(2):  # idempotent under re-invocation
+        d.write.format("jsonl_sink").option("path", out) \
+            .mode("overwrite").save()
+        back = spark.read.schema(schema).json(jsonl_manifest_files(out))
+        assert back.count() == n
+
+    # Simulate an orphan attempt file landing AFTER commit: it must not
+    # be readable through the manifest...
+    orphan = os.path.join(out, "part-deadbeef-orphan.json")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"doc_id": -1, "lang": "xx", "text": "ghost"})
+                + "\n")
+    files = jsonl_manifest_files(out)
+    assert orphan not in files
+    assert spark.read.schema(schema).json(files).count() == n
+    # ...and the next commit sweeps it.
+    d.write.format("jsonl_sink").option("path", out) \
+        .mode("overwrite").save()
+    assert not os.path.exists(orphan)
+    with open(os.path.join(out, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    on_disk = {p for p in os.listdir(out) if p != MANIFEST_NAME}
+    assert on_disk == set(manifest["files"])
+
+
+def test_jsonl_sink_append_merges_manifest(spark):
+    """Append mode unions the new commit's files with the previous
+    manifest — two appends read back as exactly 2n rows."""
+    from pyspark_ml_features_spark.sources.pyds import (
+        jsonl_manifest_files, register_python_sources)
+
+    register_python_sources(spark)
+    out = os.path.join(tempfile.mkdtemp(), "jsonl_sink_append")
+    d = table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    n = d.count()
+    for _ in range(2):
+        d.write.format("jsonl_sink").option("path", out) \
+            .mode("append").save()
+    back = spark.read.schema("doc_id bigint, lang string, text string") \
+        .json(jsonl_manifest_files(out))
+    assert back.count() == 2 * n

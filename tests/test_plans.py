@@ -230,7 +230,25 @@ def test_no_broadcast_hint_on_unbounded_aggregates(spark):
             # one 1-row relation
             ("e43_tfidf_cosine_pairs", 4),
             ("t9_lm_quality", 1),
-            ("t10_perplexity", 1)):
+            ("t10_perplexity", 1),
+            # r5 (ADVICE r4): corpus-scaling hints stripped from the
+            # graph/curation family — cluster-size rejoins (e45/e47/e58
+            # visible plan is post-checkpoint, so 0 means the sizes join
+            # is unhinted), e67's per-doc cluster map, e62/e66's per-doc
+            # membership join-backs. e58's one REMAINING hint is the
+            # all-pairs ground-truth side (non-equi; the hint is what
+            # keeps the plan BNLJ instead of CartesianProduct — the
+            # documented exact-baseline, scale path = e4b/e4d). e66
+            # keeps the single-row n_leak scalar hint. e68's one hint is
+            # the cluster-level all-pairs side (bounded by dup-cluster
+            # count; BNLJ_ALLOWED with the same rationale).
+            ("e45_dup_clusters_cc", 0),
+            ("e47_incremental_cc", 0),
+            ("e58_semantic_dup_clusters", 1),
+            ("e67_cluster_minhash_signatures", 0),
+            ("e62_split_leakage_report", 0),
+            ("e66_cluster_split_no_leakage", 1),
+            ("e68_cluster_pair_similarity", 1)):
         df = ALL[name].fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         n = analyzed.count("ResolvedHint")
@@ -451,12 +469,18 @@ def test_hash_sample_is_scan_side(spark):
     assert tree.count("Exchange") == 1, "sample filter must precede the one shuffle"
 
 
-def test_cc_output_joins_broadcast(spark):
-    """e45: the post-fixpoint cluster-size rejoin broadcasts the tiny
-    cluster table; no cartesian anywhere in the closure."""
+def test_cc_output_joins_scale_clean(spark):
+    """e45: the post-fixpoint cluster-size rejoin is UNHINTED (the sizes
+    table scales with cluster count, so AQE must size it at runtime —
+    ADVICE r4 stripped the hint) and plans as a proper equi join; no
+    cartesian anywhere in the closure. At sf scale AQE still picks
+    broadcast from the runtime row count, which is fine — the rule bans
+    the static hint, not the strategy."""
     plan = _plan(spark, "e45_dup_clusters_cc")
-    assert "BroadcastHashJoin" in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_interval_overlap_is_equi_join(spark):
