@@ -293,3 +293,64 @@ def test_chained_stateful_windows_match_batch_closed_set(spark):
         "datetime").timedelta(minutes=10)
     closed = batch.filter(F.col("window_end") <= FF.lit(wm)).toPandas()
     assert_frames_match(stream, closed, "chained_stateful_vs_batch_closed")
+
+
+def test_watermark_bounds_state_and_drops_late_replay(spark, tmp_path):
+    """The measured stress_streaming.py result, pinned as an invariant
+    (round 5): across checkpoint-restart drains of advancing event time,
+    a watermarked windowed aggregate's live state PLATEAUS at the
+    windows inside the horizon (evicting closed windows every stage), and a
+    replay of long-past hours is fully dropped —
+    numRowsDroppedByWatermark counts post-partial-agg GROUP rows, and
+    state is untouched. This is the 100 TB claim every s-query
+    docstring makes ('state bounded by watermark horizon, independent
+    of history'), executed rather than asserted."""
+    import pyspark.sql.functions as FF
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp"
+    n, hours = 600, 3  # one stage = 3 h of events, 200/h
+
+    def write_stage(stage, hour_offset=None):
+        h0 = stage * hours if hour_offset is None else hour_offset
+        stride = 3600 * hours // n
+        (spark.range(n)
+         .select((FF.lit(stage) * 10_000 + FF.col("id")).alias("event_id"),
+                 (FF.to_timestamp(FF.lit("2024-01-01 00:00:00"))
+                  + FF.make_interval(secs=(FF.lit(h0) * 3600
+                                           + FF.col("id") * stride)
+                                     .cast("double"))).alias("ts"))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    def drain():
+        agg = (spark.readStream.schema(schema).parquet(str(src))
+               .withWatermark("ts", "10 minutes")
+               .groupBy(FF.window("ts", "1 hour"))
+               .agg(FF.count(FF.lit(1)).alias("cnt")))
+        q = (agg.writeStream.format("noop").outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        state = dropped = 0
+        for p in q.recentProgress:
+            for so in p["stateOperators"]:
+                state = so["numRowsTotal"]
+                dropped += so.get("numRowsDroppedByWatermark", 0)
+        return state, dropped
+
+    states = []
+    for k in range(3):
+        write_stage(k)
+        state, dropped = drain()
+        states.append(state)
+        assert dropped == 0
+    # plateau: only the horizon's windows stay live, regardless of stage
+    assert states[0] == states[1] == states[2] == 1, states
+    # replay hours [0, 3) — far behind the ~9h watermark: all dropped,
+    # state untouched (cross-restart enforcement is immediate)
+    write_stage(99, hour_offset=0)
+    state, dropped = drain()
+    assert dropped == hours  # post-partial-agg group rows, one per window
+    assert state == 1
