@@ -227,7 +227,18 @@ def distributed_row_number(df: DataFrame, order_cols: list[str],
     does NOT depend on where range boundaries fall: offset + local rank
     under a total order is the true global rank for ANY partitioning
     that is sorted between partitions. Result adds a ``grk`` column
-    (1-based global rank) and drops nothing."""
+    (1-based global rank) and drops nothing.
+
+    Executed-plan honesty (r5 profiling): the rank window plans an
+    Exchange hashpartitioning(pid) above the checkpoint — Catalyst
+    cannot know the frozen RDD is already pid-grouped — so the rank
+    pass costs one more full-data exchange than the range partition
+    alone; it moves each partition's rows as a unit (no fan-out).
+    Consumers that use the ranked output in MULTIPLE lineages (d106's
+    rank-means + join-back) re-execute that window per lineage;
+    measured at sf0.1 the duplicate is free (min wall identical within
+    noise, both windows read the memory-resident checkpoint), but at
+    cluster scale persist the ranked result before fan-out."""
     parts = (df.repartitionByRange(n_partitions, *order_cols)
              .withColumn("pid", F.spark_partition_id())
              .localCheckpoint(eager=True))
@@ -329,10 +340,16 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e48's rule). localCheckpoint freezes the partition assignment so
     the count pass and the rank pass see identical pids (e45's rule).
 
-    100 TB: two bounded shuffles (range partition, then rank-key hash
-    for the mean) + one metadata-sized collect (P rows). This is how
-    distributed engines implement ORDER BY-with-row-number at scale;
-    the same primitive serves ECDF and exact-quantile assignment."""
+    100 TB: three bounded full-data exchanges — range partition, the
+    rank window's pid hash (partition-aligned, no fan-out; see
+    distributed_row_number's executed-plan note), and the rank-key hash
+    for the mean — plus one metadata-sized collect (P rows). The ranked
+    lineage is consumed twice (rank-means, join-back), which re-runs
+    the pid window per lineage; measured free at sf0.1 over the
+    memory-resident checkpoint, persist-before-fan-out at cluster
+    scale. This is how distributed engines implement
+    ORDER BY-with-row-number at scale; the same primitive serves ECDF
+    and exact-quantile assignment."""
     li = table(spark, sf_dir, "lineitem")
     long = li.selectExpr(
         "l_orderkey", "l_linenumber",
