@@ -443,21 +443,32 @@ def e51_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN a shard, so the group key is (lang, doc_id % 4) — at 100 TB you
     raise the shard count until each group fits an executor's memory, and
     skewed languages split across shards instead of hot-spotting one task
-    (the 43%-English corpus never lands on one core). Token counts are
-    computed Spark-side (JVM split+size); only (key, n_tokens) reaches
-    Python — the text column never crosses the Arrow boundary."""
-    import pandas as pd
-
+    (the 43%-English corpus never lands on one core; measured: the shard
+    knob divides the max per-task group linearly, DESIGN_SCALE "Packing
+    shard tiers"). Token counts are computed Spark-side (JVM split+size);
+    only (key, n_tokens) reaches Python — the text column never crosses
+    the Arrow boundary."""
     d = table(spark, sf_dir, "documents")
     n_tok = F.size(tokens("text")).cast("bigint")
     base = d.select("lang", (F.col("doc_id") % 4).alias("shard"),
                     "doc_id", n_tok.alias("n_tokens"))
+    return greedy_pack(base, GREEDY_PACK_CAP)
+
+
+def greedy_pack(base: DataFrame, capacity: int) -> DataFrame:
+    """Reusable first-fit-in-order packing fold (e51's engine): ``base``
+    carries (lang, shard, doc_id, n_tokens); each (lang, shard) group is
+    walked in doc_id order, opening a new bin whenever the next doc would
+    exceed ``capacity`` (an oversized doc still gets its own bin). Only
+    these four scalar columns cross the Arrow boundary. Returns base +
+    ``bin_id`` (1-based per group)."""
+    import pandas as pd
 
     def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bin_id, fill, out = 0, 0, []
         for n in pdf["n_tokens"]:
-            if bin_id == 0 or fill + n > GREEDY_PACK_CAP:
+            if bin_id == 0 or fill + n > capacity:
                 bin_id += 1
                 fill = n
             else:

@@ -1,0 +1,72 @@
+"""The composed curation pipeline must inherit its stages' verified
+semantics: the funnel's end state satisfies every stage's contract
+simultaneously (dedup'd, decontaminated, quality-bounded, packed within
+capacity, split without near-dup leakage)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pyspark_ml_features_spark.pipeline import curate, funnel_report
+from tests.conftest import SF_DIR
+
+
+def test_curation_pipeline_end_state(spark):
+    r = curate(spark, SF_DIR)
+
+    # funnel is monotone non-increasing and ends non-empty
+    counts = [(n_in, n_out) for _, n_in, n_out in r["funnel"]]
+    assert all(n_out <= n_in for n_in, n_out in counts)
+    assert counts[-1][1] > 0
+    assert funnel_report(r).count("\n") == len(counts)
+
+    kept = r["kept"].cache()
+
+    # exact-dedup contract: normalized texts unique among kept docs
+    n_kept = kept.count()
+    assert kept.select(F.lower(F.trim("text"))).distinct().count() == n_kept
+
+    # near-dup contract: no surviving pair at the clustering threshold —
+    # any such pair would have shared a cluster, and only the cluster min
+    # survives. Signatures are per-doc, so re-running candidate
+    # generation on the kept subset finds exactly the surviving pairs.
+    from pyspark_ml_features_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    surviving = (minhash_candidate_pairs(kept.select("doc_id", "text"))
+                 .filter(F.col("est_jaccard") >= 0.9).count())
+    assert surviving == 0
+
+    # decontamination contract: no benchmark-slice docs in the corpus
+    assert kept.filter(F.col("doc_id") % 5 == 0).count() == 0
+
+    # packing contract: every kept doc packed exactly once; multi-member
+    # bins never exceed capacity (an oversized singleton may)
+    packed = r["packed"].cache()
+    assert packed.count() == n_kept
+    assert packed.select("doc_id").distinct().count() == n_kept
+    bins = (packed.groupBy("lang", "shard", "bin_id")
+            .agg(F.sum("n_tokens").alias("fill"),
+                 F.count(F.lit(1)).alias("members")))
+    assert bins.filter((F.col("fill") > 120)
+                       & (F.col("members") > 1)).count() == 0
+
+    # split contract: clusters move atomically, so near-dup pairs cannot
+    # cross train/eval; the split covers every kept doc exactly once
+    split = r["split"].cache()
+    assert split.count() == n_kept
+    crossing = (split.groupBy("cluster_id")
+                .agg(F.count_distinct("in_train").alias("sides"))
+                .filter(F.col("sides") > 1).count())
+    assert crossing == 0
+    frac = (split.agg(F.sum("in_train")).collect()[0][0] or 0) / n_kept
+    assert 0.6 <= frac <= 0.95  # near train_frac=0.8, cluster-granular
+
+    # mixture report: shares sum to 1, weights positive
+    mix = r["mixture"].collect()
+    assert abs(sum(m["actual_share"] for m in mix) - 1.0) < 1e-4
+    assert all(m["weight"] > 0 for m in mix)
+
+    kept.unpersist()
+    packed.unpersist()
+    split.unpersist()
