@@ -182,3 +182,32 @@ def funnel_report(result: dict) -> str:
         lines.append(f"{stage:16s} | {n_in:5d} | {n_out:5d} |"
                      f" {n_in - n_out:5d}")
     return "\n".join(lines)
+
+
+from pyspark_ml_features_spark.registry import register  # noqa: E402
+
+
+@register("e76_curation_funnel",
+          tags=("north-star", "llm-pipeline", "curation", "integration"))
+def e76_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline's funnel, as a driver-executable
+    INTEGRATION query (rows-only: the end-to-end composition spans a
+    MinHash fixpoint, an Arrow packing fold, and eager stage counts —
+    not one SQL statement; every CONSTITUENT stage is oracle-verified
+    via e1/e33/e45/e51/e55/e57/e66/t16, and the composed end-state
+    contract is pinned by tests/test_pipeline.py). One row per stage
+    with docs in/out plus a final row carrying the packed-corpus shape
+    (bins, train docs) — deterministic for a fixed sf_dir, so repeated
+    driver runs must agree exactly."""
+    r = curate(spark, sf_dir)
+    packed_bins = (r["packed"].select("lang", "shard", "bin_id")
+                   .distinct().count())
+    train_docs = int(r["split"].agg(
+        F.sum("in_train")).collect()[0][0] or 0)
+    rows = [(i, stage, n_in, n_out)
+            for i, (stage, n_in, n_out) in enumerate(r["funnel"])]
+    rows.append((len(rows), "packed_bins", packed_bins, packed_bins))
+    rows.append((len(rows), "train_docs", train_docs, train_docs))
+    return spark.createDataFrame(
+        rows, "stage_idx bigint, stage string, docs_in bigint, "
+              "docs_out bigint")

@@ -34,6 +34,13 @@ from pyspark_ml_features_spark.operators import (  # noqa: F401
 )
 from pyspark_ml_features_spark.streaming import events, stateful  # noqa: F401
 
+# pipeline registers e76 (rows-only integration funnel) AFTER the
+# streaming modules on purpose: fresh never-driver-run queries fill the
+# FRESH_SLOTS-reserved window tail in registration order, and the r5
+# window promises s8-s12 their first driver rows (VERDICT r4 task 3) —
+# e76 queues behind them and grades in r6.
+from pyspark_ml_features_spark import pipeline  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the
