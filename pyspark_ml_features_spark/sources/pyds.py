@@ -195,8 +195,9 @@ class JsonlSinkWriter(DataSourceWriter):
         tmp = f"{manifest}.{_os.getpid()}.tmp"
         with open(tmp, "w") as f:
             _json.dump({"files": keep,
-                        "n_rows": sum(m.n_rows for m in messages
-                                      if m is not None)}, f)
+                        "n_rows_last_commit": sum(
+                            m.n_rows for m in messages
+                            if m is not None)}, f)
         _os.replace(tmp, manifest)
         # Sweep everything the manifest does not vouch for: orphan attempt
         # files from retried/speculative tasks, and (overwrite) old data.
