@@ -139,23 +139,81 @@ def test_deferred_queries_are_driver_green_or_rows_only():
             f"oracle — promote it into DRIVER_WINDOW")
 
 
+def _assert_window_invariants(window, green, seen, qs):
+    """Structural invariants of a recomposed window, valid for ANY backlog
+    size. Three consecutive rounds (r3→r5) a rotation test went red when
+    real grades landed, each time because an assertion quietly assumed the
+    ungraded backlog overfills the 50-slot window; this helper replaces
+    those assumptions with composition rules that hold from backlog=300
+    down to backlog=0 (saturation):
+
+      1. exactly 50 slots, no duplicates;
+      2. the backlog prefix: the window's ungraded-oracle entries are, in
+         order, a prefix of PRIORITY_BACKLOG-then-registration-order;
+      3. no slot is wasted: a padding entry (rows-only re-run or green
+         oracle) may appear only if EVERY backlog entry is in the window;
+      4. fresh rows-only slots are capped at FRESH_SLOTS;
+      5. padding order: green oracles only after all rows-only re-runs
+         are exhausted (re-runs are free weak checks, greens are not).
+    """
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    backlog = [n for n in qs if qs[n].oracle is not None and n not in green]
+    priority = [n for n in queries.PRIORITY_BACKLOG if n in backlog]
+    expected_backlog = priority + [n for n in backlog if n not in priority]
+    in_window_backlog = [n for n in window if n in set(backlog)]
+    assert in_window_backlog == expected_backlog[:len(in_window_backlog)], (
+        "backlog entries out of priority/registration order")
+    fresh = [n for n in window if qs[n].oracle is None and n not in seen]
+    rerun = [n for n in window if qs[n].oracle is None and n in seen]
+    saturated = [n for n in window
+                 if qs[n].oracle is not None and n in green]
+    if rerun or saturated:
+        missing = set(expected_backlog) - set(window)
+        assert not missing, (
+            f"padding slots present while backlog entries are excluded: "
+            f"{sorted(missing)[:5]}")
+    assert len(fresh) <= queries.FRESH_SLOTS
+    all_reruns = [n for n in qs if qs[n].oracle is None and n in seen]
+    if saturated:
+        assert set(all_reruns) <= set(window), (
+            "green-oracle padding used while free rows-only re-runs remain")
+
+
 def test_window_has_no_already_green_oracle_queries():
     """Graded slots are scarce: an oracle query that is already green in a
     past round must not occupy a graded slot (rows-only queries are exempt
     — their weak rows-ran check is re-run each round for free). Exception:
-    once EVERY oracle query is green (saturation), re-grading is the only
-    thing left. _compute_window enforces this automatically the moment new
+    once every UNGRADED oracle already sits in the window, green re-grades
+    are legitimate padding (and at full saturation they are all that is
+    left). _compute_window enforces this automatically the moment new
     CORRECTNESS grades land; this test is the tripwire that it did."""
     green = _driver_green()
     qs = registry.all_queries()
-    ungraded_exist = any(q.oracle is not None and n not in green
-                         for n, q in qs.items())
-    if not ungraded_exist:
+    backlog = {n for n, q in qs.items()
+               if q.oracle is not None and n not in green}
+    if backlog <= set(queries.DRIVER_WINDOW):
+        # Every ungraded oracle is already in the window — green padding
+        # (if any) wastes nothing.
         return
     for name in queries.DRIVER_WINDOW:
         if qs[name].oracle is not None:
             assert name not in green, (
                 f"{name} already has a green driver row — rotate it out")
+
+
+def test_live_window_satisfies_composition_invariants():
+    """The window the driver will actually grade, checked against the full
+    invariant set with the REAL grade files on disk — whatever state those
+    are in. This is the test that must stay green as each future round's
+    CORRECTNESS_r*.json lands."""
+    green, seen = queries._driver_grades()
+    qs = registry.all_queries()
+    manual_oracles = [n for n in queries.MANUAL_WINDOW_R4
+                      if n in qs and qs[n].oracle is not None]
+    if not any(n in green for n in manual_oracles):
+        return  # pre-r4 grades: curated window returned verbatim
+    _assert_window_invariants(queries.DRIVER_WINDOW, green, seen, qs)
 
 
 def test_auto_rotation_keeps_manual_window_while_ungraded():
@@ -171,26 +229,23 @@ def test_auto_rotation_keeps_manual_window_while_ungraded():
 
 def test_auto_rotation_recomposes_once_grades_land():
     """Simulate CORRECTNESS_r04 grading the whole manual window green: the
-    next window must be the ungraded oracle backlog (PRIORITY_BACKLOG
-    promoted to the head, then registration order), retrying nothing green
-    and wasting no slot. `seen` covers every rows-only query so no fresh
-    slots are reserved in this simulation.
+    next window must lead with the ungraded oracle backlog
+    (PRIORITY_BACKLOG promoted to the head, then registration order) and
+    waste no slot. `seen` covers every rows-only query so no fresh slots
+    are reserved in this simulation.
 
-    Simulation hygiene (VERDICT r4 defect 1): the simulated green set is
-    built by UNION with the real driver grades, never by subtracting from
-    them, so real grades landing in future rounds cannot flip the
-    scenario."""
+    Simulation hygiene (VERDICT r4 defect 1, r5 defect 1): the simulated
+    green set is built by UNION with the real driver grades, never by
+    subtracting from them, and the assertions are the backlog-size-agnostic
+    invariant set — the r5 red came from this test's `all(... not in
+    green)` silently assuming the simulated backlog still overfills 50
+    slots, which stopped being true the moment the real r05 grades
+    landed."""
     qs = registry.all_queries()
     green = _driver_green() | set(queries.MANUAL_WINDOW_R4)
     seen = green | {n for n, q in qs.items() if q.oracle is None}
     window = queries._compute_window(green, seen)
-    assert len(window) == 50
-    assert all(qs[n].oracle is not None and n not in green for n in window)
-    backlog = [n for n, q in qs.items()
-               if q.oracle is not None and n not in green]
-    priority = [n for n in queries.PRIORITY_BACKLOG if n in backlog]
-    expected = (priority + [n for n in backlog if n not in priority])[:50]
-    assert window == expected
+    _assert_window_invariants(window, green, seen, qs)
 
 
 def test_auto_rotation_retries_driver_failures():
@@ -215,38 +270,72 @@ def test_auto_rotation_retries_driver_failures():
     assert failed in window_next
 
 
-def test_auto_rotation_survives_future_grades_file(tmp_path, monkeypatch):
-    """Drop a hypothetical CORRECTNESS_r05 (grading the whole current
-    window) into a simulated repo root: _driver_grades must pick it up via
-    SPARK_GRAFT_REPO_ROOT and the recomposed window must again waste no
-    slot — proof the suite stays green when the next round's grades land."""
+def _fake_grades_root(tmp_path, window, qs):
+    """Copy the real CORRECTNESS files into tmp_path and add a synthetic
+    next-round file grading `window` (oracle entries green, rows-only
+    entries ran-clean). Named r90 so it can never collide with — and
+    silently replace — a real round's file in the copy."""
     import shutil
 
     repo = Path(__file__).parent.parent
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         shutil.copy(p, tmp_path / p.name)
-    qs = registry.all_queries()
-    window_now = queries._compute_window(*queries._driver_grades())
     fake = {n: ({"rows_match": True, "schema_match": True,
                  "hash_match": True, "err": None}
                 if qs[n].oracle is not None else
                 {"rows_match": None, "schema_match": None,
                  "hash_match": None, "err": "no_oracle"})
-            for n in window_now}
-    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(fake))
+            for n in window}
+    (tmp_path / "CORRECTNESS_r90.json").write_text(json.dumps(fake))
+
+
+def test_auto_rotation_survives_future_grades_file(tmp_path, monkeypatch):
+    """Drop a synthetic next-round grade file (grading the whole current
+    window) into a simulated repo root: _driver_grades must pick it up via
+    SPARK_GRAFT_REPO_ROOT and the recomposed window must again waste no
+    slot — proof the suite stays green when the next round's grades land.
+    No real grade state is mutated or assumed; the scenario reads only the
+    tmp root."""
+    qs = registry.all_queries()
+    window_now = queries._compute_window(*queries._driver_grades())
+    _fake_grades_root(tmp_path, window_now, qs)
     monkeypatch.setenv("SPARK_GRAFT_REPO_ROOT", str(tmp_path))
     green, seen = queries._driver_grades()
     oracle_graded = {n for n in window_now if qs[n].oracle is not None}
     assert oracle_graded <= green
     window_next = queries._compute_window(green, seen)
-    assert len(window_next) == 50
-    ungraded = [n for n, q in qs.items()
-                if q.oracle is not None and n not in green]
-    if len(ungraded) >= 50:
-        assert all(n in ungraded for n in window_next
-                   if qs[n].oracle is not None)
-    else:
-        assert set(ungraded) <= set(window_next)
+    _assert_window_invariants(window_next, green, seen, qs)
+
+
+def test_auto_rotation_saturation_forward_proof(tmp_path, monkeypatch):
+    """The state the repo will ACTUALLY be in once the next round's grades
+    land (VERDICT r5 task 1): the current window grades entirely green,
+    the oracle backlog hits zero, and every window-composition invariant
+    must still hold — including one more recomposition on top of the
+    saturated state. This is the third and last shape the
+    rotation-goes-red failure class can take; simulate it now instead of
+    discovering it at round open."""
+    qs = registry.all_queries()
+    window_now = queries._compute_window(*queries._driver_grades())
+    _fake_grades_root(tmp_path, window_now, qs)
+    monkeypatch.setenv("SPARK_GRAFT_REPO_ROOT", str(tmp_path))
+    green, seen = queries._driver_grades()
+    # Force TOTAL saturation on top of the fake round: every declared
+    # oracle green, every query seen (the end state after the backlog
+    # clears plus any stragglers).
+    sat_green = green | {n for n, q in qs.items() if q.oracle is not None}
+    sat_seen = seen | set(qs)
+    window_sat = queries._compute_window(sat_green, sat_seen)
+    _assert_window_invariants(window_sat, sat_green, sat_seen, qs)
+    # Saturated windows are all padding: rows-only re-runs first, then
+    # green oracle re-grades.
+    assert all(qs[n].oracle is None or n in sat_green for n in window_sat)
+    # And the recomposition is stable: grading the saturated window again
+    # changes nothing structural.
+    window_again = queries._compute_window(sat_green,
+                                           sat_seen | set(window_sat))
+    _assert_window_invariants(window_again, sat_green,
+                              sat_seen | set(window_sat), qs)
 
 
 def test_auto_rotation_pads_with_rows_only_at_saturation():
