@@ -240,9 +240,11 @@ WITH cells AS (
     FROM cells
 )
 SELECT priority, status, obs,
-       row_tot * col_tot * 1000000 // grand AS expected_micro,
-       CAST(((obs * grand - row_tot * col_tot)::HUGEINT
-             * (obs * grand - row_tot * col_tot) * 1000000000)
+       CAST(row_tot::HUGEINT * col_tot * 1000000 // grand AS BIGINT)
+           AS expected_micro,
+       CAST(((obs::HUGEINT * grand - row_tot::HUGEINT * col_tot)
+             * (obs::HUGEINT * grand - row_tot::HUGEINT * col_tot)
+             * 1000000000)
             // (row_tot::HUGEINT * col_tot * grand) AS BIGINT)
            AS contrib_nano
 FROM tot
@@ -264,15 +266,22 @@ def d116_chi_square_independence(spark: SparkSession,
     Σ contrib_nano / 10^9 is the chi-square statistic, summable EXACTLY
     downstream because every term is an integer.
 
-    Exactness bound (ADVICE r4): DECIMAL(38,0) caps |num| =
-    |obs·grand − row·col| at floor(sqrt((10^38−1)/10^9)) ≈ 3.16e14 —
-    roughly 1.7e7 base rows — and Spark decimal multiply returns NULL
-    *silently* past it while DuckDB's HUGEINT keeps going. The guard
-    below turns that silent divergence into a loud error; beyond the
-    bound, pre-scale the counts (divide every obs by a common factor
-    before the statistic — chi-square contributions scale linearly in a
-    uniform count rescale) or accept a float64 contrib with a rounding
-    contract.
+    Exactness bounds (ADVICE r4 + r5): every multi-term product is cast
+    to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) BEFORE multiplying —
+    BIGINT-first products like row_tot·col_tot·grand would wrap int64 at
+    only ~2-5e6 base rows, far inside the claimed bound. What remains is
+    the DECIMAL(38,0) ceiling itself: num²·10^9 needs |num| =
+    |obs·grand − row·col| ≤ floor(sqrt((10^38−1)/10^9)) ≈ 3.16e14
+    (roughly 1.7e7 base rows in the anti-independence worst case), and
+    the denominator row·col·grand ≤ grand³ needs grand ≤ ~4.64e12 —
+    past either, Spark decimal multiply returns NULL *silently* while
+    DuckDB's HUGEINT keeps going. BOTH guards below turn that silent
+    divergence into a loud error (the grand guard matters because near
+    independence keeps num tiny while grand³ can still blow the
+    denominator); beyond the bound, pre-scale the counts (divide every
+    obs by a common factor before the statistic — chi-square
+    contributions scale linearly in a uniform count rescale) or accept
+    a float64 contrib with a rounding contract.
 
     Scale: one scan + one tiny-key shuffle; the arithmetic runs on the
     ~15-row cell table so the guard is free. The test statistic family
@@ -291,21 +300,30 @@ def d116_chi_square_independence(spark: SparkSession,
            .withColumn("grand", F.sum("obs").over(
                Window.partitionBy()).cast("bigint")))
     return tot.withColumn(
-        "num", F.col("obs") * F.col("grand")
-        - F.col("row_tot") * F.col("col_tot")).select(
+        # num computed decimal-first: obs·grand ≤ grand² wraps BIGINT at
+        # grand ~3e9 while staying small near independence — the guard
+        # below would then inspect wrapped garbage.
+        "num", F.expr("CAST(obs AS DECIMAL(38,0)) * grand"
+                      " - CAST(row_tot AS DECIMAL(38,0)) * col_tot")).select(
         "priority", "status", "obs",
-        F.expr("row_tot * col_tot * 1000000L DIV grand")
-        .alias("expected_micro"),
-        # |num| past floor(sqrt((10^38-1)/10^9)) would NULL silently in
-        # decimal multiply — raise instead (runs on the ~15-row cell
-        # table, so the guard costs nothing).
+        # Decimal-first for the same reason: row·col·10^6 wraps BIGINT at
+        # ~2-5e6 base rows with realistic marginals (ADVICE r5).
+        F.expr("CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000"
+               " DIV grand AS BIGINT)").alias("expected_micro"),
+        # Past either DECIMAL(38,0) ceiling the multiply would NULL
+        # silently — raise instead (runs on the ~15-row cell table, so
+        # the guards cost nothing). 4641588833612 = floor(cbrt(10^38-1)).
         F.expr("CASE WHEN abs(num) > 316227766016837L THEN"
                " raise_error('d116: |obs*grand - row_tot*col_tot| exceeds"
                " the DECIMAL(38,0) exact bound (~3.16e14, ~1.7e7 base"
                " rows); pre-scale counts — see docstring')"
-               " ELSE CAST((CAST(num AS DECIMAL(38,0)) * num *"
-               " 1000000000L) DIV CAST(row_tot * col_tot * grand AS"
-               " DECIMAL(38,0)) AS BIGINT) END").alias("contrib_nano"))
+               " WHEN grand > 4641588833612L THEN"
+               " raise_error('d116: grand exceeds the DECIMAL(38,0)"
+               " denominator bound (~4.64e12 rows, grand^3 ceiling);"
+               " pre-scale counts — see docstring')"
+               " ELSE CAST((num * num *"
+               " 1000000000L) DIV (CAST(row_tot AS DECIMAL(38,0)) *"
+               " col_tot * grand) AS BIGINT) END").alias("contrib_nano"))
 
 
 @register(

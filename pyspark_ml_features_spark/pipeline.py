@@ -12,7 +12,9 @@ nothing here introduces a new shuffle shape.
 
     from pyspark_ml_features_spark.pipeline import curate
     result = curate(spark, "/root/testdata/sf0.01")
-    result["funnel"]            # [(stage, docs_in, docs_out, removed)]
+    result["funnel"]            # [(stage, docs_in, docs_out)]
+                                # (removed = docs_in - docs_out is
+                                #  derived by funnel_report)
     result["packed"]            # (lang, shard, doc_id, n_tokens, bin_id)
     result["split"]             # (doc_id, cluster_id, in_train)
 

@@ -158,11 +158,26 @@ class JsonlSinkWriter(DataSourceWriter):
     attempt files and leaves the previous manifest untouched. Readers go
     through :func:`jsonl_manifest_files`, so a retried attempt or an
     aborted job can never surface as data — the same two-phase protocol
-    JVM FileFormatWriter commits use (ADVICE r4 medium)."""
+    JVM FileFormatWriter commits use (ADVICE r4 medium).
+
+    Cleanup scope (ADVICE r5): attempt files carry a job-scoped prefix
+    (``part-<job_id>-``, minted once driver-side in ``__init__`` and
+    shipped to every task in the serialized writer), and an APPEND
+    commit sweeps only its own job's orphans — a concurrent append
+    job's not-yet-committed attempts, or unrelated files in the
+    directory, are never touched, matching how JVM commit protocols
+    scope cleanup to the job's staging files. OVERWRITE mode still
+    sweeps every file the new manifest does not vouch for (that is
+    overwrite's contract: replace the directory's contents), so
+    overwrite requires single-writer-per-path — same as JVM
+    INSERT OVERWRITE."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid as _uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -170,7 +185,8 @@ class JsonlSinkWriter(DataSourceWriter):
         import uuid as _uuid
 
         _os.makedirs(self.path, exist_ok=True)
-        fn = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.json")
+        fn = _os.path.join(
+            self.path, f"part-{self.job_id}-{_uuid.uuid4().hex}.json")
         n = 0
         with open(fn, "w") as f:
             for row in iterator:
@@ -199,10 +215,17 @@ class JsonlSinkWriter(DataSourceWriter):
                             m.n_rows for m in messages
                             if m is not None)}, f)
         _os.replace(tmp, manifest)
-        # Sweep everything the manifest does not vouch for: orphan attempt
-        # files from retried/speculative tasks, and (overwrite) old data.
+        # Sweep scope (ADVICE r5): overwrite replaces the directory's
+        # contents, so it may delete anything the new manifest does not
+        # vouch for (single-writer-per-path precondition, as with JVM
+        # INSERT OVERWRITE); append deletes ONLY this job's own orphan
+        # attempt files (retried/speculative tasks), never a concurrent
+        # job's in-flight attempts or unrelated files.
+        own_prefix = f"part-{self.job_id}-"
         for name in _os.listdir(self.path):
-            if name != MANIFEST_NAME and name not in keep:
+            if name == MANIFEST_NAME or name in keep:
+                continue
+            if self.overwrite or name.startswith(own_prefix):
                 try:
                     _os.remove(_os.path.join(self.path, name))
                 except OSError:

@@ -117,9 +117,12 @@ def scenario(spark: SparkSession, watermark: bool, late_stage: bool):
               f" {m['removed']:12d} | {m['dropped']:12d}")
     if late_stage:
         # replay hours [0, H) — far behind the committed watermark.
-        # s9's one-batch-lag rule: the first late batch after a restart
-        # is admitted (watermark enforcement uses the checkpointed
-        # watermark, then re-commits); drain TWICE to observe the drop.
+        # Measured cross-restart behavior (pinned by tests/test_streaming
+        # .py::test_watermark_bounds_state_and_drops_late_replay): the
+        # checkpointed watermark enforces IMMEDIATELY on restart — the
+        # first late batch is already dropped and state untouched. The
+        # second drain is retained only to show the drop repeats (and to
+        # catch a regression toward one-batch-lag admission).
         for tag in ("late-1", "late-2"):
             write_stage(spark, src, N_STAGES + (tag == "late-2"),
                         hour_offset=0)

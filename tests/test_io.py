@@ -159,7 +159,13 @@ def test_jsonl_sink_manifest_exactly_once(spark):
 
 def test_jsonl_sink_append_merges_manifest(spark):
     """Append mode unions the new commit's files with the previous
-    manifest — two appends read back as exactly 2n rows."""
+    manifest — two appends read back as exactly 2n rows — and its orphan
+    sweep is scoped to the committing job's own attempt files (ADVICE
+    r5): a concurrently running job's not-yet-committed attempt file
+    must survive another job's append commit (only OVERWRITE, whose
+    contract is replace-the-directory, may delete foreign files)."""
+    import json
+
     from pyspark_ml_features_spark.sources.pyds import (
         jsonl_manifest_files, register_python_sources)
 
@@ -167,9 +173,21 @@ def test_jsonl_sink_append_merges_manifest(spark):
     out = os.path.join(tempfile.mkdtemp(), "jsonl_sink_append")
     d = table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
     n = d.count()
-    for _ in range(2):
-        d.write.format("jsonl_sink").option("path", out) \
-            .mode("append").save()
+    d.write.format("jsonl_sink").option("path", out) \
+        .mode("append").save()
+    # A second, concurrent writer's in-flight attempt (job id this job
+    # will never mint): uncommitted, so invisible to readers — but it
+    # must still be ON DISK after our next append commit.
+    concurrent = os.path.join(out, "part-otherjob00000-attempt.json")
+    with open(concurrent, "w") as f:
+        f.write(json.dumps({"doc_id": -2, "lang": "yy", "text": "inflight"})
+                + "\n")
+    d.write.format("jsonl_sink").option("path", out) \
+        .mode("append").save()
+    assert os.path.exists(concurrent), (
+        "append commit deleted a concurrent job's in-flight attempt file")
+    files = jsonl_manifest_files(out)
+    assert concurrent not in files
     back = spark.read.schema("doc_id bigint, lang string, text string") \
-        .json(jsonl_manifest_files(out))
+        .json(files)
     assert back.count() == 2 * n
