@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -849,9 +850,11 @@ def e21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(labels.doc_id,
                     F.least("cluster_id", "nbr_min").alias("cluster_id"),
                     (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"))
-            .observe(obs, F.sum(F.col("__chg").cast("int")).alias("n_changed"))
-            .localCheckpoint()  # eager: the one job per round
-            .drop("__chg"))
+            .observe(obs, F.sum(F.col("__chg").cast("int")).alias("n_changed")))
+        # eager: the one job per round (probe_checkpoint exposes the
+        # pre-truncation round plan to the registry-wide audit)
+        new_labels = probe_checkpoint(
+            new_labels, "e21_dedup_clusters.round").drop("__chg")
         changed = obs.get["n_changed"] or 0
         labels.unpersist()
         labels = new_labels.cache()

@@ -48,6 +48,7 @@ from pyspark_ml_features_spark.operators.dedup import (
     minhash_signatures,
 )
 from pyspark_ml_features_spark.operators.similarity import DIM
+from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -73,13 +74,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     assignment where each label is the min node id of a SUBSET of its
     node's component (e.g. a previous run's clusters over a subgraph):
     the fixpoint of min-propagation from such labels is still the
-    component min. Nodes absent from ``init_labels`` start as themselves."""
+    component min. Nodes absent from ``init_labels`` start as themselves.
+
+    ``edges`` is materialized ONCE up front (probe_checkpoint): each
+    round runs as its own Spark job, and jobs do not reuse another job's
+    shuffle stages — an un-checkpointed edge lineage (scan + shingle +
+    candidate join) would re-execute EVERY round. The probe also hands
+    the edge-building plan (the place an all-pairs join could hide) to
+    the registry-wide audit exactly once (VERDICT r5 task 4)."""
+    edges = probe_checkpoint(edges, "connected_components.edges")
     labels = nodes.select("node", F.col("node").alias("lbl"))
     if init_labels is not None:
         labels = (labels.join(init_labels.withColumnRenamed("lbl", "init"),
                               "node", "left")
                   .select("node", F.coalesce("init", "lbl").alias("lbl")))
-    labels = labels.localCheckpoint(eager=True)
+    labels = probe_checkpoint(labels, "connected_components.init")
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -90,7 +99,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                   .select("node",
                           F.least(F.col("lbl"),
                                   F.coalesce("nmin", "lbl")).alias("lbl")))
-        labels = labels.localCheckpoint(eager=True)
+        labels = probe_checkpoint(labels, "connected_components.round")
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -331,7 +340,7 @@ def e56_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(
                  prs.select(F.col("d2").alias("src"),
                             F.col("d1").alias("dst"))))
-    edges = edges.localCheckpoint(eager=True)
+    edges = probe_checkpoint(edges, "e56_khop_reach.edges")
 
     frontier = edges.select("src", F.col("dst").alias("other"))
     dist = frontier.withColumn("d", F.lit(1))
@@ -497,8 +506,9 @@ def e59_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a viral template hub) is the known hot key; degree-ordered wedge
     generation bounds it at O(m^1.5) total wedges."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    prs = (jaccard_pairs(d, tokens("text"), threshold=0.9)
-           .select("d1", "d2").localCheckpoint(eager=True))
+    prs = probe_checkpoint(
+        jaccard_pairs(d, tokens("text"), threshold=0.9).select("d1", "d2"),
+        "e59_triangle_count.pairs")
     p1 = prs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     p2 = prs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
     p3 = prs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
@@ -584,7 +594,7 @@ def e60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
              .unionByName(prs.select(F.col("d2").alias("src"),
                                      F.col("d1").alias("dst"))))
-    edges = edges.localCheckpoint(eager=True)
+    edges = probe_checkpoint(edges, "e60_pagerank.edges")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = d.select(F.col("doc_id").alias("node"))
     rank = nodes.withColumn("r", F.lit(1.0))
@@ -599,7 +609,7 @@ def e60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.lit(0.15)
                                 + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
                                 6).alias("r")))
-        rank = rank.localCheckpoint(eager=True)
+        rank = probe_checkpoint(rank, "e60_pagerank.round")
     return rank.select(F.col("node").alias("doc_id"),
                        F.col("r").alias("pagerank"))
 
@@ -742,8 +752,8 @@ def e68_cluster_pair_similarity(spark: SparkSession,
     scale the cluster signatures feed the SAME banding machinery as
     documents (e33 keyed by cluster_id instead of doc_id), so candidate
     cluster pairs come from band equi-joins, never O(C^2)."""
-    sigs = e67_cluster_minhash_signatures(spark, sf_dir) \
-        .localCheckpoint(eager=True)
+    sigs = probe_checkpoint(e67_cluster_minhash_signatures(spark, sf_dir),
+                            "e68_cluster_pair_similarity.sigs")
     k = len(MINHASH_AFFINE)
     a = sigs.select(F.col("cluster_id").alias("c1"),
                     *[F.col(f"s{i}").alias(f"a{i}") for i in range(k)])

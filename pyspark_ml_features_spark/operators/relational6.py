@@ -26,6 +26,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -239,9 +240,10 @@ def distributed_row_number(df: DataFrame, order_cols: list[str],
     measured at sf0.1 the duplicate is free (min wall identical within
     noise, both windows read the memory-resident checkpoint), but at
     cluster scale persist the ranked result before fan-out."""
-    parts = (df.repartitionByRange(n_partitions, *order_cols)
-             .withColumn("pid", F.spark_partition_id())
-             .localCheckpoint(eager=True))
+    parts = probe_checkpoint(
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("pid", F.spark_partition_id()),
+        "distributed_row_number.parts")
     sizes = (parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
              .orderBy("pid").collect())
     offsets, acc = {}, 0
@@ -269,9 +271,10 @@ def distributed_prefix_sum(df: DataFrame, order_cols: list[str],
     ``sum(v) OVER (ORDER BY ...)`` while every task holds ~n/P rows.
     Adds ``grk`` (1-based global rank) and ``gcum`` (inclusive global
     running sum); localCheckpoint freezes pid assignment (e45's rule)."""
-    parts = (df.repartitionByRange(n_partitions, *order_cols)
-             .withColumn("pid", F.spark_partition_id())
-             .localCheckpoint(eager=True))
+    parts = probe_checkpoint(
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("pid", F.spark_partition_id()),
+        "distributed_prefix_sum.parts")
     sizes = (parts.groupBy("pid")
              .agg(F.count(F.lit(1)).alias("c"),
                   F.sum(value_col).alias("s"))

@@ -11,6 +11,7 @@ row-at-a-time Python, at most N shuffles entered production").
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -19,6 +20,46 @@ from pyspark.sql import DataFrame
 def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), mode)
+
+
+# ---------------------------------------------------------------------------
+# Pre-checkpoint plan capture (VERDICT r5 task 4). localCheckpoint TRUNCATES
+# lineage, so the registry-wide audit — which sees only the returned
+# DataFrame's plan — was blind to the joins inside iterative fixpoints
+# (connected components, pagerank, k-hop): a CartesianProduct in a round's
+# lineage would never reach the ratchet. Fixpoint code checkpoints through
+# probe_checkpoint(); a test wraps execution in capture_checkpoint_plans()
+# and audits every plan that was about to be truncated.
+
+_CAPTURE: list[dict] | None = None
+
+
+@contextmanager
+def capture_checkpoint_plans():
+    """Record (label, formatted physical plan, analyzed logical plan) for
+    every probe_checkpoint() call in the block; yields the list."""
+    global _CAPTURE
+    prev = _CAPTURE
+    _CAPTURE = captured = []
+    try:
+        yield captured
+    finally:
+        _CAPTURE = prev
+
+
+def probe_checkpoint(df: DataFrame, label: str = "") -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` with an audit tap: under
+    capture_checkpoint_plans() the plan that is about to be truncated is
+    recorded (physical for the cartesian/BNLJ audit, analyzed for the
+    broadcast-hint ratchet). Zero overhead when no capture is active —
+    explain is never invoked on the normal path."""
+    if _CAPTURE is not None:
+        _CAPTURE.append({
+            "label": label,
+            "plan": plan_text(df),
+            "analyzed": df._jdf.queryExecution().analyzed().toString(),
+        })
+    return df.localCheckpoint(eager=True)
 
 
 @dataclass
@@ -37,7 +78,12 @@ class PlanAudit:
 
 
 def audit(df: DataFrame) -> PlanAudit:
-    plan = plan_text(df)
+    return audit_text(plan_text(df))
+
+
+def audit_text(plan: str) -> PlanAudit:
+    """The audit over already-extracted plan text — used directly on the
+    pre-checkpoint plans captured from fixpoint internals."""
     a = PlanAudit(
         cartesian_products=plan.count("CartesianProduct"),
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),

@@ -344,6 +344,71 @@ ARROW_ALLOWED = {
 }
 
 
+# Iterative / checkpointing queries whose INTERNAL plans the visible-plan
+# audit cannot see (localCheckpoint truncates lineage at every round):
+# query -> set of capture labels allowed to contain a BNLJ, with why.
+# e58's edge-building is the documented all-pairs exact baseline (scale
+# path = e4b LSH / e4d IVF); everything else must be equi-join only.
+FIXPOINT_QUERIES = {
+    "e21_dedup_clusters": set(),
+    "e45_dup_clusters_cc": set(),
+    "e47_incremental_cc": set(),
+    "e56_khop_reach": set(),
+    "e58_semantic_dup_clusters": {"connected_components.edges"},
+    "e59_triangle_count": set(),
+    "e60_pagerank": set(),
+    "d106_quantile_normalize": set(),
+}
+# Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
+# extended into fixpoint internals): e58's single source-level
+# F.broadcast(b) is what keeps its documented all-pairs baseline a BNLJ
+# instead of a CartesianProduct, and its edges plan shows the hint TWICE
+# because the src/dst union references the same hinted pair subplan in
+# both branches — still one bounded relation.
+FIXPOINT_MAX_HINTS = {"e58_semantic_dup_clusters": 2}
+
+
+def test_fixpoint_internal_plans_are_scale_safe(spark):
+    """VERDICT r5 task 4: the registry-wide audit sees only the plan AFTER
+    the last localCheckpoint, so a CartesianProduct inside a fixpoint
+    round's lineage was a blind spot. Every fixpoint checkpoints through
+    plans.audit.probe_checkpoint; this test executes each iterative query
+    under capture and runs the same cartesian/BNLJ/Python/hint ratchet
+    over every pre-truncation plan — it fails if an all-pairs join or an
+    unallowlisted Python boundary appears inside ANY round."""
+    from pyspark_ml_features_spark.plans.audit import (
+        audit_text, capture_checkpoint_plans)
+    from tests.conftest import SMOKE_SF_DIR
+
+    violations = []
+    for name, bnlj_labels in FIXPOINT_QUERIES.items():
+        with capture_checkpoint_plans() as captured:
+            ALL[name].fn(spark, SMOKE_SF_DIR)
+        assert captured, (
+            f"{name}: no pre-checkpoint plan captured — its fixpoint no "
+            f"longer routes through probe_checkpoint, so the internal-plan "
+            f"audit is blind again")
+        max_hints = FIXPOINT_MAX_HINTS.get(name, 0)
+        for c in captured:
+            where = f"{name}/{c['label']}"
+            a = audit_text(c["plan"])
+            if a.cartesian_products:
+                violations.append(f"{where}: CartesianProduct")
+            if a.nested_loop_joins and c["label"] not in bnlj_labels:
+                violations.append(
+                    f"{where}: BroadcastNestedLoopJoin (justify or fix)")
+            if a.python_row_udfs:
+                violations.append(f"{where}: row-at-a-time Python UDF")
+            if a.arrow_python_nodes and name not in ARROW_ALLOWED:
+                violations.append(f"{where}: unexpected Python boundary")
+            n = c["analyzed"].count("ResolvedHint")
+            if n > max_hints:
+                violations.append(
+                    f"{where}: {n} broadcast hints (max {max_hints}) — an "
+                    f"unbounded relation may be pinned to the driver")
+    assert not violations, "\n".join(violations)
+
+
 def test_registry_wide_scale_safety(spark):
     """Every declared query: no CartesianProduct ever; BNLJ / row-Python /
     Arrow-Python only where allowlisted above. New queries are born clean
