@@ -11,6 +11,20 @@ from pyspark_ml_features_spark.pipeline import curate, funnel_report
 from tests.conftest import SF_DIR
 
 
+# e76's exact funnel at the driver's grading scale (sf0.01), pinned so a
+# driver-side drift surfaces as a count DIFF instead of a shrug (VERDICT
+# r5 task 6). The pipeline is deterministic for a fixed sf_dir — these
+# are the numbers every driver run must reproduce.
+E76_FUNNEL_SF001 = [
+    ("exact_dedup", 500, 500),
+    ("near_dup_dedup", 500, 476),
+    ("decontaminate", 476, 382),
+    ("quality_filter", 382, 382),
+]
+E76_PACKED_BINS_SF001 = 238
+E76_TRAIN_DOCS_SF001 = 297
+
+
 def test_curation_pipeline_end_state(spark):
     r = curate(spark, SF_DIR)
 
@@ -19,6 +33,15 @@ def test_curation_pipeline_end_state(spark):
     assert all(n_out <= n_in for n_in, n_out in counts)
     assert counts[-1][1] > 0
     assert funnel_report(r).count("\n") == len(counts)
+
+    # pinned counts at the default grading scale (skipped under a
+    # PARITY_SF_DIR override — the pin is sf-specific)
+    if SF_DIR.endswith("sf0.01"):
+        assert [tuple(t) for t in r["funnel"]] == E76_FUNNEL_SF001
+        assert (r["packed"].select("lang", "shard", "bin_id")
+                .distinct().count()) == E76_PACKED_BINS_SF001
+        assert int(r["split"].agg(F.sum("in_train")).collect()[0][0]
+                   or 0) == E76_TRAIN_DOCS_SF001
 
     kept = r["kept"].cache()
 
