@@ -1052,3 +1052,53 @@ def d66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).alias("version")).withColumn(
         "is_current", F.col("valid_to").isNull().cast("int"))
+
+
+@register(
+    "d121_sql_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+""",
+    tags=("engine", "sql", "spark4"),
+)
+def d121_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4.0's `|>` operator chaining, from the
+    SQL:202x pipe-syntax proposal / Google's FROM-first dialect): the
+    same revenue rollup as a linear FROM → WHERE → EXTEND → AGGREGATE →
+    WHERE pipeline instead of the inside-out SELECT nesting. The parser
+    lowers pipes to exactly the classic plan — parity against the plain
+    ANSI oracle proves the lowering, and `.explain` shows the identical
+    pushed-filter aggregate as the SELECT form.
+
+    Money is floor-round cents per the parity conventions (round() then
+    BIGINT on both engines). Post-aggregation filtering uses a piped
+    WHERE (pipe syntax has no separate HAVING — a WHERE after AGGREGATE
+    IS having).
+
+    100 TB: surface syntax only — same scan, same pushed filter, same
+    partial-then-final hash aggregate as the classic form."""
+    import os
+
+    view = f"orders_pipe_{os.getpid()}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        FROM {view}
+        |> WHERE o_orderstatus <> 'F'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(cents) AS sum_cents,
+                     max(cents) AS max_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders,
+                  CAST(sum_cents AS BIGINT) AS sum_cents, max_cents
+        """)

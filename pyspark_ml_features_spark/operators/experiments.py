@@ -360,3 +360,73 @@ def d120_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("frequency"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                  .alias("monetary_cents")))
+
+
+@register(
+    "d123_rolling_anomaly",
+    oracle="""
+WITH c AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), w AS (
+    SELECT o_orderkey, o_custkey, cents,
+           CAST(count(*) OVER win AS BIGINT) AS n_prev,
+           CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS s,
+           CAST(coalesce(sum(cents * cents) OVER win, 0) AS BIGINT) AS ss
+    FROM c
+    WINDOW win AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+SELECT o_orderkey, o_custkey, cents, n_prev,
+       CAST(CASE WHEN n_prev >= 3
+                  AND (n_prev * cents - s) * (n_prev * cents - s)
+                      > 9 * (n_prev * ss - s * s)
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM w
+""",
+    tags=("engine", "stats", "window", "exact"),
+)
+def d123_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Z-SCORE anomaly flags without a single float: each order
+    is compared against its customer's previous ≤5 orders; it is
+    anomalous when |x − μ| > 3σ over that frame. The float-free trick is
+    cross-multiplication — |z| > 3 ⟺ (n·x − s)² > 9·(n·ss − s²) where
+    s, ss are the frame's sum and sum-of-squares in integer cents — so
+    the flag is engine-exact (d30b's integer-moments idea applied to a
+    WINDOW FRAME instead of a group). Frames under 3 observations emit
+    0 (no baseline, no flag).
+
+    Overflow bound: cents ≤ ~6e7 here, so (n·x−s)² ≤ ~9e16 and
+    9·(n·ss−s²) ≤ ~6e17 — inside int64 by >10×; past ~9e8-cent values
+    the comparison needs the d116 DECIMAL(38,0) treatment. DuckDB's
+    HUGEINT window sums are cast back to BIGINT before the arithmetic
+    so both engines compare the same ints.
+
+    100 TB: one hash shuffle on o_custkey; the frame is 5 rows, state
+    is O(1) per row, and the same shape runs streaming as e10's sliding
+    window. This is the drift/fraud monitor every event pipeline runs."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    win = (Window.partitionBy("o_custkey")
+           .orderBy("o_orderdate", "o_orderkey")
+           .rowsBetween(-5, -1))
+    w = (o.select("o_orderkey", "o_custkey", "o_orderdate",
+                  cents.alias("cents"))
+         .select("o_orderkey", "o_custkey", "cents",
+                 F.count(F.lit(1)).over(win).cast("bigint")
+                 .alias("n_prev"),
+                 F.coalesce(F.sum("cents").over(win), F.lit(0))
+                 .cast("bigint").alias("s"),
+                 F.coalesce(F.sum(F.col("cents") * F.col("cents"))
+                            .over(win), F.lit(0))
+                 .cast("bigint").alias("ss")))
+    flag = ((F.col("n_prev") >= 3)
+            & ((F.col("n_prev") * F.col("cents") - F.col("s"))
+               * (F.col("n_prev") * F.col("cents") - F.col("s"))
+               > 9 * (F.col("n_prev") * F.col("ss")
+                      - F.col("s") * F.col("s"))))
+    return w.select("o_orderkey", "o_custkey", "cents", "n_prev",
+                    F.when(flag, 1).otherwise(0).cast("int")
+                    .alias("is_anomaly"))

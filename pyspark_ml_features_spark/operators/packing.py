@@ -400,9 +400,9 @@ def e26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 GREEDY_PACK_CAP = 120
 
 
-@register(
-    "e51_greedy_packing",
-    oracle=f"""
+# The exact greedy-pack fold as a DuckDB RECURSIVE CTE — shared by e51
+# (bin assignment) and e77 (within-bin boundary offsets).
+_GREEDY_PACK_CTE = f"""
 WITH RECURSIVE docs AS (
     SELECT lang, doc_id % 4 AS shard, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -422,8 +422,13 @@ WITH RECURSIVE docs AS (
     FROM pack p JOIN docs d ON d.lang = p.lang AND d.shard = p.shard
                            AND d.rn = p.rn + 1
 )
-SELECT lang, shard, doc_id, n_tokens, bin_id FROM pack
-""",
+"""
+
+
+@register(
+    "e51_greedy_packing",
+    oracle=_GREEDY_PACK_CTE
+    + "SELECT lang, shard, doc_id, n_tokens, bin_id FROM pack",
     tags=("north-star", "packing", "udf"),
 )
 def e51_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +486,52 @@ def greedy_pack(base: DataFrame, capacity: int) -> DataFrame:
         pack_group,
         schema="lang string, shard bigint, doc_id bigint, "
                "n_tokens bigint, bin_id bigint")
+
+
+@register(
+    "e77_packed_boundaries",
+    oracle=_GREEDY_PACK_CTE + """
+SELECT lang, shard, bin_id, doc_id, n_tokens,
+       CAST(row_number() OVER (PARTITION BY lang, shard, bin_id
+                               ORDER BY doc_id) AS BIGINT) AS seq_pos,
+       CAST(sum(n_tokens) OVER (PARTITION BY lang, shard, bin_id
+                                ORDER BY doc_id)
+            - n_tokens AS BIGINT) AS tok_start
+FROM pack
+""",
+    tags=("north-star", "llm-pipeline", "packing"),
+)
+def e77_packed_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document BOUNDARY OFFSETS within packed training sequences — the
+    bookkeeping a trainer needs AFTER packing (e51): for every doc in a
+    bin, its 1-based position (``seq_pos``, where to insert BOS/EOS) and
+    its 0-based token start offset (``tok_start``, where its span begins
+    in the concatenated sequence) so attention masks can block
+    cross-document attention and loss masks can skip separator tokens.
+    Packing without boundary metadata silently trains on cross-doc
+    attention — this is the half of the packing contract e51 doesn't
+    carry.
+
+    Spark side: e51's fold assigns bins, then one window per
+    (lang, shard, bin_id) — a key STRICTLY FINER than the packing
+    shuffle's (lang, shard), so the window reuses that partitioning
+    (hash(lang, shard) co-locates every bin) and each frame is bounded
+    by the bin capacity (GREEDY_PACK_CAP = 120 tokens), never by corpus
+    size. Oracle = the same recursive-CTE fold + a plain window.
+
+    100 TB: inherits e51's shard-knob scale story; the boundary pass
+    adds zero shuffles beyond the pack itself."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    base = d.select("lang", (F.col("doc_id") % 4).alias("shard"),
+                    "doc_id", n_tok.alias("n_tokens"))
+    packed = greedy_pack(base, GREEDY_PACK_CAP)
+    w = (Window.partitionBy("lang", "shard", "bin_id").orderBy("doc_id"))
+    return packed.select(
+        "lang", "shard", "bin_id", "doc_id", "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("seq_pos"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("bigint").alias("tok_start"))
 
 
 OOV_VOCAB_K = 500

@@ -23,7 +23,7 @@ has no dedup surface; SURVEY §2-E north-star scope.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.operators.dedup import (
     _duckdb_minhash_ctes,
@@ -577,3 +577,164 @@ def d119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("sz") * F.col("n_groups")).cast("bigint")
                     .alias("n_rows"),
                     (F.col("sz") < 5).cast("bigint").alias("risky")))
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "e79_curriculum_phases",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST((10000 * len(list_filter(t,
+               w -> w IN ('the', 'a', 'of', 'and', 'is')))) // len(t)
+              AS BIGINT) AS quality_bp
+  FROM tok
+), ranked AS (
+  SELECT doc_id, n_tokens, quality_bp,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM scored
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scored)
+SELECT doc_id, n_tokens, quality_bp, cum_tokens,
+       CAST(least({CURRICULUM_PHASES} - 1,
+                  (cum_tokens - 1) * {CURRICULUM_PHASES} // total)
+            AS BIGINT) AS phase
+FROM ranked, tot
+""",
+    tags=("north-star", "llm-pipeline", "curation", "scale"),
+)
+def e79_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SCHEDULE assignment: walk the corpus from highest to
+    lowest quality (e70's stopword-density score, doc_id tie-break) and
+    cut the token stream into CURRICULUM_PHASES equal-token phases —
+    phase 0 is the cleanest quarter of the training tokens, phase 3 the
+    noisiest. Data-curriculum training (clean→noisy or the reverse) and
+    multi-epoch quality annealing both consume exactly this assignment
+    table.
+
+    Same engine primitive as e70 (``distributed_prefix_sum`` under a
+    total order), but the budget cut generalizes to a PARTITION of the
+    whole corpus: phase = (cum_tokens-1) * K DIV total — pure integer
+    arithmetic, so the phase boundary is exact on any engine (no float
+    share in sight). The corpus total is one scalar collect (the same
+    metadata-sized driver step the primitive already takes).
+
+    100 TB: one range shuffle + two metadata-sized collects; every task
+    holds ~n/P rows. The oracle is the single-partition running-sum
+    window this construction replaces."""
+    from pyspark_ml_features_spark.functions.text import STOPWORDS, tokens
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_prefix_sum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    scored = (d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("hits"))
+        .select("doc_id", "n_tokens",
+                F.expr("(10000 * hits) DIV n_tokens").alias("quality_bp"))
+        .withColumn("neg_bp", -F.col("quality_bp")))
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    ranked = distributed_prefix_sum(
+        scored, ["neg_bp", "doc_id"], "n_tokens", 16)
+    k = CURRICULUM_PHASES
+    return (ranked.select(
+        "doc_id", "n_tokens", "quality_bp",
+        F.col("gcum").alias("cum_tokens"))
+        .withColumn(
+            "phase",
+            F.least(F.lit(k - 1),
+                    F.expr(f"(cum_tokens - 1) * {k} DIV {total}"))
+            .cast("bigint")))
+
+
+DRIFT_TOP_K = 50
+
+
+@register(
+    "e81_token_drift",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id % 2 AS slice, unnest(str_split(text, ' ')) AS token
+    FROM documents
+), top AS (
+    SELECT token FROM tok GROUP BY token
+    ORDER BY count(*) DESC, token LIMIT {DRIFT_TOP_K}
+), cells AS (
+    SELECT token, slice, CAST(count(*) AS BIGINT) AS obs
+    FROM tok JOIN top USING (token) GROUP BY 1, 2
+), tot AS (
+    SELECT token, slice, obs,
+           CAST(sum(obs) OVER (PARTITION BY token) AS BIGINT) AS row_tot,
+           CAST(sum(obs) OVER (PARTITION BY slice) AS BIGINT) AS col_tot,
+           CAST(sum(obs) OVER () AS BIGINT) AS grand
+    FROM cells
+)
+SELECT token, CAST(slice AS BIGINT) AS slice, obs,
+       CAST(row_tot::HUGEINT * col_tot * 1000000 // grand AS BIGINT)
+           AS expected_micro,
+       CAST(((obs::HUGEINT * grand - row_tot::HUGEINT * col_tot)
+             * (obs::HUGEINT * grand - row_tot::HUGEINT * col_tot)
+             * 1000000000)
+            // (row_tot::HUGEINT * col_tot * grand) AS BIGINT)
+           AS contrib_nano
+FROM tot
+""",
+    tags=("north-star", "llm-pipeline", "quality", "stats"),
+)
+def e81_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-DISTRIBUTION DRIFT between two corpus slices (here the
+    doc_id parity halves — in production, yesterday's crawl vs today's):
+    a chi-square independence table over the top-K corpus tokens. A
+    training-data pipeline runs exactly this monitor before admitting a
+    new snapshot — topic or template drift shows up as a few tokens with
+    huge contributions; Σ contrib_nano / 10^9 is the test statistic.
+
+    Arithmetic is d116's exact integer pattern (experiments.py): every
+    multi-term product casts to DECIMAL(38,0) / HUGEINT BEFORE
+    multiplying, expected counts in micro-units, contributions in
+    nano-units — engine-exact, no float χ² in sight. The contingency
+    table is K×2 (bounded), so the window sums and arithmetic run on
+    ~100 rows regardless of corpus size.
+
+    100 TB: one explode + one hash aggregate on (token, slice) for the
+    cells; the top-K vocabulary is corpus-bounded (TakeOrdered K rows)
+    and broadcasts into the occurrence join. Guards: d116's two
+    raise_error bounds apply at ~1000x this table's magnitudes; the
+    grand here is token occurrences (~1e6 at sf0.1), far inside the
+    DECIMAL(38,0) ceilings, and the driver-side contract is identical."""
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    occ = d.select((F.col("doc_id") % 2).alias("slice"),
+                   F.explode(tokens("text")).alias("token"))
+    top = (occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), "token").limit(DRIFT_TOP_K)
+           .select("token"))
+    cells = (occ.join(F.broadcast(top), "token")
+             .groupBy("token", "slice")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    tot = (cells
+           .withColumn("row_tot", F.sum("obs").over(
+               Window.partitionBy("token")).cast("bigint"))
+           .withColumn("col_tot", F.sum("obs").over(
+               Window.partitionBy("slice")).cast("bigint"))
+           .withColumn("grand", F.sum("obs").over(
+               Window.partitionBy()).cast("bigint")))
+    return tot.withColumn(
+        "num", F.expr("CAST(obs AS DECIMAL(38,0)) * grand"
+                      " - CAST(row_tot AS DECIMAL(38,0)) * col_tot")
+    ).select(
+        "token", F.col("slice").cast("bigint").alias("slice"), "obs",
+        F.expr("CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000"
+               " DIV grand AS BIGINT)").alias("expected_micro"),
+        F.expr("CAST((num * num * 1000000000L)"
+               " DIV (CAST(row_tot AS DECIMAL(38,0)) * col_tot * grand)"
+               " AS BIGINT)").alias("contrib_nano"))

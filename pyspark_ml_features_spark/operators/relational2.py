@@ -863,3 +863,49 @@ def e61_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p1", "p2",
                     F.levenshtein("s1", "s2").alias("edit_distance"))
             .filter(F.col("edit_distance") <= 2))
+
+
+@register(
+    "d122_blocked_linkage",
+    oracle="""
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       a.p_brand AS brand, CAST(a.p_size AS BIGINT) AS size,
+       levenshtein(a.p_name, b.p_name)::INT AS edit_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+    tags=("engine", "dedup", "fuzzy", "scale"),
+)
+def d122_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED record linkage — the scale path d13b's docstring promises:
+    candidate pairs come from an EQUI-JOIN on a cheap blocking key
+    (brand, size), and only within-block pairs pay the edit-distance
+    comparison. d13b compares a sampled table all-pairs (teaching
+    geometry, broadcast BNLJ); this is the production shape — the block
+    key turns O(n²) into Σ_b O(|b|²) with |b| bounded by the key's
+    selectivity (measured: max block 7 parts at sf0.01, 28 at sf0.1 —
+    candidates grow linearly in n at fixed key cardinality growth).
+
+    levenshtein() is exact integer and engine-portable (probed: Spark ≡
+    DuckDB on boundary cases including empty strings). At 100 TB the
+    blocking key shuffles both sides once (hash equi-join, AQE-sized);
+    skewed blocks are the e63 sorted-neighborhood territory — that
+    operator family bounds the window when no good key exists."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(F.col("p_partkey").alias("p1"),
+                 F.col("p_name").alias("n1"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_size").cast("bigint").alias("size"))
+    b = p.select(F.col("p_partkey").alias("p2"),
+                 F.col("p_name").alias("n2"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_size").cast("bigint").alias("size"))
+    return (a.join(b, ["brand", "size"])
+            .filter(F.col("p1") < F.col("p2"))
+            .withColumn("edit_distance",
+                        F.levenshtein("n1", "n2").cast("int"))
+            .filter(F.col("edit_distance") <= 4)
+            .select("p1", "p2", "brand", "size", "edit_distance"))

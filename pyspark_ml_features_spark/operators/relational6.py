@@ -701,3 +701,65 @@ def d113_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN pmfs_d113_orders
           ON CAST(year(o_orderdate) AS BIGINT) = CAST(yr AS BIGINT)
         GROUP BY yr""")
+
+
+INFER_BATCH = 32
+
+
+@register(
+    "e78_length_bucketed_batches",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), r AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens, doc_id) AS rk
+    FROM tok
+)
+SELECT CAST((rk - 1) // {INFER_BATCH} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+           AS padding_waste
+FROM r GROUP BY 1
+""",
+    tags=("north-star", "llm-pipeline", "scale", "ranking"),
+)
+def e78_length_bucketed_batches(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED inference batching: sort the corpus by token count,
+    cut it into fixed-size batches of INFER_BATCH docs, and report each
+    batch's padding waste (docs padded to the batch max). Grouping
+    similar-length docs is the standard trick that turns ragged-batch
+    inference from ~50% padding FLOPs into a few percent — the report
+    tells you what a batch plan costs BEFORE committing GPU time.
+
+    The engine piece is the global total order WITHOUT a global sort
+    into one partition: ``distributed_row_number`` (d106's primitive)
+    range-repartitions on (n_tokens, doc_id), collects per-partition
+    counts as P metadata rows, and adds offsets to bounded local ranks;
+    batch assignment and the per-batch aggregate are then integer
+    arithmetic on the rank. The oracle IS the single-partition window
+    this replaces.
+
+    100 TB: one range shuffle + one metadata collect + one hash
+    aggregate on batch_id — no step holds more than ~n/P rows."""
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    ranked = distributed_row_number(scored, ["n_tokens", "doc_id"])
+    return (ranked
+            .withColumn("batch_id",
+                        F.expr(f"(grk - 1) DIV {INFER_BATCH}"))
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_tokens").alias("sum_tokens"))
+            .select("batch_id", "n_docs", "max_tokens", "sum_tokens",
+                    (F.col("n_docs") * F.col("max_tokens")
+                     - F.col("sum_tokens")).alias("padding_waste")))

@@ -955,3 +955,80 @@ def e75_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rolling_hash("term") % 64).cast("bigint").alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n")))
+
+
+BOILERPLATE_TOP = 3
+
+
+@register(
+    "e80_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+), g AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           ))) AS gram
+    FROM t
+), df AS (
+    SELECT source, gram, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM g GROUP BY 1, 2
+), nd AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), ranked AS (
+    SELECT source, gram, doc_freq,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY doc_freq DESC, gram) AS rk
+    FROM df
+)
+SELECT r.source, gram, doc_freq, CAST(rk AS BIGINT) AS rk,
+       CAST(doc_freq * 10000 // n_docs AS BIGINT) AS doc_share_bp
+FROM ranked r JOIN nd USING (source)
+WHERE rk <= {BOILERPLATE_TOP}
+""",
+    tags=("north-star", "llm-pipeline", "quality", "text"),
+)
+def e80_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE / TEMPLATE MINING per source: the top-3 word-4-grams
+    by document frequency within each source, with the share of the
+    source's documents containing them (basis points, exact integer
+    DIV). Web-scraped corpora carry per-site templates (cookie banners,
+    nav bars, license footers); C4/RefinedWeb-style cleaning finds them
+    exactly this way — high-doc-frequency n-grams WITHIN a source are
+    boilerplate, the same n-grams ACROSS sources are just language. The
+    report is the removal candidate list a curation pass reviews.
+
+    Per-doc 4-grams are DISTINCT (presence, not multiplicity — a
+    template counts once per doc), built by the guarded
+    sequence→transform pattern (e3b's rule: F.when(n>=4, ...) because
+    Spark's sequence(1, 0) is DESCENDING). Ranking ties break on the
+    gram string so top-3 is deterministic.
+
+    100 TB: explode + one hash aggregate on (source, gram); the
+    ranking window partitions by source and WindowGroupLimit prunes to
+    top-3 per source before the join-back; per-source doc counts are
+    group-bounded. No step is pairwise."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    grams = F.when(
+        F.size(t) >= 4,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(t) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2), F.element_at(t, i + 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    df = (d.select("doc_id", "source", F.explode(grams).alias("gram"))
+          .groupBy("source", "gram")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq")))
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("doc_freq").desc(), "gram")
+    return (df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= BOILERPLATE_TOP)
+            .join(nd, "source")
+            .select("source", "gram", "doc_freq", "rk",
+                    F.expr("doc_freq * 10000 DIV n_docs")
+                    .alias("doc_share_bp")))

@@ -341,6 +341,8 @@ ARROW_ALLOWED = {
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)
     "e51_greedy_packing",  # stateful fold with reset — not window-expressible;
                            # only (key, n_tokens) crosses the Arrow boundary
+    "e77_packed_boundaries",  # e51's fold + a JVM window; the Arrow boundary
+                              # is e51's, inherited unchanged
 }
 
 

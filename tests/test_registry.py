@@ -112,6 +112,17 @@ DEFERRED_ORACLES: set[str] = {
     "e75_feature_hashing",
     "a27_multipath_read",
     "d120_rfm_features",
+    # round-6 additions: in the recomputed r6 window (the 8 padding
+    # slots), listed here so they stay declared if a later addition
+    # reorders the backlog before their grades land
+    "e77_packed_boundaries",
+    "e78_length_bucketed_batches",
+    "e79_curriculum_phases",
+    "e80_boilerplate_ngrams",
+    "e81_token_drift",
+    "d121_sql_pipe_syntax",
+    "d122_blocked_linkage",
+    "d123_rolling_anomaly",
 }
 
 
