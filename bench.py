@@ -117,6 +117,15 @@ HEADLINE = [
     # two-level aggs, explode+agg).
     "d114_ab_welch_ttest",
     "d118_count_min_sketch",
+    # round-6: one representative per new plan shape — e80 is the
+    # highest-volume shape of the batch (per-doc DISTINCT 4-gram
+    # explosion → (source, gram) agg → WindowGroupLimit top-k), d122 the
+    # expression-heavy blocked linkage (hash equi-join + per-pair
+    # levenshtein). e77/e78/e79/e81/d121/d123 ride shapes the headline
+    # already times (e51's fold, d106's primitive, d116's cell table,
+    # classic agg, window frames).
+    "e80_boilerplate_ngrams",
+    "d122_blocked_linkage",
 ]
 
 
