@@ -706,10 +706,13 @@ def e81_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one explode + one hash aggregate on (token, slice) for the
     cells; the top-K vocabulary is corpus-bounded (TakeOrdered K rows)
-    and broadcasts into the occurrence join. Guards: d116's two
-    raise_error bounds apply at ~1000x this table's magnitudes; the
-    grand here is token occurrences (~1e6 at sf0.1), far inside the
-    DECIMAL(38,0) ceilings, and the driver-side contract is identical."""
+    and broadcasts into the occurrence join. Unlike d116's ~15-row
+    contingency, grand here is TOKEN OCCURRENCES — ~1e6 at sf0.1 but
+    ~1e12 at corpus scale, where num² · 10^9 blows the DECIMAL(38,0)
+    ceiling and Spark's decimal multiply NULLs silently — so both of
+    d116's raise_error guards are carried verbatim (loud error, then
+    pre-scale counts by a common factor; χ² contributions are invariant
+    under uniform rescale up to the rescale factor)."""
     from pyspark_ml_features_spark.functions.text import tokens
 
     d = table(spark, sf_dir, "documents")
@@ -735,6 +738,17 @@ def e81_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.col("slice").cast("bigint").alias("slice"), "obs",
         F.expr("CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000"
                " DIV grand AS BIGINT)").alias("expected_micro"),
-        F.expr("CAST((num * num * 1000000000L)"
+        # d116's exactness guards, verbatim: past either DECIMAL(38,0)
+        # ceiling the multiply NULLs silently — raise instead (the
+        # guards run on the bounded K x 2 cell table, so they are free).
+        F.expr("CASE WHEN abs(num) > 316227766016837L THEN"
+               " raise_error('e81: |obs*grand - row_tot*col_tot| exceeds"
+               " the DECIMAL(38,0) exact bound (~3.16e14); pre-scale"
+               " token counts — see docstring')"
+               " WHEN grand > 4641588833612L THEN"
+               " raise_error('e81: grand exceeds the DECIMAL(38,0)"
+               " denominator bound (~4.64e12 occurrences, grand^3"
+               " ceiling); pre-scale token counts — see docstring')"
+               " ELSE CAST((num * num * 1000000000L)"
                " DIV (CAST(row_tot AS DECIMAL(38,0)) * col_tot * grand)"
-               " AS BIGINT)").alias("contrib_nano"))
+               " AS BIGINT) END").alias("contrib_nano"))
