@@ -360,6 +360,13 @@ FIXPOINT_QUERIES = {
     "e59_triangle_count": set(),
     "e60_pagerank": set(),
     "d106_quantile_normalize": set(),
+    # non-fixpoint probe_checkpoint consumers — their pre-truncation
+    # lineages (cluster signatures, the ranking primitive's range
+    # repartition) get the same ratchet
+    "e68_cluster_pair_similarity": set(),
+    "e70_token_budget_selection": set(),
+    "e78_length_bucketed_batches": set(),
+    "e79_curriculum_phases": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level
