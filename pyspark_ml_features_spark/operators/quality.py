@@ -420,26 +420,38 @@ def e70_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one range shuffle + one metadata collect; the budget cut is
     then a partition-local filter. The same scan primitive serves
     quota-by-quality curricula and size-capped shard assembly."""
-    from pyspark_ml_features_spark.functions.text import STOPWORDS, tokens
     from pyspark_ml_features_spark.operators.relational6 import (
         distributed_prefix_sum,
     )
 
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    scored = (d.select(
-        "doc_id",
-        F.size(t).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("hits"))
-        .select("doc_id", "n_tokens",
-                F.expr("(10000 * hits) DIV n_tokens").alias("quality_bp"))
-        .withColumn("neg_bp", -F.col("quality_bp")))
+    scored = _stopword_scored(table(spark, sf_dir, "documents"))
     ranked = distributed_prefix_sum(
         scored, ["neg_bp", "doc_id"], "n_tokens", 16)
     return (ranked.filter(F.col("gcum") <= 10000)
             .select("doc_id", "n_tokens", "quality_bp",
                     F.col("grk").alias("rk"),
                     F.col("gcum").alias("cum_tokens")))
+
+
+def _stopword_scored(d: DataFrame) -> DataFrame:
+    """Gopher-style stopword-density score in basis points, shared by the
+    budget cut (e70) and the curriculum partition (e79): per doc,
+    (n_tokens, quality_bp = 10000·stopword_hits DIV n_tokens, neg_bp for
+    descending range partitioning). The 10000·hits product is forced to
+    BIGINT — hits is an int32 F.size, and an int32-first product wraps
+    (ANSI off) or throws (ANSI on) past ~214k hits per document, while
+    the DuckDB oracle computes len() in BIGINT (the d116 overflow class,
+    caught in the round-6 review)."""
+    from pyspark_ml_features_spark.functions.text import STOPWORDS, tokens
+
+    t = tokens("text")
+    return (d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("hits"))
+        .select("doc_id", "n_tokens",
+                F.expr("(10000L * hits) DIV n_tokens").alias("quality_bp"))
+        .withColumn("neg_bp", -F.col("quality_bp")))
 
 
 @register(
@@ -618,32 +630,27 @@ def e79_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.
 
     Same engine primitive as e70 (``distributed_prefix_sum`` under a
-    total order), but the budget cut generalizes to a PARTITION of the
-    whole corpus: phase = (cum_tokens-1) * K DIV total — pure integer
-    arithmetic, so the phase boundary is exact on any engine (no float
-    share in sight). The corpus total is one scalar collect (the same
-    metadata-sized driver step the primitive already takes).
+    total order — and literally e70's ``_stopword_scored`` helper), but
+    the budget cut generalizes to a PARTITION of the whole corpus:
+    phase = (cum_tokens-1) * K DIV total — pure integer arithmetic, so
+    the phase boundary is exact on any engine (no float share in
+    sight). The corpus total is read as max(gcum) FROM THE RANKED
+    CHECKPOINT the primitive just materialized — one scan of the
+    memory/disk-resident checkpoint, not a second tokenization pass
+    over the corpus (round-6 review finding).
 
-    100 TB: one range shuffle + two metadata-sized collects; every task
-    holds ~n/P rows. The oracle is the single-partition running-sum
-    window this construction replaces."""
-    from pyspark_ml_features_spark.functions.text import STOPWORDS, tokens
+    100 TB: one range shuffle + the primitive's metadata collect + one
+    checkpoint-resident max; every task holds ~n/P rows. The oracle is
+    the single-partition running-sum window this construction
+    replaces."""
     from pyspark_ml_features_spark.operators.relational6 import (
         distributed_prefix_sum,
     )
 
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    scored = (d.select(
-        "doc_id",
-        F.size(t).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("hits"))
-        .select("doc_id", "n_tokens",
-                F.expr("(10000 * hits) DIV n_tokens").alias("quality_bp"))
-        .withColumn("neg_bp", -F.col("quality_bp")))
-    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    scored = _stopword_scored(table(spark, sf_dir, "documents"))
     ranked = distributed_prefix_sum(
         scored, ["neg_bp", "doc_id"], "n_tokens", 16)
+    total = ranked.agg(F.max("gcum")).collect()[0][0] or 1
     k = CURRICULUM_PHASES
     return (ranked.select(
         "doc_id", "n_tokens", "quality_bp",
@@ -704,26 +711,36 @@ def e81_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is K×2 (bounded), so the window sums and arithmetic run on
     ~100 rows regardless of corpus size.
 
-    100 TB: one explode + one hash aggregate on (token, slice) for the
-    cells; the top-K vocabulary is corpus-bounded (TakeOrdered K rows)
-    and broadcasts into the occurrence join. Unlike d116's ~15-row
-    contingency, grand here is TOKEN OCCURRENCES — ~1e6 at sf0.1 but
-    ~1e12 at corpus scale, where num² · 10^9 blows the DECIMAL(38,0)
-    ceiling and Spark's decimal multiply NULLs silently — so both of
-    d116's raise_error guards are carried verbatim (loud error, then
-    pre-scale counts by a common factor; χ² contributions are invariant
-    under uniform rescale up to the rescale factor)."""
+    100 TB: the token-occurrence stream is exploded and shuffled
+    EXACTLY ONCE — one hash aggregate onto vocabulary-sized
+    (token, slice) counts; the top-K cut and the per-token row totals
+    are then derived from that small table (round-6 review: the first
+    draft exploded the stream twice, once for the vocabulary and once
+    for the cells). Unlike d116's ~15-row contingency, grand here is
+    TOKEN OCCURRENCES — ~1e6 at sf0.1 but ~1e12 at corpus scale, where
+    num² · 10^9 blows the DECIMAL(38,0) ceiling and Spark's decimal
+    multiply NULLs silently — so both of d116's raise_error guards are
+    carried verbatim (loud error, then pre-scale counts by a common
+    factor; χ² contributions are invariant under uniform rescale up to
+    the rescale factor)."""
     from pyspark_ml_features_spark.functions.text import tokens
 
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
     d = table(spark, sf_dir, "documents")
-    occ = d.select((F.col("doc_id") % 2).alias("slice"),
-                   F.explode(tokens("text")).alias("token"))
-    top = (occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Materialized ONCE (vocabulary x 2 rows): both the top-K cut and the
+    # contingency join read the checkpoint — without it each branch would
+    # re-run the corpus explode (AQE does not reuse the exchange here).
+    all_cells = probe_checkpoint(
+        d.select((F.col("doc_id") % 2).alias("slice"),
+                 F.explode(tokens("text")).alias("token"))
+        .groupBy("token", "slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs")),
+        "e81_token_drift.cells")
+    top = (all_cells.groupBy("token").agg(F.sum("obs").alias("n"))
            .orderBy(F.col("n").desc(), "token").limit(DRIFT_TOP_K)
            .select("token"))
-    cells = (occ.join(F.broadcast(top), "token")
-             .groupBy("token", "slice")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("obs")))
+    cells = all_cells.join(F.broadcast(top), "token")
     tot = (cells
            .withColumn("row_tot", F.sum("obs").over(
                Window.partitionBy("token")).cast("bigint"))

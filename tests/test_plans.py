@@ -367,6 +367,7 @@ FIXPOINT_QUERIES = {
     "e70_token_budget_selection": set(),
     "e78_length_bucketed_batches": set(),
     "e79_curriculum_phases": set(),
+    "e81_token_drift": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level

@@ -184,7 +184,16 @@ def _assert_window_invariants(window, green, seen, qs):
         assert not missing, (
             f"padding slots present while backlog entries are excluded: "
             f"{sorted(missing)[:5]}")
-    assert len(fresh) <= queries.FRESH_SLOTS
+    # _compute_window RESERVES FRESH_SLOTS (positions the cut so at most
+    # FRESH_SLOTS fresh entries displace backlog), but when the backlog
+    # is smaller than the cut ALL never-run rows-only queries flow in —
+    # fresh beyond the reservation is legitimate exactly like padding:
+    # only when no backlog entry was displaced for it.
+    if len(fresh) > queries.FRESH_SLOTS:
+        missing = set(expected_backlog) - set(window)
+        assert not missing, (
+            f"more than FRESH_SLOTS fresh entries while backlog entries "
+            f"are excluded: {sorted(missing)[:5]}")
     all_reruns = [n for n in qs if qs[n].oracle is None and n in seen]
     if saturated:
         assert set(all_reruns) <= set(window), (
