@@ -1,0 +1,214 @@
+"""Data-stewardship operators: golden-record survivorship over duplicate
+clusters, rolling-audience distinct counts, vocabulary concentration, and
+tokenizer fertility — the governance/monitoring queries a curation
+platform runs ON TOP of the dedup/quality families.
+
+Registered LAST (queries.py imports this module after everything else),
+so these four oracle queries sit at the tail of the ungraded backlog and
+defer to the round-7 window without displacing any round-6 slot (the
+self-rotation contract in CLAUDE.md; simulated against the landed r05
+grades before registration).
+
+Reference: the reference repo (six MLlib utilities) has no stewardship
+surface; SURVEY §2-E north-star scope.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "e82_golden_record",
+    oracle="""
+SELECT min(doc_id) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       arg_max(lang, doc_id) AS lang_latest,
+       arg_max(source, doc_id) AS source_latest,
+       CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY lower(trim(text))
+""",
+    tags=("north-star", "llm-pipeline", "dedup", "stewardship"),
+)
+def e82_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD consolidation (MDM survivorship): e1's exact-dup
+    clusters collapse to ONE merged record per cluster, with per-field
+    survivorship rules instead of e34's keep-one-row policy — stable id
+    = min doc_id, latest-wins fields via max_by on the recency key
+    (doc_id here; ingestion ts in production), max/sum rollups for the
+    measures. This is the other half of dedup: e1 decides WHICH rows are
+    duplicates, survivorship decides what the single surviving record
+    SAYS.
+
+    max_by is deterministic because the ordering key is the unique
+    doc_id (the d76 rule). 100 TB: identical shape to e1 — one hash
+    aggregate on the normalized key, all survivorship rules are
+    single-pass aggregates riding the same shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return (d.groupBy(F.lower(F.trim("text")).alias("__k"))
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.expr("max_by(lang, doc_id)").alias("lang_latest"),
+                 F.expr("max_by(source, doc_id)").alias("source_latest"),
+                 F.max("n_chars").cast("bigint").alias("n_chars_max"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars_total"))
+            .drop("__k"))
+
+
+@register(
+    "e83_tokenizer_fertility",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars)::HUGEINT * 1000000
+            // sum(len(str_split(text, ' '))) AS BIGINT)
+           AS chars_per_token_micro,
+       CAST(sum(len(str_split(text, ' ')))::HUGEINT * 1000000
+            // count(*) AS BIGINT) AS tokens_per_doc_micro
+FROM documents
+GROUP BY lang
+""",
+    tags=("north-star", "llm-pipeline", "text", "stewardship"),
+)
+def e83_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: characters per token and tokens
+    per document — the compression/fertility table every multilingual
+    tokenizer evaluation starts from (a language whose chars-per-token
+    is 2× another's pays 2× the context budget for the same text; vocab
+    allocation and sampling weights both read this). Ratios are
+    fixed-point micro integers (the d112 rule: integer numerators DIV
+    denominators, never round-after-divide), products forced to
+    DECIMAL/HUGEINT before multiplying (the d116 rule).
+
+    100 TB: one scan, one tiny hash aggregate on lang — the token count
+    is computed JVM-side (split+size), no explode, no Python."""
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    return (d.select("lang", "n_chars",
+                     F.size(tokens("text")).cast("bigint").alias("n_tok"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .select("lang", "n_docs", "sum_tokens", "sum_chars",
+                    F.expr("CAST(CAST(sum_chars AS DECIMAL(38,0)) * 1000000"
+                           " DIV sum_tokens AS BIGINT)")
+                    .alias("chars_per_token_micro"),
+                    F.expr("CAST(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000"
+                           " DIV n_docs AS BIGINT)")
+                    .alias("tokens_per_doc_micro")))
+
+
+@register(
+    "d124_sliding_distinct_users",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), spine AS (SELECT DISTINCT d FROM du)
+SELECT CAST(s.d AS TIMESTAMP) AS win_end,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS distinct_users_7d
+FROM spine s JOIN du
+  ON datediff('day', du.d, s.d) BETWEEN 0 AND 6
+GROUP BY s.d
+""",
+    tags=("engine", "window", "distinct", "scale"),
+)
+def d124_sliding_distinct_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SLIDING 7-DAY DISTINCT USERS (rolling audience / WAU): the classic
+    metric that canNOT be a window function — count(DISTINCT) over a
+    sliding frame isn't frame-decomposable — and canNOT be a per-day
+    cumulative (d93's shape) because users leave the window. The
+    scale-safe construction: pre-aggregate to DISTINCT (day, user) rows
+    (one shuffle, output bounded by days × active users, NOT by event
+    volume), then a banded join against the bounded day spine fans each
+    row out ≤ 7× before the final distinct aggregate. The event stream
+    is touched exactly once.
+
+    100 TB: the pre-aggregate is the whole story — 10^12 events
+    collapse to days × users before any windowing. The banded join is
+    rewritten as an EQUI-join: each (day, user) row explodes to its ≤ 7
+    candidate window ends (`sequence(d, d+6)` — exact 7× fan-out,
+    JVM-side), then a broadcast SEMI join against the active-day spine
+    keeps real window ends — a hash join, where the naive
+    `datediff BETWEEN 0 AND 6` condition has no equi component and
+    degrades to a BroadcastNestedLoopJoin (caught by the registry scale
+    audit on first registration). Window ends with no activity in
+    [d-6, d] don't appear (spine = active days — matches the oracle).
+    Day boundary is the session timezone (UTC, pinned by tune_session);
+    output day cast to TIMESTAMP on both engines (the d74 rule)."""
+    e = table(spark, sf_dir, "events")
+    du = (e.select(F.to_date("ts").alias("d"), "user_id").distinct())
+    spine = du.select(F.col("d").alias("win_end")).distinct()
+    cand = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6)))
+        .alias("win_end"))
+    return (cand.join(F.broadcast(spine), "win_end", "semi")
+            .groupBy("win_end")
+            .agg(F.count_distinct("user_id").cast("bigint")
+                 .alias("distinct_users_7d"))
+            .select(F.col("win_end").cast("timestamp").alias("win_end"),
+                    "distinct_users_7d"))
+
+
+@register(
+    "t17_vocab_concentration",
+    oracle="""
+WITH occ AS (
+    SELECT source, unnest(str_split(text, ' ')) AS token FROM documents
+), f AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+    FROM occ GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq::HUGEINT * freq) * 1000000
+            // (sum(freq)::HUGEINT * sum(freq)) AS BIGINT) AS hhi_micro
+FROM f GROUP BY source
+""",
+    tags=("north-star", "llm-pipeline", "text", "quality"),
+)
+def t17_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY CONCENTRATION per source — the Herfindahl index
+    Σ (f_i/T)² in exact fixed-point micro units: a source whose token
+    mass concentrates in few types (hhi → 1e6) is template/boilerplate
+    text; a diverse source sits near 1/n_types. The entropy-free
+    concentration diagnostic (log-based entropy can't be an exact
+    oracle — no libm transcendentals; HHI carries the same signal in
+    pure integer arithmetic). Complements t14's per-document type-token
+    ratio with a SOURCE-level, frequency-weighted reading.
+
+    Arithmetic rules: Σ f² and T² cast to DECIMAL(38,0)/HUGEINT before
+    multiplying (d116), final ratio is integer DIV (d112). 100 TB: one
+    explode + (source, token) aggregate, then a source-sized rollup —
+    e80's shuffle shape minus the string join-back."""
+    from pyspark_ml_features_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    f = (d.select("source", F.explode(tokens("text")).alias("token"))
+         .groupBy("source", "token")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    return (f.groupBy("source")
+            .agg(F.sum("freq").alias("n_occurrences"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 F.sum(F.expr("CAST(freq AS DECIMAL(38,0)) * freq"))
+                 .alias("__sf2"))
+            .select("source",
+                    F.col("n_occurrences").cast("bigint")
+                    .alias("n_occurrences"),
+                    "n_types",
+                    F.expr("CAST(__sf2 * 1000000 DIV"
+                           " (CAST(n_occurrences AS DECIMAL(38,0))"
+                           " * n_occurrences) AS BIGINT)")
+                    .alias("hhi_micro")))

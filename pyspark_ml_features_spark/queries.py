@@ -41,6 +41,14 @@ from pyspark_ml_features_spark.streaming import events, stateful  # noqa: F401
 # e76 queues behind them and grades in r6.
 from pyspark_ml_features_spark import pipeline  # noqa: F401, E402
 
+# Imported LAST on purpose (round 6): stewardship's four oracle queries
+# must register at the TAIL of the ungraded backlog so they defer to the
+# r7 window without displacing any of the 49 backlog + e76 slots the r6
+# window already promises (simulated against the landed r05 grades —
+# adding them to any earlier module would jump the registration-order
+# queue and evict a promised slot).
+from pyspark_ml_features_spark.operators import stewardship  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

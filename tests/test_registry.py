@@ -123,6 +123,12 @@ DEFERRED_ORACLES: set[str] = {
     "d121_sql_pipe_syntax",
     "d122_blocked_linkage",
     "d123_rolling_anomaly",
+    # registered at the backlog TAIL (stewardship module, imported last
+    # in queries.py) — deliberately outside the full r6 window, grade r7
+    "e82_golden_record",
+    "e83_tokenizer_fertility",
+    "d124_sliding_distinct_users",
+    "t17_vocab_concentration",
 }
 
 
