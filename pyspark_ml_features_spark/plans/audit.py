@@ -58,6 +58,12 @@ def probe_checkpoint(df: DataFrame, label: str = "") -> DataFrame:
             "label": label,
             "plan": plan_text(df),
             "analyzed": df._jdf.queryExecution().analyzed().toString(),
+            # the pre-checkpoint DataFrame itself: the eager checkpoint
+            # below EXECUTES its plan, so after this call its SQLMetrics
+            # are populated — the shuffle-budget test reads them to see
+            # the exchanges that lineage truncation hides (a shuffle
+            # before a checkpoint is still a shuffle)
+            "df": df,
         })
     return df.localCheckpoint(eager=True)
 

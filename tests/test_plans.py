@@ -368,6 +368,8 @@ FIXPOINT_QUERIES = {
     "e78_length_bucketed_batches": set(),
     "e79_curriculum_phases": set(),
     "e81_token_drift": set(),
+    "e63_sorted_neighborhood": set(),
+    "e64_multipass_sorted_neighborhood": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level

@@ -169,7 +169,11 @@ def _assert_window_invariants(window, green, seen, qs):
          order, a prefix of PRIORITY_BACKLOG-then-registration-order;
       3. no slot is wasted: a padding entry (rows-only re-run or green
          oracle) may appear only if EVERY backlog entry is in the window;
-      4. fresh rows-only slots are capped at FRESH_SLOTS;
+      4. fresh rows-only slots beyond the FRESH_SLOTS reservation are
+         legitimate ONLY when no backlog entry was displaced for them
+         (_compute_window floods ALL never-run rows-only queries in
+         when the backlog is smaller than the cut — the cap is on
+         DISPLACEMENT, not on count);
       5. padding order: green oracles only after all rows-only re-runs
          are exhausted (re-runs are free weak checks, greens are not).
     """
@@ -240,6 +244,24 @@ def test_live_window_satisfies_composition_invariants():
     if not any(n in green for n in manual_oracles):
         return  # pre-r4 grades: curated window returned verbatim
     _assert_window_invariants(queries.DRIVER_WINDOW, green, seen, qs)
+
+
+def test_tail_registered_queries_defer_while_r6_in_flight():
+    """The stewardship batch (tail-registered in queries.py) must stay
+    OUT of the grading window while the round-6 grades are still
+    pending — if an import reorder or grade change rotates them in, they
+    evict slots the r6 window already promised. Once the r6 grades land
+    (detectable: e76 gets its first driver row), the four rotate in by
+    design and this tripwire stands down."""
+    tail = {"e82_golden_record", "e83_tokenizer_fertility",
+            "d124_sliding_distinct_users", "t17_vocab_concentration"}
+    _, seen = queries._driver_grades()
+    if "e76_curation_funnel" in seen:
+        return  # r6 (or later) grades landed — deferral over, by design
+    offenders = tail & set(queries.DRIVER_WINDOW)
+    assert not offenders, (
+        f"tail-registered queries rotated into the in-flight r6 window "
+        f"(import order changed in queries.py?): {sorted(offenders)}")
 
 
 def test_auto_rotation_keeps_manual_window_while_ungraded():

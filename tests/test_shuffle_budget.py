@@ -18,9 +18,14 @@ from pyspark_ml_features_spark.plans.metrics import runtime_metrics
 from pyspark_ml_features_spark.registry import all_queries
 from tests.conftest import SF_DIR
 
-# query -> shuffle_MiB ceiling at sf0.01 (measured 2026-08-15: e1 0.09,
-# e9 0.24, d21 0.92, d48 0.57, e2d 0.09, d89 0.41, d91 0.13, d98 0.13,
-# d106 3.19, e69 0.61, e80 0.59, e51 0.01)
+# query -> TOTAL shuffle_MiB ceiling at sf0.01, including exchanges that
+# execute inside a localCheckpoint (invisible on the returned DataFrame's
+# plan — probe_checkpoint hands the pre-truncation DataFrame to the
+# capture so its executed SQLMetrics are readable; round-6 review: d106's
+# dominant range-repartition shuffle was missed by the visible plan).
+# Measured 2026-08-15: e1 0.09, e9 0.24, d21 0.92, d48 0.57, e2d 0.09,
+# d89 0.41, d91 0.13, d98 0.13, d106 3.22 visible + 2.15 checkpointed,
+# e69 0.61, e80 0.59, e51 0.01.
 SHUFFLE_CEILINGS_MIB = {
     "e1_exact_dedup": 0.15,
     "e9_sessionize": 0.40,
@@ -30,7 +35,7 @@ SHUFFLE_CEILINGS_MIB = {
     "d89_skew_salted_agg": 0.65,
     "d91_equidepth_histogram": 0.20,
     "d98_asof_backward": 0.20,
-    "d106_quantile_normalize": 4.80,
+    "d106_quantile_normalize": 8.00,
     "e69_dup_span_report": 0.95,
     "e80_boilerplate_ngrams": 0.90,
     "e51_greedy_packing": 0.05,
@@ -47,21 +52,31 @@ def test_shuffle_volumes_within_pinned_budgets(spark):
         import pytest
 
         pytest.skip("budgets are calibrated at sf0.01")
+    from pyspark_ml_features_spark.plans.audit import (
+        capture_checkpoint_plans,
+    )
+
     qs = all_queries()
     violations = []
     for name, ceiling in SHUFFLE_CEILINGS_MIB.items():
-        df = qs[name].fn(spark, SF_DIR)
-        df.collect()
-        m = runtime_metrics(df).row()
-        if m["shuffle_MiB"] > ceiling:
+        with capture_checkpoint_plans() as captured:
+            df = qs[name].fn(spark, SF_DIR)
+            df.collect()
+        rows = [runtime_metrics(df).row()] + [
+            runtime_metrics(c["df"]).row() for c in captured]
+        shuffle = round(sum(r["shuffle_MiB"] for r in rows), 2)
+        spill = sum(r["spill_MiB"] for r in rows)
+        peak = max(r["peak_task_MiB"] for r in rows)
+        if shuffle > ceiling:
             violations.append(
-                f"{name}: shuffle {m['shuffle_MiB']} MiB > budget "
-                f"{ceiling} MiB — a join/agg shape regressed")
-        if m["spill_MiB"] > 0:
-            violations.append(f"{name}: spilled {m['spill_MiB']} MiB at "
+                f"{name}: shuffle {shuffle} MiB (incl. checkpointed "
+                f"stages) > budget {ceiling} MiB — a join/agg shape "
+                f"regressed")
+        if spill > 0:
+            violations.append(f"{name}: spilled {spill} MiB at "
                               f"sf0.01 — a task is holding far too much")
-        if m["peak_task_MiB"] > PEAK_TASK_CEILING_MIB:
+        if peak > PEAK_TASK_CEILING_MIB:
             violations.append(
-                f"{name}: peak task {m['peak_task_MiB']} MiB > "
+                f"{name}: peak task {peak} MiB > "
                 f"{PEAK_TASK_CEILING_MIB} — would not survive a scale-up")
     assert not violations, "\n".join(violations)
