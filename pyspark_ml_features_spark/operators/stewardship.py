@@ -212,3 +212,69 @@ def t17_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " (CAST(n_occurrences AS DECIMAL(38,0))"
                            " * n_occurrences) AS BIGINT)")
                     .alias("hhi_micro")))
+
+
+@register(
+    "d125_scd2_temporal_join",
+    oracle="""
+WITH dim AS (
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT)
+               AS version
+    FROM events WHERE event_type = 'view'
+)
+SELECT f.event_id, f.user_id,
+       CAST(f.ts AS TIMESTAMP) AS purchase_ts,
+       d.version AS segment_version,
+       CAST(d.valid_from AS TIMESTAMP) AS valid_from
+FROM events f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
+""",
+    tags=("engine", "scd2", "asof", "stewardship"),
+)
+def d125_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 TEMPORAL FACT-TO-DIMENSION JOIN — the canonical warehouse
+    pattern the as-of family (d79/d98/e14 event-to-event) doesn't cover:
+    each fact row (purchases) joins the dimension SEGMENT (d66's
+    lead-built validity intervals over 'view' status changes) that was
+    valid AT ITS TIMESTAMP. The two classic pitfalls are pinned by the
+    oracle: half-open intervals (ts >= valid_from AND ts < valid_to — a
+    fact exactly on a boundary belongs to the NEW segment), and the
+    current segment's NULL valid_to (open-ended, must match). Facts
+    before a user's first segment are dropped (inner-join semantics —
+    no state existed yet).
+
+    100 TB: the join has an EQUI component (user_id), so it is a plain
+    hash/sort-merge join with the interval predicate as a post-join
+    filter — never a nested-loop; each user's segment list is bounded
+    by their change count, so the per-key fan-out before filtering is
+    the dim's per-key cardinality, not the fact count. This is also
+    why SCD2 beats snapshot-per-day dims at scale: validity intervals
+    keep the dimension linear in CHANGES."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (e.filter(F.col("event_type") == "view")
+           .select("user_id", F.col("ts").alias("valid_from"),
+                   F.lead("ts").over(w).alias("valid_to"),
+                   F.row_number().over(w).cast("bigint").alias("version")))
+    facts = (e.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id",
+                     F.col("ts").alias("purchase_ts")))
+    return (facts.join(dim, "user_id")
+            .filter((F.col("purchase_ts") >= F.col("valid_from"))
+                    & (F.col("valid_to").isNull()
+                       | (F.col("purchase_ts") < F.col("valid_to"))))
+            .select("event_id", "user_id",
+                    F.col("purchase_ts").cast("timestamp")
+                    .alias("purchase_ts"),
+                    F.col("version").alias("segment_version"),
+                    F.col("valid_from").cast("timestamp")
+                    .alias("valid_from")))

@@ -129,6 +129,7 @@ DEFERRED_ORACLES: set[str] = {
     "e83_tokenizer_fertility",
     "d124_sliding_distinct_users",
     "t17_vocab_concentration",
+    "d125_scd2_temporal_join",
 }
 
 
@@ -254,7 +255,8 @@ def test_tail_registered_queries_defer_while_r6_in_flight():
     (detectable: e76 gets its first driver row), the four rotate in by
     design and this tripwire stands down."""
     tail = {"e82_golden_record", "e83_tokenizer_fertility",
-            "d124_sliding_distinct_users", "t17_vocab_concentration"}
+            "d124_sliding_distinct_users", "t17_vocab_concentration",
+            "d125_scd2_temporal_join"}
     _, seen = queries._driver_grades()
     if "e76_curation_funnel" in seen:
         return  # r6 (or later) grades landed — deferral over, by design
