@@ -278,3 +278,125 @@ def d125_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("version").alias("segment_version"),
                     F.col("valid_from").cast("timestamp")
                     .alias("valid_from")))
+
+
+@register(
+    "e85_packing_utilization",
+    oracle=None,  # set below — shares packing's recursive CTE
+    tags=("north-star", "llm-pipeline", "packing", "stewardship"),
+)
+def e85_packing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW UTILIZATION per (lang, shard) — the training-
+    efficiency KPI on top of e51's packing: how full the packed
+    sequences actually are (utilization_bp = packed tokens ·10⁴ DIV
+    (bins · capacity)). Utilization is what the packing capacity knob
+    is TUNED against — a corpus packing at 60% wastes 40% of every
+    training FLOP on padding; e78 reports the same economics for
+    inference batching.
+
+    Rides e51's fold (same Arrow boundary, allowlisted) + one bounded
+    aggregate; the oracle extends the shared recursive-CTE fold. All
+    ratios are exact integer DIV (d112)."""
+    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.operators.packing import (
+        GREEDY_PACK_CAP,
+        greedy_pack,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("lang", (F.col("doc_id") % 4).alias("shard"),
+                    "doc_id",
+                    F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    packed = greedy_pack(base, GREEDY_PACK_CAP)
+    return (packed.groupBy("lang", "shard")
+            .agg(F.max("bin_id").cast("bigint").alias("n_bins"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"))
+            .select("lang", "shard", "n_bins", "n_docs", "sum_tokens",
+                    F.expr(f"CAST(CAST(sum_tokens AS DECIMAL(38,0))"
+                           f" * 10000 DIV (n_bins * {GREEDY_PACK_CAP})"
+                           f" AS BIGINT)").alias("utilization_bp")))
+
+
+def _install_e85_oracle() -> None:
+    """e85's oracle shares packing's recursive-CTE fold; installed after
+    registration to avoid importing packing at module top (stewardship
+    must stay the LAST registrations of the import graph)."""
+    from pyspark_ml_features_spark.operators.packing import (
+        GREEDY_PACK_CAP,
+        _GREEDY_PACK_CTE,
+    )
+    from pyspark_ml_features_spark.registry import _REGISTRY
+
+    _REGISTRY["e85_packing_utilization"].oracle = _GREEDY_PACK_CTE + f"""
+SELECT lang, shard,
+       CAST(max(bin_id) AS BIGINT) AS n_bins,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_tokens)::HUGEINT * 10000
+            // (max(bin_id) * {GREEDY_PACK_CAP}) AS BIGINT)
+           AS utilization_bp
+FROM pack GROUP BY lang, shard
+"""
+
+
+_install_e85_oracle()
+
+
+@register(
+    "d126_time_to_convert",
+    oracle="""
+WITH su AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), conv AS (
+    SELECT date_trunc('week', t0) AS cohort_week,
+           CAST(date_diff('second', t0, t1) AS DOUBLE) AS sec
+    FROM su JOIN pu USING (user_id) WHERE t1 > t0
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       median(sec) AS median_seconds,
+       quantile_cont(sec, 0.9) AS p90_seconds
+FROM conv GROUP BY cohort_week
+""",
+    tags=("engine", "funnel", "temporal", "stats"),
+)
+def d126_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution per signup cohort: for users whose
+    first purchase FOLLOWS their first signup, the median and p90
+    seconds from signup to conversion, grouped by signup week — the
+    timing half of the funnel family (d42/e28 count WHO converts; this
+    measures HOW FAST, which is what activation experiments move).
+
+    Parity mechanics: the interval is whole SECONDS as exact integers
+    (Spark's unix_timestamp floors both endpoints; DuckDB's
+    date_diff('second') counts the same boundary crossings), cast to
+    DOUBLE once before the order statistics — Spark median/percentile
+    bit-match DuckDB median/quantile_cont on doubles (the d51 probe).
+    Users converting at-or-before signup (data glitches) are excluded
+    on both sides.
+
+    100 TB: two per-user min-aggregates (one shuffle each, map-side
+    combined), a user-key join, then a cohort-sized aggregate — event
+    volume collapses at the first aggregate."""
+    e = table(spark, sf_dir, "events")
+    su = (e.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    pu = (e.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    conv = (su.join(pu, "user_id")
+            .filter(F.col("t1") > F.col("t0"))
+            .select(F.date_trunc("week", "t0").alias("cohort_week"),
+                    (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                    .cast("double").alias("sec")))
+    return (conv.groupBy("cohort_week")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+                 F.median("sec").alias("median_seconds"),
+                 F.percentile("sec", 0.9).alias("p90_seconds"))
+            .select(F.col("cohort_week").cast("timestamp")
+                    .alias("cohort_week"),
+                    "n_converted", "median_seconds", "p90_seconds"))

@@ -343,6 +343,8 @@ ARROW_ALLOWED = {
                            # only (key, n_tokens) crosses the Arrow boundary
     "e77_packed_boundaries",  # e51's fold + a JVM window; the Arrow boundary
                               # is e51's, inherited unchanged
+    "e85_packing_utilization",  # e51's fold + a bounded aggregate; same
+                                # inherited Arrow boundary
 }
 
 

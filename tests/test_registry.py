@@ -130,6 +130,8 @@ DEFERRED_ORACLES: set[str] = {
     "d124_sliding_distinct_users",
     "t17_vocab_concentration",
     "d125_scd2_temporal_join",
+    "e85_packing_utilization",
+    "d126_time_to_convert",
 }
 
 
@@ -256,7 +258,8 @@ def test_tail_registered_queries_defer_while_r6_in_flight():
     design and this tripwire stands down."""
     tail = {"e82_golden_record", "e83_tokenizer_fertility",
             "d124_sliding_distinct_users", "t17_vocab_concentration",
-            "d125_scd2_temporal_join"}
+            "d125_scd2_temporal_join", "e85_packing_utilization",
+            "d126_time_to_convert"}
     _, seen = queries._driver_grades()
     if "e76_curation_funnel" in seen:
         return  # r6 (or later) grades landed — deferral over, by design
