@@ -54,6 +54,13 @@ def driver_grades() -> dict[str, str]:
     return grades
 
 
+def correctness_files() -> list[str]:
+    """Basenames of every CORRECTNESS_r*.json on disk (the staleness key)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return sorted(os.path.basename(p)
+                  for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
 def main() -> None:
     grades = driver_grades()
     rows = []
@@ -63,10 +70,15 @@ def main() -> None:
         doc = (q.doc or "").split("\n")[0].strip()
         rows.append(f"| `{name}` | {oracle}; {grade} "
                     f"| {', '.join(q.tags)} | {doc} |")
+    # Staleness stamp (VERDICT r6 task 1): record exactly which grade files
+    # this inventory incorporated; tests/test_registry.py fails when a newer
+    # CORRECTNESS_r*.json exists that this footer doesn't list.
+    footer = ("\nIncorporated grade files: "
+              + ", ".join(f"`{n}`" for n in correctness_files()) + "\n")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "COVERAGE.md")
     with open(out, "w") as fh:
-        fh.write(HEADER + "\n".join(rows) + "\n")
+        fh.write(HEADER + "\n".join(rows) + "\n" + footer)
     print(f"wrote {out} ({len(rows)} queries)")
 
 

@@ -401,3 +401,25 @@ def test_auto_rotation_pads_with_rows_only_at_saturation():
     assert len(window) == 50
     rows_only = [n for n in window if qs[n].oracle is None]
     assert rows_only, "saturated window should lead with rows-only re-runs"
+
+
+def test_coverage_md_incorporates_every_grade_file():
+    """Staleness guard (VERDICT r6 task 1): COVERAGE.md's footer records
+    exactly which CORRECTNESS_r*.json files gen_coverage.py read. If a new
+    round's grades land without `python scripts/gen_coverage.py` being
+    re-run, the footer misses the new basename and this test goes red —
+    the recurring "COVERAGE.md is stale" hygiene finding (VERDICT r5 task
+    3, r6 task 1) becomes a test failure instead of a judge note."""
+    repo = Path(__file__).parent.parent
+    on_disk = sorted(p.name for p in repo.glob("CORRECTNESS_r*.json"))
+    text = (repo / "COVERAGE.md").read_text()
+    footer = [ln for ln in text.splitlines()
+              if ln.startswith("Incorporated grade files:")]
+    assert footer, ("COVERAGE.md has no staleness footer — regenerate with "
+                    "`python scripts/gen_coverage.py`")
+    recorded = sorted(n.strip().strip("`") for n in footer[0]
+                      .removeprefix("Incorporated grade files:").split(", ")
+                      if n.strip())
+    assert recorded == on_disk, (
+        f"COVERAGE.md is stale: it incorporated {recorded} but the repo has "
+        f"{on_disk} — re-run `python scripts/gen_coverage.py` and commit")
