@@ -642,7 +642,17 @@ def e79_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one range shuffle + the primitive's metadata collect + one
     checkpoint-resident max; every task holds ~n/P rows. The oracle is
     the single-partition running-sum window this construction
-    replaces."""
+    replaces.
+
+    EAGER-EXECUTION / STALE-LITERAL CONTRACT (shared with the whole
+    ``distributed_row_number`` family, ADVICE r6): building this
+    DataFrame runs two Spark jobs up front — the prefix-sum checkpoint
+    and the ``max(gcum)`` collect — and bakes the collected corpus
+    total into the returned plan as a literal. The result is a SNAPSHOT:
+    re-executing the returned DataFrame after the source parquet
+    changes replays the checkpoint/total from construction time rather
+    than re-deriving them. Rebuild (call the function again) to pick up
+    new data."""
     from pyspark_ml_features_spark.operators.relational6 import (
         distributed_prefix_sum,
     )

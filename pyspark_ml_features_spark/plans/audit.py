@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 from contextlib import contextmanager
+from contextvars import ContextVar
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -31,20 +32,24 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
 # probe_checkpoint(); a test wraps execution in capture_checkpoint_plans()
 # and audits every plan that was about to be truncated.
 
-_CAPTURE: list[dict] | None = None
+# ContextVar, not a module global (ADVICE r6): two threads (or asyncio
+# tasks) running queries concurrently under capture_checkpoint_plans()
+# each see their own capture list, and exiting one context can never
+# clobber a sibling's — a global with a saved/restored `prev` could.
+_CAPTURE: ContextVar[list[dict] | None] = ContextVar("plan_capture",
+                                                     default=None)
 
 
 @contextmanager
 def capture_checkpoint_plans():
     """Record (label, formatted physical plan, analyzed logical plan) for
-    every probe_checkpoint() call in the block; yields the list."""
-    global _CAPTURE
-    prev = _CAPTURE
-    _CAPTURE = captured = []
+    every probe_checkpoint() call in the block; yields the list. Safe
+    under concurrent captures: the buffer is context-local."""
+    token = _CAPTURE.set([])
     try:
-        yield captured
+        yield _CAPTURE.get()
     finally:
-        _CAPTURE = prev
+        _CAPTURE.reset(token)
 
 
 def probe_checkpoint(df: DataFrame, label: str = "") -> DataFrame:
@@ -53,8 +58,9 @@ def probe_checkpoint(df: DataFrame, label: str = "") -> DataFrame:
     recorded (physical for the cartesian/BNLJ audit, analyzed for the
     broadcast-hint ratchet). Zero overhead when no capture is active —
     explain is never invoked on the normal path."""
-    if _CAPTURE is not None:
-        _CAPTURE.append({
+    captured = _CAPTURE.get()
+    if captured is not None:
+        captured.append({
             "label": label,
             "plan": plan_text(df),
             "analyzed": df._jdf.queryExecution().analyzed().toString(),

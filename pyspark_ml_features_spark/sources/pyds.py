@@ -170,13 +170,30 @@ class JsonlSinkWriter(DataSourceWriter):
     sweeps every file the new manifest does not vouch for (that is
     overwrite's contract: replace the directory's contents), so
     overwrite requires single-writer-per-path — same as JVM
-    INSERT OVERWRITE."""
+    INSERT OVERWRITE.
+
+    Foreign-orphan GC (ADVICE r6): job-scoped append sweeping means a job
+    that CRASHED between write() and commit() leaves attempt files no
+    later append would ever remove — invisible to readers (never in the
+    manifest) but an unbounded disk leak on long-lived append paths. An
+    append commit therefore also garbage-collects foreign ``part-*``
+    files that are (a) not vouched for by the manifest it just published
+    and (b) older than ``orphan_ttl_sec`` (default 86400; option on the
+    writer). TTL precondition: a CONCURRENT append job must go from first
+    task write to commit in under the TTL, else its in-flight attempts
+    can be swept — the same liveness assumption JVM staging-directory
+    janitors make. Set ``orphan_ttl_sec=0`` to disable the GC."""
+
+    #: default age (seconds) before a foreign orphan attempt file is GC'd
+    ORPHAN_TTL_SEC = 86400.0
 
     def __init__(self, options, overwrite: bool):
         import uuid as _uuid
 
         self.path = options["path"]
         self.overwrite = overwrite
+        self.orphan_ttl_sec = float(
+            options.get("orphan_ttl_sec", self.ORPHAN_TTL_SEC))
         self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator):
@@ -222,12 +239,28 @@ class JsonlSinkWriter(DataSourceWriter):
         # attempt files (retried/speculative tasks), never a concurrent
         # job's in-flight attempts or unrelated files.
         own_prefix = f"part-{self.job_id}-"
+        import time as _time
+        now = _time.time()
         for name in _os.listdir(self.path):
             if name == MANIFEST_NAME or name in keep:
                 continue
-            if self.overwrite or name.startswith(own_prefix):
+            full = _os.path.join(self.path, name)
+            # Foreign-orphan GC (ADVICE r6): a `part-*` file no manifest
+            # vouches for, older than the TTL, was left by a job that
+            # crashed before commit — no future commit would ever claim
+            # it, so age-gate and remove it here.
+            stale_foreign = False
+            if (not self.overwrite and self.orphan_ttl_sec > 0
+                    and name.startswith("part-")
+                    and not name.startswith(own_prefix)):
                 try:
-                    _os.remove(_os.path.join(self.path, name))
+                    stale_foreign = (
+                        now - _os.path.getmtime(full) > self.orphan_ttl_sec)
+                except OSError:
+                    pass
+            if self.overwrite or name.startswith(own_prefix) or stale_foreign:
+                try:
+                    _os.remove(full)
                 except OSError:
                     pass
 

@@ -752,3 +752,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_checkpoint_capture_is_isolated_across_threads():
+    """ADVICE r6: the capture buffer is a ContextVar, so two threads
+    capturing concurrently must each see only their own probes, and
+    closing one context must not clobber the sibling's buffer. (No Spark
+    needed — this exercises the buffer mechanics the fix changed.)"""
+    import importlib
+    import threading
+
+    # plans/__init__ re-exports audit() the function, shadowing the module
+    # name on attribute import — resolve the module explicitly
+    audit_mod = importlib.import_module("pyspark_ml_features_spark.plans.audit")
+
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def worker(tag: str) -> None:
+        with audit_mod.capture_checkpoint_plans() as captured:
+            barrier.wait()  # both captures open simultaneously
+            buf = audit_mod._CAPTURE.get()
+            buf.append({"label": tag})
+            barrier.wait()  # both appended while the other is open
+            results[tag] = list(captured)
+        results[tag + "_after"] = audit_mod._CAPTURE.get()
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"] == [{"label": "a"}]
+    assert results["b"] == [{"label": "b"}]
+    # exiting the context restores "no capture" in that thread only
+    assert results["a_after"] is None and results["b_after"] is None
+    # and the main thread never saw a capture at all
+    assert audit_mod._CAPTURE.get() is None
