@@ -11,10 +11,14 @@ whose output is pairs and can grow quadratically), e69's volumes are
 so the operator cannot blow up on a pathologically self-similar corpus —
 the exact corpus shape that saturates banded pair joins (stress_dedup).
 
-Tiers: sf0.01 (500 docs), sf0.1 (5k), and sf0.1 replicated 5x with a
-per-replica leading marker token (25k docs, maximally cross-duplicated:
-every original passage now repeats in 5 places) — the worst case for any
-pair-based method and the demonstration that the span report stays flat.
+Tiers: sf0.01 (500 docs), sf0.1 (5k), and sf0.1 replicated 5x and 10x
+with a per-replica leading marker token (25k/50k docs, maximally
+cross-duplicated: every original passage now repeats in 5/10 places) —
+the worst case for any pair-based method and the demonstration that the
+span report stays flat. The ×10 tier is the pinned SCALE TIER r7 row
+(VERDICT r6 task 5a): it tests the "output bounded by n_docs" claim at
+replication scale, where hit rows grow ~replication× but out_rows stays
+exactly n_docs-bounded.
 
 Usage: cd /tmp && python /root/repo/scripts/stress_spans.py
 Results recorded in DESIGN_SCALE.md ("Span-level dedup volumes").
@@ -37,12 +41,16 @@ def tiers(spark: SparkSession):
     d001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     d01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n01 = d01.count()
-    reps = spark.range(5).select(F.col("id").alias("rep"))
-    d5x = (d01.crossJoin(reps)
-           .select((F.col("doc_id") + F.col("rep") * n01).alias("doc_id"),
-                   F.concat(F.lit("rep"), F.col("rep").cast("string"),
-                            F.lit(" "), F.col("text")).alias("text")))
-    return [("sf0.01", d001), ("sf0.1", d01), ("sf0.1 x5", d5x)]
+    def replicate(k: int):
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        return (d01.crossJoin(reps)
+                .select((F.col("doc_id") + F.col("rep") * n01)
+                        .alias("doc_id"),
+                        F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                                 F.lit(" "), F.col("text")).alias("text")))
+
+    return [("sf0.01", d001), ("sf0.1", d01),
+            ("sf0.1 x5", replicate(5)), ("sf0.1 x10", replicate(10))]
 
 
 def measure(docs: DataFrame) -> dict:
