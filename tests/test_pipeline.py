@@ -24,6 +24,28 @@ E76_FUNNEL_SF001 = [
 E76_PACKED_BINS_SF001 = 238
 E76_TRAIN_DOCS_SF001 = 297
 
+# Same pins at the BENCH scale (sf0.1) — VERDICT r6 task 8: the
+# integration path is drift-gated at both grading scales, not just the
+# driver's. Measured 2026-08-15; deterministic for the fixed sf_dir.
+E76_FUNNEL_SF01 = [
+    ("exact_dedup", 5000, 4992),
+    ("near_dup_dedup", 4992, 4772),
+    ("decontaminate", 4772, 787),
+    ("quality_filter", 787, 787),
+]
+E76_PACKED_BINS_SF01 = 405
+E76_TRAIN_DOCS_SF01 = 631
+
+
+def test_curation_pipeline_pinned_counts_sf01(spark):
+    """The sf0.1 funnel the demo script prints, as a pinned assertion."""
+    r = curate(spark, "/root/testdata/sf0.1")
+    assert [tuple(t) for t in r["funnel"]] == E76_FUNNEL_SF01
+    assert (r["packed"].select("lang", "shard", "bin_id")
+            .distinct().count()) == E76_PACKED_BINS_SF01
+    assert int(r["split"].agg(F.sum("in_train")).collect()[0][0]
+               or 0) == E76_TRAIN_DOCS_SF01
+
 
 def test_curation_pipeline_end_state(spark):
     r = curate(spark, SF_DIR)
