@@ -1,0 +1,481 @@
+"""Round-7 curation & engine surface: quantile-band length trimming,
+modality-coverage reporting, pipe-syntax join+window, n-gram novelty
+scoring, balanced output sharding, char-n-gram language ID, chunk-level
+dedup stats, and a null-semantics conditional matrix.
+
+Fills the families VERDICT r6 task 7 called thin: E5/E6 get second
+representatives (e87 modality coverage), D18 a second representative
+(d128 null matrix), the d121 pipe-syntax surface gains a join+window
+variant (d127), and the brief's "language-ID (n-gram heuristic)" gets a
+true character-n-gram implementation (t18 — t1 is marker-word based).
+
+Registered AFTER stewardship (queries.py imports this module last) so
+the seven promised stewardship slots stay at the backlog head; with a
+7+8 = 15-entry backlog the whole batch grades inside the single r7
+window (CLAUDE.md rotation contract; simulated before registration).
+
+Reference: the reference repo (six MLlib utilities,
+spark_ml_features.py:1-315) has no curation surface; SURVEY §2-E
+north-star scope.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "e86_length_band_trim",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), b AS (
+    SELECT lang, quantile_cont(n_tokens, 0.05) AS lo_p05,
+           quantile_cont(n_tokens, 0.95) AS hi_p95
+    FROM t GROUP BY lang
+)
+SELECT doc_id, t.lang, n_tokens, lo_p05, hi_p95,
+       CAST(n_tokens >= lo_p05 AND n_tokens <= hi_p95 AS BIGINT) AS keep
+FROM t JOIN b ON t.lang = b.lang
+""",
+    tags=("north-star", "llm-pipeline", "quality", "quantile"),
+)
+def e86_length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE LENGTH-BAND trimming (winsorize-style curation): flag
+    every document outside its language's [p5, p95] token-count band —
+    the standard "drop the pathologically short/long tail" filter run
+    per language because length distributions differ across languages.
+
+    Exact interior-interpolation percentile (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, bit-match probed in d51); the per-lang
+    band table is langs-sized and BROADCASTS back onto the corpus.
+
+    100 TB: one hash aggregate to the per-lang bands (exact percentile
+    buffers per-lang values — at corpus scale swap in approxQuantile
+    exactly like b6→b6b; the band JOIN-BACK shape is unchanged), then a
+    broadcast join + per-row codegen flag. No second corpus shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    bands = d.groupBy("lang").agg(
+        F.percentile("n_tokens", F.lit(0.05)).alias("lo_p05"),
+        F.percentile("n_tokens", F.lit(0.95)).alias("hi_p95"))
+    return (d.join(F.broadcast(bands), "lang")
+            .select("doc_id", "lang", "n_tokens", "lo_p05", "hi_p95",
+                    ((F.col("n_tokens") >= F.col("lo_p05"))
+                     & (F.col("n_tokens") <= F.col("hi_p95")))
+                    .cast("bigint").alias("keep")))
+
+
+@register(
+    "e87_modality_coverage",
+    oracle="""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(e.vec_id) AS BIGINT) AS n_with_vec,
+       CAST(10000 * count(e.vec_id) // count(*) AS BIGINT)
+           AS coverage_bp,
+       CAST(count(DISTINCT e.label) AS BIGINT) AS n_distinct_labels
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.source
+""",
+    tags=("north-star", "E6", "multimodal", "stewardship"),
+)
+def e87_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODALITY-COVERAGE report (E6's second representative): per source,
+    how many documents have an embedding-modality row, the coverage in
+    basis points, and the label diversity of the covered slice — the
+    completeness audit a multimodal training set needs before sampling
+    assumes every doc has every modality.
+
+    LEFT join keeps uncovered docs (count(vec_id) skips their NULLs —
+    the three-valued-logic behavior the oracle mirrors). Fixed-point
+    coverage via 10000L × n DIV total (the d112 integer-ratio rule).
+
+    100 TB: embeddings co-partition with documents on the id key; the
+    aggregate is map-side-combinable on the few-valued source column."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count("vec_id").cast("bigint").alias("n_with_vec"),
+                 F.count_distinct("label").cast("bigint")
+                 .alias("n_distinct_labels"))
+            .select("source", "n_docs", "n_with_vec",
+                    F.expr("CAST(10000L * n_with_vec DIV n_docs AS BIGINT)")
+                    .alias("coverage_bp"),
+                    "n_distinct_labels"))
+
+
+@register(
+    "d127_pipe_syntax_join_window",
+    oracle="""
+WITH a AS (
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+)
+SELECT c_mktsegment, o_orderpriority, n_orders, sum_cents,
+       CAST(rank() OVER (PARTITION BY c_mktsegment
+                         ORDER BY n_orders DESC, o_orderpriority)
+            AS BIGINT) AS rnk
+FROM a
+""",
+    tags=("engine", "sql", "spark4", "window"),
+)
+def d127_pipe_syntax_join_window(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX with a JOIN and a post-aggregate WINDOW — d121
+    proved the linear FROM→WHERE→AGGREGATE lowering; this extends the
+    surface to the two clauses production pipelines actually chain:
+    `|> JOIN` (lowered to the same equi-join as the classic form) and a
+    window function in a piped SELECT (rank of each order priority
+    within its market segment). Tie-break on the priority string keeps
+    rank deterministic.
+
+    100 TB: surface syntax only — identical broadcast-able equi-join +
+    partial/final aggregate + segment-partitioned window as the ANSI
+    form (the oracle)."""
+    import os
+
+    pid = os.getpid()
+    table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_p7_{pid}")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(f"cus_p7_{pid}")
+    return spark.sql(f"""
+        FROM ord_p7_{pid}
+        |> JOIN cus_p7_{pid} ON o_custkey = c_custkey
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_orders, sum(cents) AS sum_cents
+           GROUP BY c_mktsegment, o_orderpriority
+        |> SELECT c_mktsegment, o_orderpriority,
+                  CAST(n_orders AS BIGINT) AS n_orders,
+                  CAST(sum_cents AS BIGINT) AS sum_cents,
+                  CAST(rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY n_orders DESC,
+                                             o_orderpriority)
+                       AS BIGINT) AS rnk
+        """)
+
+
+@register(
+    "e88_ngram_novelty",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, str_split(text, ' ') AS tok FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(tok) >= 3 THEN list_transform(
+               range(1, len(tok) - 1),
+               i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+           ELSE [] END) AS shingles
+    FROM t
+), ref AS (
+    SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+    WHERE doc_id % 5 = 0
+), corpus AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    WHERE doc_id % 5 <> 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE r.shingle IS NULL) AS BIGINT) AS n_novel,
+       CAST(10000 * count(*) FILTER (WHERE r.shingle IS NULL) // count(*)
+            AS BIGINT) AS novelty_bp
+FROM corpus c LEFT JOIN ref r ON c.shingle = r.shingle
+GROUP BY c.doc_id
+""",
+    tags=("north-star", "llm-pipeline", "decontamination", "novelty"),
+)
+def e88_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY score — the inverse of e55's contamination rule:
+    for every corpus document, the share of its DISTINCT 3-gram
+    shingles that do NOT appear anywhere in the reference slice
+    (doc_id % 5 = 0, the e27/e52/e55 benchmark convention). Curation
+    ranks by novelty to prefer documents that add new content over ones
+    that paraphrase what the corpus already holds.
+
+    Docs with fewer than 3 tokens have no shingles and drop out of the
+    explode on both engines (the d72 empty-unnest rule). Fixed-point
+    ratio via 10000L × novel DIV total.
+
+    100 TB: the reference shingle set is eval-slice-sized and
+    BROADCASTS (same posture as e55's decontamination); the corpus side
+    is one explode + one hash aggregate on doc_id — no corpus-×-corpus
+    join anywhere."""
+    t = tokens("text")
+    shingles = F.array_distinct(F.when(
+        F.size(t) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1),
+                        F.element_at(t, i + 2))),
+    ).otherwise(F.array().cast("array<string>")))
+    sh = (table(spark, sf_dir, "documents")
+          .select("doc_id", shingles.alias("sh")))
+    ref = (sh.filter(F.col("doc_id") % 5 == 0)
+           .select(F.explode("sh").alias("shingle")).distinct()
+           .withColumn("hit", F.lit(1)))
+    corpus = (sh.filter(F.col("doc_id") % 5 != 0)
+              .select("doc_id", F.explode("sh").alias("shingle")))
+    return (corpus.join(F.broadcast(ref), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 F.count_if(F.col("hit").isNull()).cast("bigint")
+                 .alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    F.expr("CAST(10000L * n_novel DIV n_shingles AS BIGINT)")
+                    .alias("novelty_bp")))
+
+
+N_SHARDS = 8
+
+
+@register(
+    "e89_balanced_shards",
+    oracle=f"""
+WITH t AS (
+    SELECT (doc_id * 1103515245 + 12345) % 2147483648 % {N_SHARDS}
+               AS shard,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), s AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM t GROUP BY shard
+)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens,
+       CAST(10000 * shard_tokens // sum(shard_tokens) OVER () AS BIGINT)
+           AS share_bp
+FROM s
+""",
+    tags=("north-star", "llm-pipeline", "sharding", "scale"),
+)
+def e89_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED OUTPUT SHARDING report: assign every document to one of
+    N_SHARDS output shards by a portable LCG on doc_id (the pipeline
+    cluster-split's hash — deterministic on any engine, unlike
+    ``hash()`` whose seed differs between Spark and DuckDB) and report
+    per-shard doc/token volumes plus each shard's token share in basis
+    points — the pre-write audit that catches a skewed shard before
+    10^5 writer tasks discover it the slow way.
+
+    100 TB: one map-side-combinable aggregate to N_SHARDS rows; the
+    share window runs over the N_SHARDS-row aggregate, not data. LCG
+    products stay far under 2^63 for any realistic doc_id (< 8×10^9)."""
+    d = table(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648) % F.lit(N_SHARDS)).cast("bigint")
+        .alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    s = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"))
+    return (s.withColumn("total",
+                         F.sum("shard_tokens").over(Window.partitionBy()))
+            .select("shard", "n_docs", "shard_tokens",
+                    F.expr("CAST(10000L * shard_tokens DIV total AS BIGINT)")
+                    .alias("share_bp")))
+
+
+LANGID_TOP_K = 30
+
+
+@register(
+    "t18_char_ngram_langid",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(text) >= 3 THEN list_transform(
+               range(1, len(text) - 1), i -> substr(text, i, 3))
+           ELSE [] END AS gs
+    FROM documents
+), tr AS (
+    SELECT lang, unnest(gs) AS gram FROM g WHERE doc_id % 10 < 8
+), cnt AS (
+    SELECT lang, gram, count(*) AS c FROM tr GROUP BY lang, gram
+), prof AS (
+    SELECT lang, gram FROM (
+        SELECT lang, gram, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, gram) AS rn
+        FROM cnt) WHERE rn <= {LANGID_TOP_K}
+), te AS (
+    SELECT doc_id, lang, unnest(list_distinct(gs)) AS gram
+    FROM g WHERE doc_id % 10 >= 8
+), sc AS (
+    SELECT te.doc_id, te.lang, prof.lang AS lang2,
+           CAST(count(*) AS BIGINT) AS score
+    FROM te JOIN prof ON te.gram = prof.gram
+    GROUP BY te.doc_id, te.lang, prof.lang
+), b AS (
+    SELECT doc_id, max(score) AS best FROM sc GROUP BY doc_id
+)
+SELECT sc.doc_id, sc.lang, max(sc.lang2) AS predicted_lang,
+       CAST(b.best AS BIGINT) AS best_score
+FROM sc JOIN b ON sc.doc_id = b.doc_id AND sc.score = b.best
+GROUP BY sc.doc_id, sc.lang, b.best
+""",
+    tags=("north-star", "text-analysis", "langid"),
+)
+def t18_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-N-GRAM language ID — the classic Cavnar-Trenkle n-gram
+    profile heuristic (the brief's "language-ID (n-gram heuristic)"
+    item; t1's marker-word scorer is the dictionary variant). Train
+    slice (doc_id % 10 < 8) builds a top-{LANGID_TOP_K} char-trigram
+    profile per language (count desc, gram tie-break); each held-out
+    doc is scored by how many of its DISTINCT trigrams hit each
+    profile, predicted = argmax score with max-lang tie-break (the
+    two-level max construction — portable where composite arg_max is
+    not). Docs sharing no trigram with any profile drop out (inner
+    scoring join) on both engines.
+
+    100 TB: the profile is (langs × K) rows and BROADCASTS; the
+    held-out side is one explode + two bounded aggregates (per-doc
+    groups ≤ n_langs rows). No corpus-×-corpus work."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= 3,
+        F.transform(F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substring(F.col("text"), i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", "lang", grams.alias("gs"))
+    cnt = (g.filter(F.col("doc_id") % 10 < 8)
+           .select("lang", F.explode("gs").alias("gram"))
+           .groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    prof = (cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= LANGID_TOP_K)
+            .select(F.col("lang").alias("lang2"), "gram"))
+    te = (g.filter(F.col("doc_id") % 10 >= 8)
+          .select("doc_id", "lang",
+                  F.explode(F.array_distinct("gs")).alias("gram")))
+    sc = (te.join(F.broadcast(prof), "gram")
+          .groupBy("doc_id", "lang", "lang2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("score")))
+    wb = Window.partitionBy("doc_id")
+    return (sc.withColumn("best", F.max("score").over(wb))
+            .filter(F.col("score") == F.col("best"))
+            .groupBy("doc_id", "lang", "best")
+            .agg(F.max("lang2").alias("predicted_lang"))
+            .select("doc_id", "lang", "predicted_lang",
+                    F.col("best").cast("bigint").alias("best_score")))
+
+
+DEDUP_CHUNK = 32
+
+
+@register(
+    "e90_chunk_dedup_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT source, str_split(text, ' ') AS tok FROM documents
+), c AS (
+    SELECT source,
+           array_to_string(list_slice(tok, i, i + {DEDUP_CHUNK} - 1), ' ')
+               AS chunk
+    FROM t, unnest(range(1, len(tok) + 1, {DEDUP_CHUNK})) AS u(i)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks,
+       CAST((count(*) - count(DISTINCT chunk)) * 10000 // count(*)
+            AS BIGINT) AS dup_bp
+FROM c GROUP BY source
+""",
+    tags=("north-star", "llm-pipeline", "dedup", "chunking"),
+)
+def e90_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL duplication stats: cut every document into
+    non-overlapping {DEDUP_CHUNK}-token chunks (e23's slicing at stride
+    = size) and measure per-source chunk duplication — the granularity
+    between e1's whole-document and e31's line-level dedup, and the one
+    that matters when training consumes fixed-context chunks rather
+    than documents: a corpus can be document-unique yet feed the model
+    the same chunk thousands of times.
+
+    100 TB: explode is linear in corpus tokens; the distinct-count
+    aggregate shuffles (source, chunk) once — production swaps the
+    chunk string for its 64-bit fingerprint exactly as e36 does for
+    documents (kept as the string here for oracle exactness, the e80
+    adjudication)."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(DEDUP_CHUNK))
+    chunks = F.transform(starts,
+                         lambda i: F.concat_ws(" ",
+                                               F.slice(t, i, DEDUP_CHUNK)))
+    c = d.select("source", F.explode(chunks).alias("chunk"))
+    return (c.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.count_distinct("chunk").cast("bigint")
+                 .alias("n_distinct_chunks"))
+            .select("source", "n_chunks", "n_distinct_chunks",
+                    F.expr(f"CAST((n_chunks - n_distinct_chunks) * 10000L "
+                           f"DIV n_chunks AS BIGINT)").alias("dup_bp")))
+
+
+@register(
+    "d128_conditional_null_matrix",
+    oracle="""
+WITH r AS (
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS r_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS r_cents
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+), j AS (
+    SELECT o_orderpriority,
+           CASE WHEN r.r_items IS NULL THEN 'no_returns'
+                WHEN r.r_items > 2 THEN 'heavy' ELSE 'light' END AS flag,
+           coalesce(r.r_cents, 0) * 10000
+               // nullif(CAST(round(o_totalprice * 100) AS BIGINT), 0)
+               AS ratio_bp
+    FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderpriority, flag,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(ratio_bp) AS BIGINT) AS sum_ratio_bp
+FROM j GROUP BY o_orderpriority, flag
+""",
+    tags=("engine", "D18", "conditional", "null-semantics"),
+)
+def d128_conditional_null_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """NULL-SEMANTICS conditional matrix (D18's second representative):
+    orders LEFT-joined to their returned-items rollup produce REAL
+    NULLs (most orders have no 'R' lineitems), then the full
+    conditional toolkit works over them — a NULL-aware CASE bucketing,
+    ``coalesce`` defaulting, and ``nullif`` div-by-zero guarding — all
+    aggregated into a priority × flag matrix. Fixed-point return-value
+    share via integer DIV (the d112 rule; operands positive).
+
+    100 TB: the returns rollup is a partial-aggregated shuffle on
+    orderkey; the join is the orders⋈lineitem equi-join every TPC-H
+    query shapes; the final matrix is tiny."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    r = (li.filter(F.col("l_returnflag") == "R")
+         .groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("r_items"),
+              F.sum(F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")).cast("bigint").alias("r_cents")))
+    j = (o.join(r, o.o_orderkey == r.l_orderkey, "left")
+         .select("o_orderpriority",
+                 F.when(F.col("r_items").isNull(), "no_returns")
+                 .when(F.col("r_items") > 2, "heavy")
+                 .otherwise("light").alias("flag"),
+                 F.expr("coalesce(r_cents, 0L) * 10000L DIV "
+                        "nullif(CAST(round(o_totalprice * 100) AS BIGINT), "
+                        "0L)").alias("ratio_bp")))
+    return (j.groupBy("o_orderpriority", "flag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("ratio_bp").cast("bigint").alias("sum_ratio_bp")))

@@ -49,6 +49,12 @@ from pyspark_ml_features_spark import pipeline  # noqa: F401, E402
 # queue and evict a promised slot).
 from pyspark_ml_features_spark.operators import stewardship  # noqa: F401, E402
 
+# Round-7 batch, imported after stewardship so the seven promised
+# stewardship slots stay at the backlog head; 7 + 8 = 15 backlog entries
+# all fit the r7 window (post-saturation same-round grading, SURVEY §8f
+# item 3 — simulated against the landed r6 grades before registration).
+from pyspark_ml_features_spark.operators import curation7  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

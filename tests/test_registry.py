@@ -132,6 +132,16 @@ DEFERRED_ORACLES: set[str] = {
     "d125_scd2_temporal_join",
     "e85_packing_utilization",
     "d126_time_to_convert",
+    # round-7 batch (operators/curation7.py, imported after stewardship):
+    # all 8 inside the r7 window (15-entry backlog), grades land r7
+    "e86_length_band_trim",
+    "e87_modality_coverage",
+    "d127_pipe_syntax_join_window",
+    "e88_ngram_novelty",
+    "e89_balanced_shards",
+    "t18_char_ngram_langid",
+    "e90_chunk_dedup_stats",
+    "d128_conditional_null_matrix",
 }
 
 
