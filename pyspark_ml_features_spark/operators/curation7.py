@@ -479,3 +479,146 @@ def d128_conditional_null_matrix(spark: SparkSession,
     return (j.groupBy("o_orderpriority", "flag")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                  F.sum("ratio_bp").cast("bigint").alias("sum_ratio_bp")))
+
+
+@register(
+    "e91_temperature_mixture",
+    oracle="""
+WITH lt AS (
+    SELECT lang,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS lang_tokens
+    FROM documents GROUP BY lang
+), tot AS (
+    SELECT CAST(sum(lang_tokens) AS BIGINT) AS total,
+           list_reduce(list_sort(list(sqrt(lang_tokens))),
+                       (a, x) -> a + x) AS sum_r
+    FROM lt
+)
+SELECT lang, lang_tokens,
+       round(CAST(lang_tokens AS DOUBLE) / total, 6) AS share_6dp,
+       round(sqrt(lang_tokens) / sum_r, 6) AS temp_share_6dp,
+       round((sqrt(lang_tokens) / sum_r)
+             / (CAST(lang_tokens AS DOUBLE) / total), 6) AS boost_6dp
+FROM lt, tot
+""",
+    tags=("north-star", "llm-pipeline", "mixture", "sampling"),
+)
+def e91_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture reweighting (the multilingual-sampling
+    rule: sample language i with probability ∝ share_i^α, α = 0.5): the
+    sub-linear exponent upsamples low-resource languages relative to
+    their raw token share — the standard fix for high-resource languages
+    drowning the mixture. e57 rebalances to an EQUAL target; this is the
+    smooth interpolation between natural (α=1) and equal (α=0).
+
+    Exactness: α = 0.5 means ``sqrt`` — IEEE-correctly-rounded on both
+    engines (algebraic, unlike the banned libm transcendentals), and
+    sqrt(lang_tokens) of an exact BIGINT is bit-identical. The one
+    cross-row float sum (Σ√tokens) is made order-deterministic by an
+    explicit left fold over the SORTED value list on BOTH engines (the
+    parity-rules fold discipline); final ratios round to 6 dp (the e48
+    cross-row rule).
+
+    100 TB: one map-side-combinable aggregate to n_langs rows; the fold
+    runs over an n_langs-sized array broadcast in a 1-row crossJoin."""
+    lt = (table(spark, sf_dir, "documents")
+          .groupBy("lang")
+          .agg(F.sum(F.size(tokens("text")).cast("bigint"))
+               .cast("bigint").alias("lang_tokens")))
+    tot = (lt.agg(F.sum("lang_tokens").cast("bigint").alias("total"),
+                  F.collect_list(F.sqrt("lang_tokens")).alias("rs"))
+           .select("total",
+                   F.aggregate(F.array_sort("rs"), F.lit(0.0),
+                               lambda a, x: a + x).alias("sum_r")))
+    return (lt.crossJoin(F.broadcast(tot))
+            .select("lang", "lang_tokens",
+                    F.round(F.col("lang_tokens").cast("double")
+                            / F.col("total"), 6).alias("share_6dp"),
+                    F.round(F.sqrt("lang_tokens") / F.col("sum_r"), 6)
+                    .alias("temp_share_6dp"),
+                    F.round((F.sqrt("lang_tokens") / F.col("sum_r"))
+                            / (F.col("lang_tokens").cast("double")
+                               / F.col("total")), 6).alias("boost_6dp")))
+
+
+@register(
+    "d129_lateral_column_alias",
+    oracle="""
+WITH c AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       cents * 3 AS triple_cents,
+       cents * 3 + cents AS quad_cents,
+       (cents * 3 + cents) % 97 AS quad_mod97
+FROM c
+""",
+    tags=("engine", "sql", "spark4", "lateral-alias"),
+)
+def d129_lateral_column_alias(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+/DuckDB both support them): a
+    SELECT item referencing an alias defined EARLIER IN THE SAME SELECT
+    (`cents AS c, c*3 AS t, t+c AS q`), chained three deep — the
+    ergonomic form every hand-written feature-derivation query wants.
+    The oracle is the fully EXPANDED expression tree, proving Spark's
+    alias resolution substitutes rather than re-evaluates differently
+    (exact integer arithmetic, so any divergence would hash).
+
+    100 TB: pure per-row codegen over one pushed-filter scan — the
+    aliases collapse into a single Project node."""
+    import os
+
+    view = f"ord_lca_{os.getpid()}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents * 3 AS triple_cents,
+               triple_cents + cents AS quad_cents,
+               quad_cents % 97 AS quad_mod97
+        FROM {view} WHERE o_orderstatus = 'O'
+        """)
+
+
+@register(
+    "a28_binaryfile_scan",
+    oracle="""
+SELECT source,
+       CAST(sum(len(text)) + count(*) AS BIGINT) AS n_bytes
+FROM documents GROUP BY source
+""",
+    tags=("engine", "source", "binary", "multimodal"),
+)
+def a28_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARYFILE source (`spark.read.format("binaryFile")`) — the
+    opaque-bytes ingestion path every multimodal pipeline starts from
+    (image/audio/video files land as (path, length, content) rows
+    BEFORE any decode). Round-trip proof: documents are written as a
+    source-partitioned TEXT sink (one newline per row — ASCII corpus,
+    so chars = bytes), read back as whole binary files, and the
+    per-source BYTE totals from file metadata must hash-match byte
+    totals computed from the ORIGINAL table (the a15 oracle trick) —
+    sum(length) over files ≡ sum(len(text)) + one newline per row.
+
+    100 TB: binaryFile scans parallelize per file and never load a file
+    on the driver; partition-dir names carry the routing column so no
+    content parse is needed for grouping. Decode stays in Arrow-batched
+    mapInPandas downstream (e12/e71's posture)."""
+    from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
+
+    out = pid_scoped("pmfs_docs_text_by_source")
+    d = table(spark, sf_dir, "documents")
+    (d.select("source", "text").write.mode("overwrite")
+     .partitionBy("source").text(out))
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "false")
+             .load(out + "/source=*"))
+    return (files
+            .select(F.regexp_extract(F.col("path"), r"source=([^/]+)", 1)
+                    .alias("source"),
+                    F.col("length"))
+            .groupBy("source")
+            .agg(F.sum("length").cast("bigint").alias("n_bytes")))

@@ -315,6 +315,7 @@ BNLJ_ALLOWED = {
     "e68_cluster_pair_similarity",  # all-pairs cluster ground truth
                                     # (bounded; scale path = cluster-level
                                     # banding, see docstring)
+    "e91_temperature_mixture",  # single-row (total, sum_r) cross join
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

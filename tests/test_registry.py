@@ -142,6 +142,9 @@ DEFERRED_ORACLES: set[str] = {
     "t18_char_ngram_langid",
     "e90_chunk_dedup_stats",
     "d128_conditional_null_matrix",
+    "e91_temperature_mixture",
+    "d129_lateral_column_alias",
+    "a28_binaryfile_scan",
 }
 
 
