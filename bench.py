@@ -126,6 +126,17 @@ HEADLINE = [
     # classic agg, window frames).
     "e80_boilerplate_ngrams",
     "d122_blocked_linkage",
+    # round-7: the two new plan shapes of the batch — t18's double
+    # broadcast-profile scoring (train-profile build + held-out scoring
+    # join + two-level max) and e90's chunk-string distinct aggregate
+    # (e80's volume class at chunk granularity). The other nine
+    # (e86/e87/e88/e89/e91/d127/d128/d129/a28) ride shapes the headline
+    # already times (percentile+broadcast join-back, left-join agg,
+    # broadcast decontaminate, tiny-agg window, single-row cross join,
+    # pipe lowering, classic equi-join agg, project-only, text/binary
+    # sink-source round-trip).
+    "t18_char_ngram_langid",
+    "e90_chunk_dedup_stats",
 ]
 
 

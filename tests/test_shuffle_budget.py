@@ -92,6 +92,10 @@ MEASURED_SHUFFLE_MIB = {
     "d118_count_min_sketch": 0.04,
     "e80_boilerplate_ngrams": 0.59,
     "d122_blocked_linkage": 0.00,
+    # round-7 headline additions (measured 2026-08-15 via
+    # scripts/measure_shuffle.py at sf0.01)
+    "t18_char_ngram_langid": 0.05,
+    "e90_chunk_dedup_stats": 0.10,
 }
 
 #: single headroom constant over the measured baseline (ADVICE r6)
