@@ -28,7 +28,7 @@ def main() -> None:
     spark = get_spark(app_name="measure-shuffle")
     qs = registry.all_queries()
     print("# measured at", SF_DIR)
-    print("MEASURED_SHUFFLE_MIB = {")
+    print("MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)")
     stats = {}
     for name in names:
         with capture_checkpoint_plans() as captured:
@@ -40,12 +40,10 @@ def main() -> None:
         spill = round(sum(r["spill_MiB"] for r in rows), 2)
         peak = round(max(r["peak_task_MiB"] for r in rows), 1)
         stats[name] = (shuffle, spill, peak)
-        print(f'    "{name}": {shuffle:.2f},  # spill {spill}, '
-              f"peak_task {peak} MiB")
+        print(f'    "{name}": ({shuffle:.2f}, {peak}),'
+              f"  # spill {spill}")
     print("}")
-    worst_peak = max(v[2] for v in stats.values())
     spilled = {k: v[1] for k, v in stats.items() if v[1] > 0}
-    print(f"# max peak_task across headline: {worst_peak} MiB")
     print(f"# queries with spill: {spilled or 'none'}")
 
 

@@ -660,33 +660,42 @@ def test_qgram_fuzzy_join_is_hash_join_on_gram(spark):
 
 def test_distributed_rank_uses_range_partitioning(spark):
     """d106's global-ranking primitive must range-partition on the full
-    ordering key (the pre-checkpoint stage — localCheckpoint truncates
-    the final plan's lineage, so assert on the stage itself) and rank
-    inside pid-bounded windows, never a partition-less window that would
-    funnel a feature column into one task."""
+    ordering key and sort WITHIN partitions in that same stage (the
+    pre-checkpoint plan, captured via probe_checkpoint — localCheckpoint
+    truncates the final lineage), and the rank itself must be a PURE
+    PROJECTION over the checkpoint: the round-7 mono-id encoding removed
+    the pid window and with it the Exchange hashpartitioning(pid) that
+    Catalyst planned above the checkpoint (a second full-data shuffle).
+    A Window or Exchange reappearing in the post-checkpoint plan is the
+    regression this test pins out."""
     import pyspark.sql.functions as F
-
-    df = spark.range(100).select(
-        (F.col("id") % 7).alias("v"), F.col("id").alias("k"))
-    staged = df.repartitionByRange(8, "v", "k")
-    pre = staged._sc._jvm.PythonSQLUtils.explainString(
-        staged._jdf.queryExecution(), "formatted")
-    assert "rangepartitioning" in pre.lower()
 
     from pyspark_ml_features_spark.operators.relational6 import (
         distributed_row_number,
     )
+    from pyspark_ml_features_spark.plans.audit import (
+        audit_text, capture_checkpoint_plans,
+    )
 
-    out = distributed_row_number(df, ["v", "k"], 8)
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("k"))
+    with capture_checkpoint_plans() as captured:
+        out = distributed_row_number(df, ["v", "k"], 8)
+    assert captured, "primitive no longer routes through probe_checkpoint"
+    pre = captured[-1]["plan"]
+    assert "rangepartitioning" in pre.lower(), \
+        "pre-checkpoint stage must range-partition on the ordering key"
+    assert "Sort" in pre, \
+        "pre-checkpoint stage must sort within partitions"
+    assert "monotonically_increasing_id" in pre, \
+        "rank encoding must ride monotonically_increasing_id"
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
-    assert "Window" in plan, "expected a Window operator for the local rank"
-    # formatted explain puts window args on their own 'Arguments:' line:
-    # the spec must partition by pid (bounded partitions), i.e. every
-    # windowspecdefinition leads with the pid column
-    specs = [seg for seg in plan.split("windowspecdefinition(")[1:]]
-    assert specs and all(seg.startswith("pid") for seg in specs), \
-        "rank window must partition by pid (bounded partitions)"
+    assert "Window" not in plan, \
+        "rank must be a projection — a Window re-adds a full-data exchange"
+    assert audit_text(plan).shuffles == 0, \
+        "no Exchange may appear above the checkpoint (the r5-r6 " \
+        "executed-plan finding this encoding eliminated)"
 
 
 def test_pagerank_round_is_single_shuffle_join(spark):
