@@ -275,3 +275,41 @@ def e8b_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("tfidf_l1"),
         F.aggregate(arr, F.lit(0.0),
                     lambda a, x: F.greatest(a, x)).alias("tfidf_max"))
+
+
+@register("b13_model_persistence", tags=("reference", "B-family", "ml",
+                                         "persistence"))
+def b13_model_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MODEL PERSISTENCE round-trip — the deployment half the
+    reference never exercises (its models live and die in one session;
+    spark_ml_features.py:106-128 fits and transforms inline): fit the B5
+    LogisticRegression, ``save()`` it through MLWriter (the
+    Parquet+JSON metadata layout every Spark model serializes to),
+    ``LogisticRegressionModel.load()`` it back, and return the RELOADED
+    model's predictions. The invariant test pins bit-identical
+    (prediction, probability) between the in-memory and reloaded model
+    over the full fixture — the property a train-here/serve-there
+    pipeline depends on.
+
+    Rows-only: the iterative LBFGS fit is not SQL-expressible (same
+    class as B3/B5). 100 TB: persistence cost is model-sized (KBs);
+    scoring is one broadcast of the coefficients inside
+    ``model.transform`` — per-row codegen, no shuffle."""
+    from pyspark.ml.classification import (
+        LogisticRegression, LogisticRegressionModel,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
+
+    df = _featured_lineitem(spark, sf_dir)
+    model = LogisticRegression(labelCol="label",
+                               probabilityCol="probability",
+                               maxIter=20).fit(df)
+    path = pid_scoped("pmfs_b13_lr_model")
+    model.write().overwrite().save(path)
+    reloaded = LogisticRegressionModel.load(path)
+    prob = vector_to_array("probability")
+    return (reloaded.transform(df)
+            .select("l_orderkey", "l_linenumber", "label", "prediction",
+                    *[prob[i].alias(f"p{i}") for i in range(3)]))

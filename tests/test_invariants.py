@@ -727,3 +727,35 @@ def test_three_pass_sorted_neighborhood_ceiling_curve(run, spark):
     # the second's (the plateau that caps multi-pass SN vs banding)
     r1 = 0.100  # e63 measured (re-verified r5)
     assert (r3 - r2) <= (r2 - r1) + 0.02
+
+
+def test_b13_reloaded_model_predicts_identically(spark):
+    """b13's contract: an MLWriter save + load round-trip must not change
+    a single prediction or probability — coefficients serialize exactly
+    (Parquet doubles), so train-here/serve-there is bit-stable."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.classification import (
+        LogisticRegression, LogisticRegressionModel,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    from pyspark_ml_features_spark.operators.ml import _featured_lineitem
+    from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
+    from tests.conftest import SF_DIR
+
+    df = _featured_lineitem(spark, SF_DIR)
+    model = LogisticRegression(labelCol="label",
+                               probabilityCol="probability",
+                               maxIter=20).fit(df)
+    path = pid_scoped("pmfs_b13_invariant_model")
+    model.write().overwrite().save(path)
+    reloaded = LogisticRegressionModel.load(path)
+    prob = vector_to_array("probability")
+    cols = ["l_orderkey", "l_linenumber", "prediction",
+            prob[0].alias("p0"), prob[1].alias("p1"), prob[2].alias("p2")]
+    a = model.transform(df).select(*cols)
+    b = reloaded.transform(df).select(*cols)
+    # bit-identical: exceptAll in both directions is empty
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
