@@ -929,3 +929,73 @@ def e66_cluster_split_no_leakage(spark: SparkSession,
     return (summary.crossJoin(F.broadcast(n_leak))
             .select("n_train_docs", "n_eval_docs", "n_clusters",
                     F.col("n_leak").alias("n_leak_pairs")))
+
+
+@register(
+    "e92_incremental_packing",
+    oracle=_GREEDY_PACK_CTE + """
+SELECT lang, shard, doc_id, n_tokens, bin_id FROM pack
+WHERE doc_id >= (SELECT max(doc_id) * 3 // 5 FROM documents)
+""",
+    tags=("north-star", "packing", "incremental", "udf"),
+)
+def e92_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL greedy packing — continue e51's first-fit-in-order fold
+    over a NEW document batch without repacking the committed corpus:
+    the next-fit state is just (last bin_id, its fill) per (lang, shard),
+    so packing is PREFIX-COMPOSABLE — pack(old) ⊕ fold(new, state) must
+    equal the new-batch slice of pack(old ∪ new). The oracle IS that
+    equality: the full-corpus recursive-CTE fold filtered to the new
+    batch (doc_id ≥ ⌊max·3/5⌋), so the driver hash-checks composability
+    itself, not just shape. Completes the incremental family (e1b exact
+    dedup, e32 near-dedup, e19 rollups, e47 components) for packing —
+    the op a daily-append corpus runs instead of repacking 100 TB.
+
+    Engine: e51's Arrow fold with a broadcast (init_bin, init_fill)
+    state row per group (groups born in the new batch start at zero).
+    Only five scalar columns cross the Arrow boundary; the committed
+    corpus is read once to derive state and never re-folded.
+
+    Snapshot contract (e79's family note): the split threshold is
+    collected at build time, so the returned DataFrame is a snapshot of
+    the corpus at construction."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    thr = int(d.agg((F.max("doc_id") * 3).cast("bigint")).collect()[0][0]
+              ) // 5
+    n_tok = F.size(tokens("text")).cast("bigint")
+    base = d.select("lang", (F.col("doc_id") % 4).alias("shard"),
+                    "doc_id", n_tok.alias("n_tokens"))
+    old = base.filter(F.col("doc_id") < thr)
+    new = base.filter(F.col("doc_id") >= thr)
+    old_packed = greedy_pack(old, GREEDY_PACK_CAP)
+    bins = (old_packed.groupBy("lang", "shard", "bin_id")
+            .agg(F.sum("n_tokens").alias("fill")))
+    state = (bins.groupBy("lang", "shard")
+             .agg(F.max("bin_id").alias("init_bin"),
+                  F.expr("max_by(fill, bin_id)").alias("init_fill")))
+    staged = (new.join(F.broadcast(state), ["lang", "shard"], "left")
+              .fillna(0, subset=["init_bin", "init_fill"]))
+
+    cap = GREEDY_PACK_CAP
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id = int(pdf["init_bin"].iloc[0])
+        fill = int(pdf["init_fill"].iloc[0])
+        out = []
+        for n in pdf["n_tokens"]:
+            if bin_id == 0 or fill + n > cap:
+                bin_id += 1
+                fill = n
+            else:
+                fill += n
+            out.append(bin_id)
+        pdf["bin_id"] = pd.Series(out, dtype="int64")
+        return pdf[["lang", "shard", "doc_id", "n_tokens", "bin_id"]]
+
+    return staged.groupBy("lang", "shard").applyInPandas(
+        pack_group,
+        schema="lang string, shard bigint, doc_id bigint, "
+               "n_tokens bigint, bin_id bigint")

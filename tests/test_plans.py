@@ -346,6 +346,9 @@ ARROW_ALLOWED = {
                               # is e51's, inherited unchanged
     "e85_packing_utilization",  # e51's fold + a bounded aggregate; same
                                 # inherited Arrow boundary
+    "e92_incremental_packing",  # e51's fold continued from broadcast
+                                # (init_bin, init_fill) state; same
+                                # five-scalar Arrow boundary
 }
 
 

@@ -145,6 +145,7 @@ DEFERRED_ORACLES: set[str] = {
     "e91_temperature_mixture",
     "d129_lateral_column_alias",
     "a28_binaryfile_scan",
+    "e92_incremental_packing",
 }
 
 
