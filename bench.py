@@ -130,11 +130,12 @@ HEADLINE = [
     # broadcast-profile scoring (train-profile build + held-out scoring
     # join + two-level max) and e90's chunk-string distinct aggregate
     # (e80's volume class at chunk granularity). The other nine
-    # (e86/e87/e88/e89/e91/d127/d128/d129/a28) ride shapes the headline
-    # already times (percentile+broadcast join-back, left-join agg,
-    # broadcast decontaminate, tiny-agg window, single-row cross join,
-    # pipe lowering, classic equi-join agg, project-only, text/binary
-    # sink-source round-trip).
+    # (e86/e87/e88/e89/e91/d127/d128/d129/a28, plus the late-round e92
+    # incremental pack and b13 model persistence) ride shapes the
+    # headline already times (percentile+broadcast join-back, left-join
+    # agg, broadcast decontaminate, tiny-agg window, single-row cross
+    # join, pipe lowering, classic equi-join agg, project-only,
+    # text/binary sink-source round-trip, e51's Arrow fold, MLlib fit).
     "t18_char_ngram_langid",
     "e90_chunk_dedup_stats",
 ]
