@@ -631,3 +631,135 @@ def a28_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("length"))
             .groupBy("source")
             .agg(F.sum("length").cast("bigint").alias("n_bytes")))
+
+
+@register(
+    "e93_quality_decile_dup_rate",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, lower(trim(text)) AS k,
+           0.3 * (len(list_distinct(str_split(text, ' ')))::DOUBLE
+                  / len(str_split(text, ' ')))
+         + 0.3 * (1.0 - len(list_filter(str_split(text, ' '),
+               t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)
+               ))::DOUBLE / len(str_split(text, ' ')))
+         + 0.4 * least((list_sum(list_transform(str_split(text, ' '),
+               t -> length(t)))::DOUBLE / len(str_split(text, ' ')))
+               / 10.0, 1.0) AS q
+    FROM documents
+), dup AS (
+    SELECT k, count(*) AS members FROM m GROUP BY k
+), rk AS (
+    SELECT m.doc_id, m.q, dup.members,
+           row_number() OVER (ORDER BY m.q, m.doc_id) AS rn,
+           count(*) OVER () AS n
+    FROM m JOIN dup ON m.k = dup.k
+)
+SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE members >= 2) AS BIGINT) AS n_dup_docs,
+       CAST(10000 * count(*) FILTER (WHERE members >= 2) // count(*)
+            AS BIGINT) AS dup_bp
+FROM rk GROUP BY 1
+""",
+    tags=("north-star", "llm-pipeline", "quality", "dedup", "analytics"),
+)
+def e93_quality_decile_dup_rate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """QUALITY × DUPLICATION interaction — the curation-analytics question
+    behind every filtering threshold: are low-quality documents also the
+    duplicated ones? Score each doc with t2's exact quality formula,
+    rank the corpus into quality deciles, and report the exact-dup rate
+    (e1's normalized-text multiplicity ≥ 2) per decile. A monotone
+    dup_bp column tells the curator one threshold removes both
+    pathologies at once; a flat one says dedup and quality filtering
+    are independent passes.
+
+    The decile comes from the round-7 window-free ranking primitive
+    (decile = (grk−1)·10 DIV n — a SINGLE-partition ntile would funnel
+    the corpus into one task), mirrored in the oracle by the
+    single-partition window it replaces. Ordering ties break on doc_id;
+    the quality double is bit-identical cross-engine (t2's fixed
+    evaluation order), so rank order is too.
+
+    100 TB: t2's map-side score + e1's hash-agg multiplicity + one
+    range shuffle for the ranking + a 10-row aggregate."""
+    from pyspark_ml_features_spark.functions.text import STOPWORDS
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    q = (F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double")
+                       / n_tokens)
+         + F.lit(0.3) * (F.lit(1.0) - F.size(
+             F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+         ).cast("double") / n_tokens)
+         + F.lit(0.4) * F.least(
+             F.aggregate(toks, F.lit(0).cast("bigint"),
+                         lambda a, t: a + F.length(t)).cast("double")
+             / n_tokens / 10.0, F.lit(1.0)))
+    m = d.select("doc_id", F.lower(F.trim("text")).alias("k"),
+                 q.alias("q"))
+    dup = m.groupBy("k").agg(F.count(F.lit(1)).alias("members"))
+    scored = m.join(dup, "k").select("doc_id", "q", "members")
+    ranked = distributed_row_number(scored, ["q", "doc_id"], 16)
+    n = scored.count()
+    return (ranked
+            .withColumn("decile",
+                        F.expr(f"CAST((grk - 1) * 10 DIV {n} AS BIGINT)"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_if(F.col("members") >= 2).cast("bigint")
+                 .alias("n_dup_docs"))
+            .select("decile", "n_docs", "n_dup_docs",
+                    F.expr("CAST(10000L * n_dup_docs DIV n_docs AS BIGINT)")
+                    .alias("dup_bp")))
+
+
+@register(
+    "a29_multiline_csv_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY source
+""",
+    tags=("engine", "source", "csv", "multiline"),
+)
+def a29_multiline_csv_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """MULTILINE-QUOTED CSV round-trip — the CSV corner that breaks naive
+    line-splitting ingest: every document's spaces become embedded
+    NEWLINES, forcing the writer to quote each field across many
+    physical lines; reading it back requires ``multiLine=true`` (the
+    whole-file parse mode — without it every physical line is a
+    row and the counts explode). The restored per-source doc and char
+    totals must hash-match the ORIGINAL table (the a15 oracle trick),
+    proving the quote-aware writer/parser pair is lossless on
+    line-break-bearing text.
+
+    100 TB: multiLine CSV files are NOT splittable (one parse task per
+    file) — acceptable for many small files, wrong for single huge
+    ones; the docstring is the warning and parquet is the fix. The
+    parallelism here comes from writing many part files."""
+    from pyspark_ml_features_spark.tmp_artifacts import pid_scoped
+
+    out = pid_scoped("pmfs_docs_multiline_csv")
+    d = table(spark, sf_dir, "documents")
+    (d.select("doc_id", "source",
+              F.regexp_replace("text", " ", "\n").alias("text_nl"))
+     .write.mode("overwrite").option("header", "true").csv(out))
+    back = (spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .schema("doc_id bigint, source string, text_nl string")
+            .csv(out))
+    return (back.select("source",
+                        F.length(F.regexp_replace("text_nl", "\n", " "))
+                        .cast("bigint").alias("n_chars_doc"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars_doc").cast("bigint").alias("n_chars")))

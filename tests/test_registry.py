@@ -146,6 +146,8 @@ DEFERRED_ORACLES: set[str] = {
     "d129_lateral_column_alias",
     "a28_binaryfile_scan",
     "e92_incremental_packing",
+    "e93_quality_decile_dup_rate",
+    "a29_multiline_csv_roundtrip",
 }
 
 
