@@ -26,6 +26,27 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def word_ngrams(tok_col: Column | str, n: int) -> Column:
+    """Guarded word-n-gram strings over a MATERIALIZED token-array COLUMN:
+    ``concat_ws(' ', slice(toks, i, n))`` per position, empty array when
+    the doc has fewer than n tokens (Spark's ``sequence(1, 0)`` is
+    DESCENDING — the t7 guard).
+
+    ``tok_col`` must be a real column (``F.col("toks")``), never the
+    ``split(text)`` EXPRESSION: a transform() lambda re-evaluates any
+    enclosing expression its body references on EVERY element reference,
+    which turned per-doc gram extraction O(tokens²) — re-splitting the
+    document once per element_at — and cost e80 10× (5.6 → 0.5 s at
+    sf0.1, round-7 finding). One slice per gram also replaces n separate
+    element_at calls."""
+    tk = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def rolling_hash(text: Column | str, base: int = HASH_BASE) -> Column:
     """Deterministic polynomial rolling hash of a string:
     ``h = fold(chars, 0, (acc, c) -> (acc*base + ascii(c)) % (2^31-1))``.

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -213,16 +213,12 @@ def e88_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS (same posture as e55's decontamination); the corpus side
     is one explode + one hash aggregate on doc_id — no corpus-×-corpus
     join anywhere."""
-    t = tokens("text")
-    shingles = F.array_distinct(F.when(
-        F.size(t) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(t) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1),
-                        F.element_at(t, i + 2))),
-    ).otherwise(F.array().cast("array<string>")))
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
     sh = (table(spark, sf_dir, "documents")
-          .select("doc_id", shingles.alias("sh")))
+          .select("doc_id", tokens("text").alias("__toks"))
+          .select("doc_id",
+                  F.array_distinct(word_ngrams("__toks", 3)).alias("sh")))
     ref = (sh.filter(F.col("doc_id") % 5 == 0)
            .select(F.explode("sh").alias("shingle")).distinct()
            .withColumn("hit", F.lit(1)))
@@ -416,8 +412,11 @@ def e90_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk string for its 64-bit fingerprint exactly as e36 does for
     documents (kept as the string here for oracle exactness, the e80
     adjudication)."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
+    # Token array materialized before the chunk lambda (word_ngrams'
+    # quadratic-re-evaluation rule in functions/text.py).
+    d = (table(spark, sf_dir, "documents")
+         .select("source", tokens("text").alias("__toks")))
+    t = F.col("__toks")
     starts = F.sequence(F.lit(1), F.size(t), F.lit(DEDUP_CHUNK))
     chunks = F.transform(starts,
                          lambda i: F.concat_ws(" ",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -145,21 +145,14 @@ def e3b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram shingle Jaccard (J ≥ 0.01; ordered 3-grams rarely repeat in shuffled-word corpora, so the threshold is low) — shingles are far more
     selective than unigrams, so the inverted-index join stays near-linear
     even on corpora with tiny vocabularies."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    t = tokens("text")
-    # Guard n_tok < 3 the t7 way: greatest(n-2, 0) still yields the
-    # DESCENDING sequence(1, 0) = [1, 0], and element_at(t, i+2) throws
-    # out-of-bounds on any document under 3 words.
-    shingles = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    return jaccard_pairs(d.withColumn("__sh", shingles), F.col("__sh"),
-                         threshold=0.01)
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 5 == 0)
+         .withColumn("__toks", tokens("text")))
+    return jaccard_pairs(
+        d.withColumn("__sh", word_ngrams("__toks", 3)).drop("__toks"),
+        F.col("__sh"), threshold=0.01)
 
 
 @register("e2_minhash_near_dedup", tags=("north-star", "E2", "dedup", "approx"))
@@ -905,20 +898,12 @@ def e27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no single row holds the whole eval shingle set (a prior design
     `collect_list`-ed it into one array row — correct but bounded by
     Spark's 2 GB row limit; this join shape is not)."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    n_tok = F.size(t)
-    # Guard n_tok < 3: sequence(1, 0) is descending and element_at(tok, 0)
-    # throws; oracle's range(1, 1) is empty, so emit an empty shingle list.
-    sh3 = F.when(
-        n_tok >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n_tok - 2),
-            lambda i: F.concat_ws(" ", F.element_at(t, i),
-                                  F.element_at(t, i + 1),
-                                  F.element_at(t, i + 2)))),
-    ).otherwise(F.array().cast("array<string>"))
-    docs = d.select("doc_id", sh3.alias("sh"))
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", tokens("text").alias("__toks")))
+    docs = d.select(
+        "doc_id", F.array_distinct(word_ngrams("__toks", 3)).alias("sh"))
     eval_sh = (docs.filter(F.col("doc_id") % 97 == 0)
                .select(F.explode("sh").alias("s")).distinct())
     train = docs.filter(F.col("doc_id") % 97 != 0)

@@ -268,8 +268,11 @@ def e23_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count grows ~2× with 50% overlap, bounded and predictable). Output
     rows are (doc_id, chunk_id, n_chunk_tokens, chunk_text) scalars with an
     exact oracle (pure integer slicing)."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
+    # Token array materialized before the chunk lambda (word_ngrams'
+    # quadratic-re-evaluation rule in functions/text.py).
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", tokens("text").alias("__toks")))
+    t = F.col("__toks")
     n_tok = F.size(t)
     n_chunks = (F.floor((n_tok - 1) / CHUNK_STRIDE) + 1).cast("int")
     chunks = F.transform(

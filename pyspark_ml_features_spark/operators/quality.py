@@ -343,22 +343,14 @@ def e55_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     For benchmark sets too big to broadcast, the shingle join falls back
     to the inverted-index equi-join (e3's plan) — still candidate-bounded,
     never pairwise."""
-    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    # Guard n_tok < 3 the t7 way: greatest(n-2, 0) still yields the
-    # DESCENDING sequence(1, 0) = [1, 0], and element_at(t, i+2) throws
-    # out-of-bounds on any document under 3 words.
-    shingles = F.array_distinct(F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2))),
-    ).otherwise(F.array().cast("array<string>")))
-    sh = d.select("doc_id", shingles.alias("sh"))
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", tokens("text").alias("__toks")))
+    sh = d.select("doc_id",
+                  F.array_distinct(word_ngrams("__toks", 3)).alias("sh"))
     bench = (sh.filter(F.col("doc_id") % 5 == 0)
              .select(F.explode("sh").alias("shingle")).distinct()
              .withColumn("hit", F.lit(1)))

@@ -20,6 +20,7 @@ from pyspark_ml_features_spark.functions.text import (
     duckdb_rolling_hash,
     rolling_hash,
     tokens,
+    word_ngrams,
 )
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -305,22 +306,15 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     values flag boilerplate/spam for corpus filtering. Pure codegen (split +
     array ops + integer ratios), so the oracle is exact and the op is
     embarrassingly parallel map work at any scale."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
+    dt = (table(spark, sf_dir, "documents")
+          .select("doc_id", tokens("text").alias("toks")))
+    t = F.col("toks")
     n_tok = F.size(t)
-    # Guard n_tok < 3: sequence(1, 0) yields the DESCENDING [1, 0] and
-    # element_at(tok, 0) throws — the oracle's range(1, 1) is empty, so an
-    # empty array keeps Spark aligned with DuckDB on short documents.
-    g3 = F.when(
-        n_tok >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - 2),
-            lambda i: F.concat_ws(" ", F.element_at(t, i),
-                                  F.element_at(t, i + 1),
-                                  F.element_at(t, i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    g3 = word_ngrams(t, 3)
     n_g3 = F.size(g3)
-    return d.select(
+    return dt.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         F.when(n_tok > 0,
@@ -601,15 +595,11 @@ def e41_bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one shuffle on (lang, bigram) with map-side combine; the rank
     window runs over per-lang count tables, and AQE's WindowGroupLimit
     caps the sort at k per partition."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    n = F.size(t)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(F.element_at(t, i), F.lit(" "),
-                           F.element_at(t, i + 1)))
-    bg = (d.filter(n >= 2)
-          .select("lang", F.explode(bigrams).alias("bigram")))
+    dt = (table(spark, sf_dir, "documents")
+          .select("lang", tokens("text").alias("toks")))
+    bg = (dt.filter(F.size("toks") >= 2)
+          .select("lang",
+                  F.explode(word_ngrams("toks", 2)).alias("bigram")))
     c = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
     return (c.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1009,18 +999,25 @@ def e80_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: explode + one hash aggregate on (source, gram); the
     ranking window partitions by source and WindowGroupLimit prunes to
     top-3 per source before the join-back; per-source doc counts are
-    group-bounded. No step is pairwise."""
+    group-bounded. No step is pairwise.
+
+    The token array is MATERIALIZED as a column before the gram lambda
+    references it (round-7 finding): a lambda that references an
+    enclosing EXPRESSION (``split(text)``) re-evaluates it per element
+    reference — 4 element_at × n_grams re-splits per doc made the
+    explode O(tokens²) and cost this query 10× (5.6 → 0.5 s at sf0.1).
+    ``slice+concat_ws`` replaces the four element_at's for one array
+    access per gram."""
     d = table(spark, sf_dir, "documents")
-    t = tokens("text")
+    dt = d.select("doc_id", "source", tokens("text").alias("toks"))
+    tk = F.col("toks")
     grams = F.when(
-        F.size(t) >= 4,
+        F.size(tk) >= 4,
         F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(t) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2), F.element_at(t, i + 3))))
+            F.sequence(F.lit(1), F.size(tk) - 3),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 4))))
     ).otherwise(F.array().cast("array<string>"))
-    df = (d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    df = (dt.select("doc_id", "source", F.explode(grams).alias("gram"))
           .groupBy("source", "gram")
           .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq")))
     nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 from pyspark_ml_features_spark.sources import table
 
 
@@ -100,15 +100,11 @@ def curate(spark: SparkSession, sf_dir: str, *,
     # docs leave the training corpus outright, and any remaining doc
     # sharing >= contamination_max of its 3-gram shingles with the
     # benchmark is removed.
-    t = tokens("text")
-    shingles = F.array_distinct(F.when(
-        F.size(t) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(t) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1),
-                        F.element_at(t, i + 2))),
-    ).otherwise(F.array().cast("array<string>")))
-    sh = d2.select("doc_id", shingles.alias("sh"))
+    # Token array materialized before the gram lambda (word_ngrams'
+    # quadratic-re-evaluation rule; the n<3 guard lives in word_ngrams).
+    sh = (d2.select("doc_id", tokens("text").alias("__toks"))
+          .select("doc_id",
+                  F.array_distinct(word_ngrams("__toks", 3)).alias("sh")))
     bench = (sh.filter(F.col("doc_id") % 5 == 0)
              .select(F.explode("sh").alias("shingle")).distinct()
              .withColumn("hit", F.lit(1)))
