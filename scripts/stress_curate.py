@@ -17,10 +17,14 @@ BASELINE.md):
    a 1-token marker have TRUE Jaccard 0.6-0.85, legitimately below the
    0.9 threshold — so survivor growth tracks the short-doc fraction,
    which is the correct threshold semantics, not a scale defect;
- - wall grows ~linearly with corpus size, not quadratically: 45 → 118 →
-   227 s for ×1 → ×5 → ×10 (per-doc cost FALLS 9.1 → 4.5 ms — fixed
-   fixpoint overhead amortizes; banded candidates + constant-round CC,
-   measured separately in stress_dedup / stress_cc, hold when composed).
+ - wall grows ~linearly with corpus size, not quadratically: 24.6 →
+   55.9 → 100.8 s for ×1 → ×5 → ×10 post-sweep (per-doc cost FALLS
+   4.9 → 2.0 ms — fixed fixpoint overhead amortizes; banded candidates +
+   constant-round CC, measured separately in stress_dedup / stress_cc,
+   hold when composed). The pre-sweep ladder was 45.3/118.1/226.8 s —
+   the round-7 lambda-re-evaluation fix to the decontaminate stage's
+   shingling cut the composed funnel 2.2× at every tier with identical
+   stage counts.
 
 Usage: cd /tmp && python /root/repo/scripts/stress_curate.py
 Pinned row in BASELINE.md ("SCALE TIER r7: composed curation funnel").
