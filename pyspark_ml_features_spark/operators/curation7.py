@@ -285,17 +285,21 @@ def e89_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANGID_TOP_K = 30
+LANGID_SCAN_CHARS = 1000
 
 
 @register(
     "t18_char_ngram_langid",
     oracle=f"""
-WITH g AS (
-    SELECT doc_id, lang,
-           CASE WHEN len(text) >= 3 THEN list_transform(
-               range(1, len(text) - 1), i -> substr(text, i, 3))
-           ELSE [] END AS gs
+WITH h AS (
+    SELECT doc_id, lang, substr(text, 1, {LANGID_SCAN_CHARS}) AS head
     FROM documents
+), g AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(head) >= 3 THEN list_transform(
+               range(1, len(head) - 1), i -> substr(head, i, 3))
+           ELSE [] END AS gs
+    FROM h
 ), tr AS (
     SELECT lang, unnest(gs) AS gram FROM g WHERE doc_id % 10 < 8
 ), cnt AS (
@@ -343,19 +347,31 @@ def t18_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform()-lambda does the same work interpreted per element
     (~25% slower measured at sf0.1); the held-out side keeps the
     array form because per-doc array_distinct is shuffle-free where a
-    row-level DISTINCT would shuffle."""
-    d = table(spark, sf_dir, "documents")
+    row-level DISTINCT would shuffle.
+
+    SCAN WINDOW: language ID reads only the first LANGID_SCAN_CHARS
+    characters per doc (the fastText convention — a prefix identifies
+    the language as well as the whole document). This is also the
+    quadratic bound: ``substring(s, i, 3)`` seeks the char position in
+    O(i) (UTF8 boundary walk), so unbounded extraction is O(chars²)
+    per doc — invisible at the fixture's ~300 chars, real on 100 KB
+    web documents. The cap makes per-doc cost O(min(chars, W)²) with
+    W fixed; identical results (and hashes) on any doc shorter than
+    the window, mirrored as substr(text, 1, W) in the oracle."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.substring("text", 1, LANGID_SCAN_CHARS).alias("head")))
     grams = F.when(
-        F.length("text") >= 3,
-        F.transform(F.sequence(F.lit(1), F.length("text") - 2),
-                    lambda i: F.substring(F.col("text"), i, F.lit(3))),
+        F.length("head") >= 3,
+        F.transform(F.sequence(F.lit(1), F.length("head") - 2),
+                    lambda i: F.substring(F.col("head"), i, F.lit(3))),
     ).otherwise(F.array().cast("array<string>"))
     g = d.select("doc_id", "lang", grams.alias("gs"))
-    cnt = (d.filter((F.col("doc_id") % 10 < 8) & (F.length("text") >= 3))
-           .select("lang", "text",
-                   F.explode(F.sequence(F.lit(1), F.length("text") - 2))
+    cnt = (d.filter((F.col("doc_id") % 10 < 8) & (F.length("head") >= 3))
+           .select("lang", "head",
+                   F.explode(F.sequence(F.lit(1), F.length("head") - 2))
                    .alias("i"))
-           .select("lang", F.expr("substring(text, i, 3)").alias("gram"))
+           .select("lang", F.expr("substring(head, i, 3)").alias("gram"))
            .groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c")))
     w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
     prof = (cnt.withColumn("rn", F.row_number().over(w))
