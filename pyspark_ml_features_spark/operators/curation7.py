@@ -778,3 +778,55 @@ def a29_multiline_csv_roundtrip(spark: SparkSession,
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_chars_doc").cast("bigint").alias("n_chars")))
+
+
+PROVENANCE_TOP = 5
+
+
+@register(
+    "e94_dedup_provenance",
+    oracle=f"""
+WITH g AS (
+    SELECT lower(trim(text)) AS k,
+           min(doc_id) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_absorbed,
+           list_sort(list(doc_id)) AS members
+    FROM documents GROUP BY lower(trim(text))
+)
+SELECT canonical_doc_id, n_absorbed,
+       coalesce(array_to_string(list_transform(
+           members[2:{PROVENANCE_TOP} + 1], x -> x::VARCHAR), ','), '')
+           AS absorbed_sample
+FROM g
+""",
+    tags=("north-star", "llm-pipeline", "dedup", "stewardship",
+          "provenance"),
+)
+def e94_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP PROVENANCE — the audit-trail detail behind e82's golden
+    record: for every exact-dup cluster that actually absorbed rows,
+    WHICH doc_ids the canonical record replaced (first
+    {PROVENANCE_TOP} absorbed ids as a sorted comma-joined string —
+    the d69 rule: collect, sort, join, so the value is deterministic
+    and the harness canonicalizer never sees an array cell). The table
+    is TOTAL — one row per surviving record, singletons with an empty
+    sample — because a provenance lookup must answer "nothing was
+    merged into this id" as authoritatively as a merge list. Takedown
+    requests, licensing audits, and "why did my document disappear"
+    tickets all resolve against exactly this table.
+
+    100 TB: e1's hash aggregate with one extra bounded payload — the
+    per-cluster sample is capped at {PROVENANCE_TOP} ids (slice AFTER
+    array_sort), so a pathological million-member cluster still emits
+    one small row."""
+    d = table(spark, sf_dir, "documents")
+    g = (d.groupBy(F.lower(F.trim("text")).alias("k"))
+         .agg(F.min("doc_id").alias("canonical_doc_id"),
+              F.count(F.lit(1)).cast("bigint").alias("n_absorbed"),
+              F.array_sort(F.collect_list("doc_id")).alias("members")))
+    return (g.select("canonical_doc_id", "n_absorbed",
+                    F.array_join(
+                        F.transform(
+                            F.slice("members", 2, PROVENANCE_TOP),
+                            lambda x: x.cast("string")), ",")
+                    .alias("absorbed_sample")))

@@ -148,6 +148,7 @@ DEFERRED_ORACLES: set[str] = {
     "e92_incremental_packing",
     "e93_quality_decile_dup_rate",
     "a29_multiline_csv_roundtrip",
+    "e94_dedup_provenance",
 }
 
 
