@@ -241,7 +241,7 @@ N_SHARDS = 8
     "e89_balanced_shards",
     oracle=f"""
 WITH t AS (
-    SELECT (doc_id * 1103515245 + 12345) % 2147483648 % {N_SHARDS}
+    SELECT ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % {N_SHARDS}
                AS shard,
            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents
@@ -267,10 +267,12 @@ def e89_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^5 writer tasks discover it the slow way.
 
     100 TB: one map-side-combinable aggregate to N_SHARDS rows; the
-    share window runs over the N_SHARDS-row aggregate, not data. LCG
-    products stay far under 2^63 for any realistic doc_id (< 8×10^9)."""
+    share window runs over the N_SHARDS-row aggregate, not data. The
+    key is masked to 31 bits BEFORE the multiply (ADVICE r7), so the
+    LCG product is bounded below 2^62 at ANY doc_id — no silent int64
+    wrap in non-ANSI Spark, no overflow error in DuckDB."""
     d = table(spark, sf_dir, "documents").select(
-        ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
          % F.lit(2147483648) % F.lit(N_SHARDS)).cast("bigint")
         .alias("shard"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"))

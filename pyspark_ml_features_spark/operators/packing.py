@@ -671,7 +671,7 @@ def e57_lang_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sub AS (
     SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh,
-        CAST((doc_id * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
+        CAST(((doc_id % 2147483648) * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
             AS in_train
     FROM documents WHERE doc_id % 5 = 0
 ), sizes AS (
@@ -722,7 +722,7 @@ def e62_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join at corpus scale (the e8 vocab rule; ADVICE r4); the
     split predicate is scan-side arithmetic."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    in_train = (((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+    in_train = ((((F.col("doc_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
                  % F.lit(2048)) < 1638).cast("bigint")
     membership = d.select("doc_id", in_train.alias("in_train"))
     prs = (jaccard_pairs(d, tokens("text"), threshold=0.5)
@@ -764,7 +764,7 @@ WITH per_doc AS (
 ), rep AS (
     SELECT d.doc_id, d.lang, d.nt, w.target_share,
            CAST(floor(w.weight) AS BIGINT)
-           + CAST((d.doc_id * 1103515245 + 12345) % 2048
+           + CAST(((d.doc_id % 2147483648) * 1103515245 + 12345) % 2048
                   < round((w.weight - floor(w.weight)) * 2048)
                   AS BIGINT) AS repeats
     FROM per_doc d JOIN w ON d.lang = w.lang
@@ -818,7 +818,7 @@ def e65_mixture_epoch_expansion(spark: SparkSession,
          .select("lang", "target_share", "weight"))
     base = F.floor(F.col("weight")).cast("bigint")
     frac = F.col("weight") - F.floor(F.col("weight"))
-    lcg = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2048)
+    lcg = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345)) % F.lit(2048)
     extra = (lcg < F.round(frac * 2048)).cast("bigint")
     rep = (per_doc.join(F.broadcast(w), "lang")
            .withColumn("repeats", base + extra))
@@ -868,7 +868,7 @@ WITH RECURSIVE sub AS (
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 ), split AS (
     SELECT doc_id, cluster_id,
-           CAST((cluster_id * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
+           CAST(((cluster_id % 2147483648) * 1103515245 + 12345) % 2048 < 1638 AS BIGINT)
                AS in_train
     FROM cc
 ), leaks AS (
@@ -914,7 +914,7 @@ def e66_cluster_split_no_leakage(spark: SparkSession,
                                      F.col("d1").alias("dst"))))
     cc = connected_components(d.select(F.col("doc_id").alias("node")),
                               edges)
-    in_train = (((F.col("cluster_id") * F.lit(1103515245) + F.lit(12345))
+    in_train = ((((F.col("cluster_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
                  % F.lit(2048)) < 1638).cast("bigint")
     split = cc.select(F.col("node").alias("doc_id"), "cluster_id",
                       in_train.alias("in_train"))

@@ -217,7 +217,7 @@ def d89_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
     SELECT * FROM orders
-    WHERE (o_orderkey * 1103515245 + 12345) % 2048 < 205
+    WHERE ((o_orderkey % 2147483648) * 1103515245 + 12345) % 2048 < 205
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_sampled,
@@ -242,7 +242,7 @@ def d90_hash_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the predicate is scan-side (no shuffle to sample); sampled
     rows flow into one small partial-aggregated GROUP BY."""
     o = table(spark, sf_dir, "orders")
-    keep = ((F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345))
+    keep = (((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
             % F.lit(2048)) < 205
     return (o.filter(keep)
             .groupBy("o_orderpriority")

@@ -162,7 +162,7 @@ def curate(spark: SparkSession, sf_dir: str, *,
     split = (d4.join(clusters, "doc_id")
              .withColumn(
                  "in_train",
-                 (((F.col("cluster_id") * F.lit(1103515245) + F.lit(12345))
+                 ((((F.col("cluster_id") % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345))
                    % F.lit(2048)) < F.lit(int(2048 * train_frac)))
                  .cast("bigint"))
              .select("doc_id", "lang", "n_tokens", "cluster_id",

@@ -172,17 +172,33 @@ class JsonlSinkWriter(DataSourceWriter):
     overwrite requires single-writer-per-path — same as JVM
     INSERT OVERWRITE.
 
-    Foreign-orphan GC (ADVICE r6): job-scoped append sweeping means a job
-    that CRASHED between write() and commit() leaves attempt files no
-    later append would ever remove — invisible to readers (never in the
-    manifest) but an unbounded disk leak on long-lived append paths. An
-    append commit therefore also garbage-collects foreign ``part-*``
-    files that are (a) not vouched for by the manifest it just published
-    and (b) older than ``orphan_ttl_sec`` (default 86400; option on the
-    writer). TTL precondition: a CONCURRENT append job must go from first
-    task write to commit in under the TTL, else its in-flight attempts
-    can be swept — the same liveness assumption JVM staging-directory
-    janitors make. Set ``orphan_ttl_sec=0`` to disable the GC."""
+    Foreign-orphan GC (ADVICE r6, re-keyed per ADVICE r7): job-scoped
+    append sweeping means a job that CRASHED between write() and
+    commit() leaves attempt files no later append would ever remove —
+    invisible to readers (never in the manifest) but an unbounded disk
+    leak on long-lived append paths. Tasks therefore stage attempts in
+    a JOB-SCOPED SUBDIRECTORY (``_staging-<job_id>/``); commit renames
+    the committed files into the root (atomic, same filesystem) and
+    removes its own staging dir. GC is keyed on job liveness, not
+    per-file age: a foreign ``_staging-*`` dir is removed only when its
+    NEWEST entry (and the dir itself) is older than ``orphan_ttl_sec``
+    (default 86400; option on the writer) — a live concurrent appender
+    keeps refreshing its staging dir's mtimes with every task file, so
+    its in-flight attempts are no longer at risk the moment any single
+    file ages past the TTL (the r6 scheme's hazard). The residual
+    assumption is the same one JVM staging janitors make: a job does
+    not sit idle between its LAST task write and commit for longer
+    than the TTL. Root-level foreign ``part-*`` debris from the old
+    layout still gets the per-file TTL sweep. ``orphan_ttl_sec=0``
+    disables both GCs.
+
+    Concurrency precondition (ADVICE r7): ``commit()``'s manifest
+    read-merge-replace is not atomic across PROCESSES — two appenders
+    committing simultaneously can lose one job's files from the
+    manifest (data safe on disk, but invisible to readers). APPEND
+    therefore requires single-writer-per-path just like overwrite:
+    serialize concurrent appenders externally (one Spark job at a time
+    per sink path), exactly as JVM FileOutputCommitter expects."""
 
     #: default age (seconds) before a foreign orphan attempt file is GC'd
     ORPHAN_TTL_SEC = 86400.0
@@ -196,14 +212,20 @@ class JsonlSinkWriter(DataSourceWriter):
             options.get("orphan_ttl_sec", self.ORPHAN_TTL_SEC))
         self.job_id = _uuid.uuid4().hex[:12]
 
+    @property
+    def _staging(self) -> str:
+        import os as _os
+
+        return _os.path.join(self.path, f"_staging-{self.job_id}")
+
     def write(self, iterator):
         import json as _json
         import os as _os
         import uuid as _uuid
 
-        _os.makedirs(self.path, exist_ok=True)
+        _os.makedirs(self._staging, exist_ok=True)
         fn = _os.path.join(
-            self.path, f"part-{self.job_id}-{_uuid.uuid4().hex}.json")
+            self._staging, f"part-{self.job_id}-{_uuid.uuid4().hex}.json")
         n = 0
         with open(fn, "w") as f:
             for row in iterator:
@@ -214,7 +236,15 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages):
         import json as _json
         import os as _os
+        import shutil as _shutil
 
+        # Promote committed attempt files from this job's staging dir
+        # into the root (atomic same-fs rename; uuid names can't
+        # collide), THEN publish the manifest that vouches for them.
+        for m in messages:
+            if m is not None:
+                dest = _os.path.join(self.path, _os.path.basename(m.path))
+                _os.replace(m.path, dest)
         new_files = sorted(_os.path.basename(m.path) for m in messages
                            if m is not None)
         manifest = _os.path.join(self.path, MANIFEST_NAME)
@@ -241,14 +271,34 @@ class JsonlSinkWriter(DataSourceWriter):
         own_prefix = f"part-{self.job_id}-"
         import time as _time
         now = _time.time()
+        # This job's staging dir: any file left in it is a retried or
+        # speculative attempt the commit messages did not claim.
+        _shutil.rmtree(self._staging, ignore_errors=True)
         for name in _os.listdir(self.path):
             if name == MANIFEST_NAME or name in keep:
                 continue
             full = _os.path.join(self.path, name)
-            # Foreign-orphan GC (ADVICE r6): a `part-*` file no manifest
-            # vouches for, older than the TTL, was left by a job that
-            # crashed before commit — no future commit would ever claim
-            # it, so age-gate and remove it here.
+            if name.startswith("_staging-"):
+                if self.overwrite:
+                    # Overwrite's contract: replace the directory's
+                    # contents (single-writer-per-path precondition).
+                    _shutil.rmtree(full, ignore_errors=True)
+                elif self.orphan_ttl_sec > 0 and _os.path.isdir(full):
+                    # Foreign-staging GC keyed on job LIVENESS (ADVICE
+                    # r7): the dir belongs to a crashed job only if
+                    # nothing in it has been touched for a full TTL.
+                    try:
+                        newest = max(
+                            [_os.path.getmtime(full)]
+                            + [_os.path.getmtime(_os.path.join(full, f))
+                               for f in _os.listdir(full)])
+                        if now - newest > self.orphan_ttl_sec:
+                            _shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
+                continue
+            # Root-level sweep: old-layout debris (per-file TTL, ADVICE
+            # r6) and overwrite's replace-contents contract.
             stale_foreign = False
             if (not self.overwrite and self.orphan_ttl_sec > 0
                     and name.startswith("part-")
@@ -265,14 +315,9 @@ class JsonlSinkWriter(DataSourceWriter):
                     pass
 
     def abort(self, messages):
-        import os as _os
+        import shutil as _shutil
 
-        for m in messages:
-            if m is not None:
-                try:
-                    _os.remove(m.path)
-                except OSError:
-                    pass
+        _shutil.rmtree(self._staging, ignore_errors=True)
 
 
 class JsonlSinkDataSource(DataSource):

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""e8 TF-IDF vocabulary-growth ladder — the SCALE TIER r8 row for the
+term-statistics family (VERDICT r7 task 4c).
+
+The document-frequency aggregate is the family's scale pivot: its
+output has |vocabulary| rows, which is why e8's docstring forbids a
+broadcast hint on the df side. This harness measures that claim two
+ways at ×1/×5/×10 document replication:
+
+ - PURE replication (same text, new doc_ids): vocabulary is CONSTANT,
+   so the df aggregate's output rows and shuffle volume stay FLAT
+   while scan rows grow ×10 — term statistics are vocabulary-bounded,
+   not corpus-bounded (the e69 dup-gram finding, now measured for
+   TF-IDF);
+ - MARKER replication (each replica's text gains one unique token):
+   vocabulary grows by n_docs×(K−1), and the df output grows by
+   exactly that amount — demonstrating the regime where a broadcast
+   hint would pin driver memory to an unbounded vocab.
+
+Also: per-doc TF rows grow ×K in both modes (linear work), and wall
+grows ~linearly (gate: ≤1.5× drift on re-runs).
+
+Usage: cd /tmp && python /root/repo/scripts/stress_tfidf.py
+Pinned row in BASELINE.md ("SCALE TIER r8: TF-IDF vocabulary growth").
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def docs(spark: SparkSession, replicas: int, marker: bool):
+    d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    if replicas == 1:
+        return d
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    out = (d.crossJoin(reps)
+           .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+                   "lang", "text", "rep"))
+    if marker:
+        out = out.withColumn(
+            "text", F.concat_ws(" ", "text",
+                                F.concat(F.lit("xmark"),
+                                         F.col("doc_id").cast("string"))))
+    return out.drop("rep")
+
+
+def run_tfidf(spark, d):
+    from pyspark_ml_features_spark.functions.text import tokens
+    from pyspark_ml_features_spark.plans.metrics import runtime_metrics
+
+    tok = d.select("doc_id", "lang",
+                   F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term") \
+        .agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    t0 = time.time()
+    vocab = dfreq.count()
+    wall_df = time.time() - t0
+    m = runtime_metrics(dfreq).row()
+    t0 = time.time()
+    n_tf = tf.count()
+    wall_tf = time.time() - t0
+    return {"vocab": vocab, "tf_rows": n_tf,
+            "df_shuffle_MiB": m["shuffle_MiB"],
+            "scan_rows": m["scan_rows"],
+            "wall": round(wall_df + wall_tf, 2)}
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"{'mode':>7} {'tier':>5} {'tf_rows':>9} {'vocab':>9} "
+          f"{'df_shuffle_MiB':>14} {'wall_s':>7}")
+    base = {}
+    for marker in (False, True):
+        mode = "marker" if marker else "pure"
+        for k in (1, 5, 10):
+            r = run_tfidf(spark, docs(spark, k, marker))
+            base.setdefault(mode, r)
+            print(f"{mode:>7} {'x' + str(k):>5} {r['tf_rows']:>9} "
+                  f"{r['vocab']:>9} {r['df_shuffle_MiB']:>14} "
+                  f"{r['wall']:>7}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

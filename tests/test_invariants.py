@@ -759,3 +759,35 @@ def test_b13_reloaded_model_predicts_identically(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_distributed_rank_monotone_on_real_data(spark):
+    """ADVICE r7 runtime assertion for the ranking primitive: grk must
+    be monotone in the order key on REAL data (lineitem at the grading
+    sf), so a Spark upgrade that reorders the non-deterministic mono-id
+    projection below the in-stage sort fails loudly here even if the
+    plan-shape pin were ever relaxed. Checks both totality (grk is a
+    1..n permutation) and order agreement (sorting by grk yields a
+    non-decreasing order key)."""
+    from pyspark_ml_features_spark.operators.basic import table
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    out = distributed_row_number(li, order, 8)
+    n = li.count()
+    agg = out.agg(F.min("grk").alias("lo"), F.max("grk").alias("hi"),
+                  F.count_distinct("grk").alias("nd")).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["nd"]) == (1, n, n), \
+        "grk must be a 1..n permutation"
+    # order agreement: the order-key tuple at rank k must be <= the one
+    # at rank k+1 — checked distributively with a lag window over grk.
+    from pyspark.sql import Window as W
+    bad = (out.select(F.struct(*order).alias("k"), "grk")
+           .withColumn("p", F.lag("k").over(W.orderBy("grk")))
+           .filter(F.col("p").isNotNull() & (F.col("p") > F.col("k")))
+           .count())
+    assert bad == 0, "grk order must agree with order_cols order"

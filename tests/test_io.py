@@ -236,3 +236,53 @@ def test_jsonl_sink_append_gcs_stale_foreign_orphans(spark):
     back = spark.read.schema("doc_id bigint, lang string, text string") \
         .json(files)
     assert back.count() == 30
+
+
+def test_jsonl_sink_staging_gc_keyed_on_job_liveness(spark):
+    """ADVICE r7: the foreign-orphan GC must key on JOB liveness (the
+    staging dir's newest mtime), not per-file age — a live concurrent
+    appender whose FIRST attempt file is older than the TTL but whose
+    staging dir shows recent activity keeps all its in-flight files; a
+    staging dir with no activity for a full TTL is crash debris and is
+    removed whole."""
+    import json
+    import time
+
+    from pyspark_ml_features_spark.sources.pyds import (
+        register_python_sources)
+
+    register_python_sources(spark)
+    out = os.path.join(tempfile.mkdtemp(), "jsonl_sink_staging_gc")
+    d = table(spark, SF_DIR, "documents").select("doc_id", "lang", "text") \
+        .limit(10)
+    d.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    def plant_staging(job, file_ages):
+        sdir = os.path.join(out, f"_staging-{job}")
+        os.makedirs(sdir)
+        paths = []
+        for i, age in enumerate(file_ages):
+            p = os.path.join(sdir, f"part-{job}-{i}.json")
+            with open(p, "w") as f:
+                f.write(json.dumps({"doc_id": -9}) + "\n")
+            old = time.time() - age
+            os.utime(p, (old, old))
+            paths.append(p)
+        old = time.time() - max(file_ages)
+        os.utime(sdir, (old, old))
+        return sdir, paths
+
+    # Live job: first attempt 2h old, latest 10s old — survives a 1h TTL
+    # (under the r6 per-file scheme the 2h file would have been swept).
+    live_dir, live_files = plant_staging("livejob000000", [7200, 10])
+    # Crashed job: newest activity 2h old — swept whole.
+    dead_dir, _ = plant_staging("deadjob000000", [9000, 7200])
+    d.write.format("jsonl_sink").option("path", out) \
+        .option("orphan_ttl_sec", "3600").mode("append").save()
+    assert all(os.path.exists(p) for p in live_files), \
+        "live job's in-flight attempts must survive the GC"
+    assert not os.path.exists(dead_dir), "stale staging dir not GC'd"
+    # After this job's own commit, its staging dir is gone and every
+    # committed file sits at the root, vouched for by the manifest.
+    assert not any(n.startswith("_staging-") and "livejob" not in n
+                   and "deadjob" not in n for n in os.listdir(out))

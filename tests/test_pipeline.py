@@ -5,10 +5,20 @@ capacity, split without near-dup leakage)."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
+import pytest
 
 from pyspark_ml_features_spark.pipeline import curate, funnel_report
 from tests.conftest import SF_DIR
+
+# The sf0.1 integration pin is the suite's single heaviest fixture
+# (a full curate() run at 10x the grading scale). ADVICE r7: keep it
+# out of the default ~3-min suite; the round's closing full-scale pass
+# opts in with PMFS_SF01_PIPELINE=1.
+SF01_DIR = "/root/testdata/sf0.1"
+RUN_SF01 = bool(int(os.environ.get("PMFS_SF01_PIPELINE", "0")))
 
 
 # e76's exact funnel at the driver's grading scale (sf0.01), pinned so a
@@ -37,9 +47,12 @@ E76_PACKED_BINS_SF01 = 405
 E76_TRAIN_DOCS_SF01 = 631
 
 
+@pytest.mark.skipif(
+    not RUN_SF01 or not os.path.isdir(SF01_DIR),
+    reason="sf0.1 integration pin is opt-in (PMFS_SF01_PIPELINE=1)")
 def test_curation_pipeline_pinned_counts_sf01(spark):
     """The sf0.1 funnel the demo script prints, as a pinned assertion."""
-    r = curate(spark, "/root/testdata/sf0.1")
+    r = curate(spark, SF01_DIR)
     assert [tuple(t) for t in r["funnel"]] == E76_FUNNEL_SF01
     assert (r["packed"].select("lang", "shard", "bin_id")
             .distinct().count()) == E76_PACKED_BINS_SF01

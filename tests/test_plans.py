@@ -692,6 +692,26 @@ def test_distributed_rank_uses_range_partitioning(spark):
         "pre-checkpoint stage must sort within partitions"
     assert "monotonically_increasing_id" in pre, \
         "rank encoding must ride monotonically_increasing_id"
+    # ADVICE r7: correctness relies on the non-deterministic mid
+    # projection staying ABOVE the in-stage sort — an implementation
+    # behavior, not an API contract. Formatted plans number nodes
+    # post-order (leaves low, root high), so the mono-id Project's node
+    # id must exceed the Sort's; a Spark upgrade that reorders them
+    # fails here, not silently in the ranks.
+    import re as _re
+    sections = _re.split(r"\n\((\d+)\) ", "\n" + pre)
+    # sections = [prefix, id1, body1, id2, body2, ...]
+    sort_ids, mono_ids = [], []
+    for i in range(1, len(sections) - 1, 2):
+        nid, body = int(sections[i]), sections[i + 1]
+        head = body.split("\n", 1)[0]
+        if head.startswith("Sort"):
+            sort_ids.append(nid)
+        if head.startswith("Project") and "monotonically_increasing_id" \
+                in body:
+            mono_ids.append(nid)
+    assert sort_ids and mono_ids and min(mono_ids) > max(sort_ids), \
+        "mono-id Project must sit above the in-stage Sort"
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "Window" not in plan, \
