@@ -1,0 +1,364 @@
+"""Round-8 surface: Spark 4 SQL features not yet exercised (pipe
+EXTEND/SET/DROP, GROUP/ORDER BY ALL, SQL session variables, EXECUTE
+IMMEDIATE, nth_value/IGNORE NULLS frames), second representatives for
+single-query families (E5 per-dimension min-max scaling, D11 scale-safe
+bottom-k WITH TIES), and two LLM-curation audits (chunk-stitch
+round-trip — the e23 inverse — and a cross-source template matrix).
+
+Registered LAST (queries.py imports this module after curation7) per
+the CLAUDE.md rotation contract: post-r07 the backlog is empty, so
+these become the r8 window's backlog head and grade same-round
+(simulated against the landed grades before registration).
+
+Reference: the reference repo (six MLlib utilities,
+spark_ml_features.py:1-315) has none of this surface; SURVEY §2-C/D/E
+north-star scope.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+
+@register(
+    "d130_pipe_extend_set_drop",
+    oracle="""
+WITH base AS (
+    SELECT l_returnflag, l_shipdate,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_cents
+    FROM lineitem
+), flt AS (
+    SELECT * FROM base WHERE l_shipdate >= DATE '1995-01-01'
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(net_cents) AS BIGINT) AS net_cents_sum
+FROM flt GROUP BY l_returnflag
+""",
+    tags=("engine", "sql-pipe", "spark4"),
+)
+def d130_pipe_extend_set_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax column lifecycle — |> EXTEND (add a computed
+    column), |> SET (redefine it in place), |> DROP (remove a source
+    column), |> WHERE, |> AGGREGATE: the d121/d127 family's third
+    variant, exercising the mutation operators rather than join/window.
+    Lowers to the identical classic plan (filter pushed to the scan,
+    partial-aggregated GROUP BY), which the expanded-form oracle states
+    directly. Money stays in floor-cents BIGINT from the first EXTEND
+    (per-row IEEE multiply then floor is engine-exact; the cross-row
+    sum is integer)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe8")
+    return spark.sql("""
+        FROM li_pipe8
+        |> EXTEND l_extendedprice * (1 - l_discount) AS net
+        |> SET net = CAST(floor(net * 100) AS BIGINT)
+        |> DROP l_tax, l_partkey, l_suppkey
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(net) AS BIGINT) AS net_cents_sum
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, net_cents_sum
+    """)
+
+
+@register(
+    "d131_group_order_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("engine", "sql-sugar", "spark4"),
+)
+def d131_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL together (d80 exercised GROUP BY ALL
+    alone): both engines expand ALL to the non-aggregate select list in
+    select-list order, so the sugar is plan-identical to the explicit
+    form — zero-cost readability, not a new operator. The ordered output
+    also pins that both engines agree on the expansion ORDER (a mismatch
+    would hash-differ even with equal row sets only if values disagreed,
+    so the real check is the grouping expansion)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_all8")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS qty_cents
+        FROM li_all8
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+@register(
+    "d133_sql_session_variables",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "sql-variables", "spark4"),
+)
+def d133_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VAR): a parameterized
+    threshold report where the knobs live in session state instead of
+    string interpolation — the SQL-native alternative to d110's
+    parameterized-query API. Variables fold to constants at plan time
+    (the filter still pushes to the scan; the oracle is the expanded
+    constant form). Session-scoped: DECLARE OR REPLACE keeps reruns
+    idempotent within one SparkSession."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_var8")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff_date DATE "
+              "DEFAULT DATE '1990-01-01'")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR cutoff_date = DATE '1995-01-01'")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
+        FROM ord_var8
+        WHERE o_totalprice > price_floor AND o_orderdate >= cutoff_date
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "d134_execute_immediate",
+    oracle="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 5000.0
+GROUP BY n_name
+""",
+    tags=("engine", "sql-variables", "spark4"),
+)
+def d134_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with USING parameters (Spark 4): dynamic SQL
+    with engine-side parameter binding — the injection-safe form of
+    query-by-string (the parameter is bound as a typed literal, never
+    spliced as text). The plan is identical to the static query, so the
+    oracle is the expanded form; the broadcast-able nation dim keeps
+    the join a BHJ."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ei8")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nat_ei8")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers "
+        " FROM cust_ei8 JOIN nat_ei8 ON c_nationkey = n_nationkey "
+        " WHERE c_acctbal > ? GROUP BY n_name' "
+        "USING 5000.0d")
+
+
+@register(
+    "d135_nth_value_frames",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       nth_value(o_totalprice, 2) OVER w AS second_in_frame,
+       last_value(o_totalprice) OVER w AS frame_last,
+       CAST(count(*) OVER w AS BIGINT) AS frame_n
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+    tags=("engine", "D9", "window"),
+)
+def d135_nth_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value over a bounded ROWS frame — the remaining
+    analytic window functions D9's family had not exercised. nth_value
+    returns NULL while the frame holds fewer than n rows (both engines
+    agree); the frame count column pins the frame boundaries themselves.
+    Per-group windows partition-parallelize (no global sort); values are
+    picked, not summed — engine-exact with no float hazard."""
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-3, 0))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_in_frame"),
+        F.last("o_totalprice").over(w).alias("frame_last"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"))
+
+
+@register(
+    "d11b_bottomk_with_ties",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice <= (
+    SELECT max(p) FROM (
+        SELECT o_totalprice AS p FROM orders
+        ORDER BY o_totalprice LIMIT 10))
+""",
+    tags=("engine", "D11", "topk"),
+)
+def d11b_bottomk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bottom-k WITH TIES, scale-safe (D11's second
+    representative): a global `rank() <= k` needs a single-partition
+    window — the anti-pattern — so instead compute the k-th smallest
+    value with TakeOrderedAndProject (per-partition top-k then a k-row
+    driver merge), broadcast that one-row threshold, and filter the
+    scan against it. Two passes, both trivially parallel; ties at the
+    threshold are included by <=, exactly SQL's WITH TIES semantics.
+    The 1-row crossJoin(broadcast) is the allowlisted d39/d56/t9 BNLJ
+    shape."""
+    o = table(spark, sf_dir, "orders")
+    kth = (o.select("o_totalprice").orderBy("o_totalprice").limit(10)
+           .agg(F.max("o_totalprice").alias("thresh")))
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+            .crossJoin(F.broadcast(kth))
+            .filter(F.col("o_totalprice") <= F.col("thresh"))
+            .drop("thresh"))
+
+
+@register(
+    "e5b_dimension_minmax_scale",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, i - 1 AS dim, (embedding::DOUBLE[])[i] AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), s AS (
+    SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim
+)
+SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
+       (x.v - s.lo) / (s.hi - s.lo) AS scaled
+FROM x JOIN s USING (dim)
+""",
+    tags=("north-star", "E5", "similarity", "scaling"),
+)
+def e5b_dimension_minmax_scale(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PER-DIMENSION min-max scaling of the embedding column to [0, 1]
+    (E5's second representative — e5 normalizes per VECTOR, this scales
+    per DIMENSION, the MinMaxScaler semantics without densifying
+    through an MLlib vector column). min/max are order-independent
+    exact aggregates, and the rescale is one subtract + divide per cell
+    — bit-exact on both engines with NO rounding, unlike mean/std
+    standardization whose cross-row float sum would need it.
+
+    100 TB: posexplode fans out rows ×dim but the per-dim aggregate is
+    map-side combinable down to `dim` rows (constant), which then
+    BROADCASTS back onto the exploded cells — no shuffle of the cells
+    themselves at any point."""
+    e = table(spark, sf_dir, "embeddings")
+    x = (e.select("vec_id", F.posexplode(
+            F.col("embedding").cast("array<double>")).alias("dim", "v"))
+         .select("vec_id", F.col("dim").cast("bigint").alias("dim"), "v"))
+    s = x.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return (x.join(F.broadcast(s), "dim")
+            .select("vec_id", "dim",
+                    ((F.col("v") - F.col("lo"))
+                     / (F.col("hi") - F.col("lo"))).alias("scaled")))
+
+
+@register(
+    "e95_chunk_stitch_roundtrip",
+    oracle="""
+SELECT doc_id, text AS stitched_text
+FROM documents
+WHERE len(str_split(text, ' ')) > 0
+""",
+    tags=("north-star", "llm-pipeline", "chunking"),
+)
+def e95_chunk_stitch_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CHUNK-STITCH round-trip — e23's inverse, with the ORIGINAL corpus
+    as the oracle: re-chunk every document into overlapping 128-token /
+    stride-64 windows (e23's exact geometry), then reconstruct each
+    document from its chunks alone — every chunk contributes its first
+    `stride` tokens, the LAST chunk contributes all of them — and the
+    result must equal the source text verbatim. Proves the chunk
+    family's invariant (overlapping chunks lose nothing) as a
+    hash-checked query instead of a code comment — any off-by-one in
+    either direction breaks the hash.
+
+    100 TB: one groupBy(doc_id) over chunk rows; per-group state is one
+    document's chunks (bounded by doc length, the same bound e23
+    already carries). The sort-then-flatten runs on the collected
+    per-doc array — driver sees nothing."""
+    from pyspark_ml_features_spark.operators.packing import (
+        CHUNK_SIZE, CHUNK_STRIDE)
+
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", tokens("text").alias("__toks")))
+    t = F.col("__toks")
+    n_tok = F.size(t)
+    n_chunks = (F.floor((n_tok - 1) / CHUNK_STRIDE) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(t, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
+    chunked = (d.filter(n_tok > 0)
+               .select("doc_id",
+                       F.posexplode(chunks).alias("chunk_id", "chunk")))
+    per_doc = (chunked.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("chunk_id", "chunk"))).alias("cs"))
+               # n_cs as a COLUMN, not an expression, so the stitch
+               # lambda's boundary test references it O(1) (the
+               # word_ngrams quadratic-re-evaluation rule).
+               .withColumn("n_cs", F.size("cs")))
+    pieces = F.transform(
+        F.col("cs"),
+        lambda c, i: F.when(i < F.col("n_cs") - 1,
+                            F.slice(c["chunk"], 1, CHUNK_STRIDE))
+        .otherwise(c["chunk"]))
+    return per_doc.select(
+        "doc_id",
+        F.concat_ws(" ", F.flatten(pieces)).alias("stitched_text"))
+
+
+@register(
+    "e96_cross_source_template_matrix",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT
+        array_to_string(list_slice(str_split(lower(trim(text)), ' '),
+                                   1, 5), ' ') AS opening,
+        source
+    FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_openings
+FROM d a JOIN d b ON a.opening = b.opening AND a.source < b.source
+GROUP BY 1, 2
+""",
+    tags=("north-star", "llm-pipeline", "provenance", "dedup"),
+)
+def e96_cross_source_template_matrix(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE TEMPLATE MATRIX: for every pair of sources, how many
+    distinct 5-token document openings they share — the provenance audit
+    that surfaces mirror sites, syndication, and shared boilerplate
+    templates before near-dedup collapses them silently (you want to
+    KNOW two crawls overlap, not just drop the copies). Openings are a
+    deliberate coarse fingerprint (exact-text overlap across sources is
+    ~zero in this corpus; shared templates are not).
+
+    100 TB: the distinct (opening, source) projection collapses the
+    corpus to its template vocabulary FIRST (map-side combinable), and
+    the self-join runs on that bounded set keyed by opening — the
+    output is capped by source-pair count, and per-opening fan-out is
+    #sources, not #docs."""
+    d = (table(spark, sf_dir, "documents")
+         .select(F.concat_ws(
+             " ", F.slice(tokens(F.lower(F.trim(F.col("text")))), 1, 5))
+             .alias("opening"), "source")
+         .distinct())
+    a = d.alias("a")
+    b = d.alias("b")
+    return (a.join(b, (F.col("a.opening") == F.col("b.opening"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("src_a"),
+                     F.col("b.source").alias("src_b"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_shared_openings")))

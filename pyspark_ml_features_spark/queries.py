@@ -55,6 +55,12 @@ from pyspark_ml_features_spark.operators import stewardship  # noqa: F401, E402
 # item 3 — simulated against the landed r6 grades before registration).
 from pyspark_ml_features_spark.operators import curation7  # noqa: F401, E402
 
+# Round-8 batch, imported after curation7: post-r07 the backlog is
+# EMPTY (every declared query has a driver grade), so these register as
+# the r8 window's backlog head and grade same-round — simulated against
+# the landed r07 grades before registration.
+from pyspark_ml_features_spark.operators import surface8  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

@@ -316,6 +316,7 @@ BNLJ_ALLOWED = {
                                     # (bounded; scale path = cluster-level
                                     # banding, see docstring)
     "e91_temperature_mixture",  # single-row (total, sum_r) cross join
+    "d11b_bottomk_with_ties",  # single-row k-th-value threshold cross join
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

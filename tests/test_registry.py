@@ -149,6 +149,18 @@ DEFERRED_ORACLES: set[str] = {
     "e93_quality_decile_dup_rate",
     "a29_multiline_csv_roundtrip",
     "e94_dedup_provenance",
+    # round-8 batch (surface8.py, registered last; backlog was empty
+    # post-r07 so the whole batch heads the r8 window and grades
+    # same-round — simulated before registration)
+    "d130_pipe_extend_set_drop",
+    "d131_group_order_by_all",
+    "d133_sql_session_variables",
+    "d134_execute_immediate",
+    "d135_nth_value_frames",
+    "d11b_bottomk_with_ties",
+    "e5b_dimension_minmax_scale",
+    "e95_chunk_stitch_roundtrip",
+    "e96_cross_source_template_matrix",
 }
 
 
