@@ -11,11 +11,14 @@ Claims under test:
    value→count digest, so its shuffle volume stays FLAT across a 10×
    data ladder (replication adds no distinct values — the digest, not
    the rows, crosses the wire) while scan rows grow ×10;
- - percentile VALUES converge: replicated-tier results stay within the
-   base tier's interquartile span (exact invariance is not claimed —
-   linear interpolation positions shift with n; the scale story is the
-   flat digest, and b6b's approx path is the production default);
- - wall grows ~linearly with rows (gate: ≤1.5× drift on re-runs).
+ - percentile VALUES converge: every replicated-tier percentile is
+   within 1e-4 RELATIVE of its base-tier value (exact invariance is
+   not claimed — linear interpolation positions shift with n, measured
+   ~6e-6; the scale story is the flat digest, and b6b's approx path is
+   the production default);
+ - wall is FLAT-to-linear across the ladder (measured flat: the
+   digest merge over distinct values dominates, not the row scan;
+   gate: ≤1.5× drift on re-runs).
 
 Usage: cd /tmp && python /root/repo/scripts/stress_quantiles.py
 Pinned row in BASELINE.md ("SCALE TIER r8: quantile/histogram").
@@ -78,9 +81,12 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    run_d52(spark, lineitem(spark, 1))  # warmup: JIT + parquet footer
+
     base_hist = None
     base_pct = None
-    print(f"{'tier':>9} {'query':>5} {'scan_rows':>10} {'shuffle_MiB':>11} "
+    base_n = lineitem(spark, 1).count()
+    print(f"{'tier':>9} {'query':>5} {'rows':>9} {'shuffle_MiB':>11} "
           f"{'wall_s':>7}  invariant-check")
     for k in (1, 5, 10):
         li = lineitem(spark, k)
@@ -95,13 +101,16 @@ def main() -> None:
                 hist[b] == (base_hist[b][0] * k, base_hist[b][1],
                             base_hist[b][2])
                 for b in base_hist) and set(hist) == set(base_hist)
-            # percentiles: within the base tier's p25..p99 span per group
+            # percentiles: within 1e-4 relative of base per quantile
+            # (interpolation positions shift with n; measured ~6e-6)
             pct_ok = all(
-                base_pct[g][0][0] <= v <= base_pct[g][0][3]
-                for g, (arr, med) in pct.items() for v in arr)
-        print(f"{'x' + str(k):>9} {'d51':>5} {m51['scan_rows']:>10} "
-              f"{m51['shuffle_MiB']:>11} {w51:>7.2f}  pct-in-span={pct_ok}")
-        print(f"{'x' + str(k):>9} {'d52':>5} {m52['scan_rows']:>10} "
+                abs(v - bv) <= 1e-4 * abs(bv)
+                for g, (arr, med) in pct.items()
+                for v, bv in zip(list(arr) + [med],
+                                 list(base_pct[g][0]) + [base_pct[g][1]]))
+        print(f"{'x' + str(k):>9} {'d51':>5} {base_n * k:>9} "
+              f"{m51['shuffle_MiB']:>11} {w51:>7.2f}  pct-1e-4={pct_ok}")
+        print(f"{'x' + str(k):>9} {'d52':>5} {base_n * k:>9} "
               f"{m52['shuffle_MiB']:>11} {w52:>7.2f}  counts-xK={hist_ok}")
     spark.stop()
 

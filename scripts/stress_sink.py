@@ -66,6 +66,8 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark_ml_features_spark.session import _ship_package
+    _ship_package(spark)  # sink writer unpickles on executor workers
     register_python_sources(spark)
     root = tempfile.mkdtemp(prefix="stress_sink_")
 

@@ -7,18 +7,20 @@ output has |vocabulary| rows, which is why e8's docstring forbids a
 broadcast hint on the df side. This harness measures that claim two
 ways at ×1/×5/×10 document replication:
 
- - PURE replication (same text, new doc_ids): vocabulary is CONSTANT,
-   so the df aggregate's output rows and shuffle volume stay FLAT
-   while scan rows grow ×10 — term statistics are vocabulary-bounded,
-   not corpus-bounded (the e69 dup-gram finding, now measured for
-   TF-IDF);
+ - PURE replication (same text, new doc_ids): vocabulary is CONSTANT
+   (the df aggregate's OUTPUT stays |vocab| rows at every tier) while
+   per-doc TF rows grow ×K — term statistics are vocabulary-bounded,
+   not corpus-bounded (the e69 dup-gram finding, measured for TF-IDF);
  - MARKER replication (each replica's text gains one unique token):
-   vocabulary grows by n_docs×(K−1), and the df output grows by
-   exactly that amount — demonstrating the regime where a broadcast
-   hint would pin driver memory to an unbounded vocab.
+   vocabulary grows by exactly n_docs×(K−1) — the regime where a
+   broadcast hint on the df side would pin driver memory to an
+   unbounded vocab (why e8's docstring forbids it);
+ - the plan's TOTAL shuffle is dominated by the per-doc TF exchange
+   (keyed by (doc, term) — irreducibly linear in corpus tokens);
+   vocabulary growth adds only the df-stage delta on top (measured:
+   marker ×10 exceeds pure ×10 by ~1.7 MiB for +50k terms).
 
-Also: per-doc TF rows grow ×K in both modes (linear work), and wall
-grows ~linearly (gate: ≤1.5× drift on re-runs).
+Wall grows sublinearly-to-linearly (gate: ≤1.5× drift on re-runs).
 
 Usage: cd /tmp && python /root/repo/scripts/stress_tfidf.py
 Pinned row in BASELINE.md ("SCALE TIER r8: TF-IDF vocabulary growth").
@@ -63,7 +65,10 @@ def run_tfidf(spark, d):
         .agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     t0 = time.time()
-    vocab = dfreq.count()
+    # collect the df relation itself (not .count(), whose collapsed plan
+    # would leave dfreq's own executed metrics empty) — vocabulary-sized,
+    # which is the point being measured
+    vocab = len(dfreq.collect())
     wall_df = time.time() - t0
     m = runtime_metrics(dfreq).row()
     t0 = time.time()
