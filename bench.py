@@ -138,6 +138,16 @@ HEADLINE = [
     # text/binary sink-source round-trip, e51's Arrow fold, MLlib fit).
     "t18_char_ngram_langid",
     "e90_chunk_dedup_stats",
+    # r8: the batch's two genuinely new plan shapes — e5b's
+    # posexplode → dim-bounded aggregate → broadcast join-back onto the
+    # exploded cells, and e95's chunk regeneration + per-doc
+    # sort-and-flatten reconstruction (collect_list state bounded by doc
+    # length). The other eleven r8 queries ride already-timed shapes
+    # (pipe lowering, constant-folded variables, classic agg/window/
+    # unpivot/TakeOrderedAndProject, distinct self-join, d10's
+    # WindowGroupLimit).
+    "e5b_dimension_minmax_scale",
+    "e95_chunk_stitch_roundtrip",
 ]
 
 

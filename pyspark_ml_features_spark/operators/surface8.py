@@ -362,3 +362,167 @@ def e96_cross_source_template_matrix(spark: SparkSession,
                      F.col("b.source").alias("src_b"))
             .agg(F.count(F.lit(1)).cast("bigint")
                  .alias("n_shared_openings")))
+
+
+@register(
+    "d136_unpivot_sql",
+    oracle="""
+SELECT l_orderkey, l_linenumber, feat, val
+FROM lineitem
+UNPIVOT (val FOR feat IN (l_quantity, l_extendedprice, l_discount))
+""",
+    tags=("engine", "D16", "reshape"),
+)
+def d136_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard SQL UNPIVOT clause — d33 reshapes with the stack() TVF
+    and d106 with selectExpr stack; this is the declarative form both
+    engines parse natively (Spark lowers it to the same Expand node as
+    stack, so wide→long stays a zero-shuffle flatMap). NULL cells are
+    dropped by UNPIVOT's default (none exist in lineitem; both engines
+    agree on the default INCLUDE NULLS = false)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_unpvt8")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber, feat, val
+        FROM li_unpvt8
+        UNPIVOT (val FOR feat IN (l_quantity, l_extendedprice, l_discount))
+    """)
+
+
+@register(
+    "d137_limit_offset_pagination",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+    tags=("engine", "D11", "pagination"),
+)
+def d137_limit_offset_pagination(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination under a deterministic total order (the
+    unique o_orderkey tie-break makes page 3 well-defined — OFFSET
+    without a total order is nondeterministic on ANY engine). Spark
+    plans the whole thing as TakeOrderedAndProject with limit =
+    offset + page (60 rows per partition, k-row driver merge, rows
+    0-39 discarded at the root) — no global sort, no single-partition
+    window; the classic deep-pagination caveat (cost grows with
+    offset) is the documented trade versus keyset pagination on the
+    order key."""
+    o = table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .offset(40).limit(20))
+
+
+@register(
+    "d138_identifier_clause",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "sql-variables", "spark4"),
+)
+def d138_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): table and column names supplied as
+    PARAMETERS instead of string-spliced SQL — the injection-safe form
+    of "group this table by that column", template queries over a
+    catalog. The identifier resolves at analysis time, so the plan is
+    byte-identical to the static query (the oracle's expanded form);
+    a value that is not a valid identifier is a parse error, never an
+    executed injection."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ident8")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol), CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM IDENTIFIER(:tab)
+        GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={"gcol": "o_orderpriority", "tab": "ord_ident8"})
+
+
+QA_PACK_PER_CELL = 3
+
+
+@register(
+    "e97_qa_sample_pack",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, lang,
+           len(str_split(text, ' '))::DOUBLE AS n_tokens,
+           len(list_distinct(str_split(text, ' ')))::DOUBLE AS n_distinct,
+           len(list_filter(str_split(text, ' '),
+               t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)
+               ))::DOUBLE AS n_stop,
+           list_sum(list_transform(str_split(text, ' '),
+                                   t -> length(t)))::DOUBLE AS total_chars
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           0.3 * (n_distinct / n_tokens)
+             + 0.3 * (1.0 - n_stop / n_tokens)
+             + 0.4 * least((total_chars / n_tokens) / 10.0, 1.0)
+               AS quality_score
+    FROM m
+), banded AS (
+    SELECT doc_id, lang, quality_score,
+           CAST(least(floor(quality_score * 5), 4) AS BIGINT) AS band
+    FROM scored
+), ranked AS (
+    SELECT doc_id, lang, band, quality_score,
+           row_number() OVER (
+               PARTITION BY lang, band
+               ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                        % 2147483648, doc_id) AS rn
+    FROM banded
+)
+SELECT doc_id, lang, band, quality_score
+FROM ranked WHERE rn <= {QA_PACK_PER_CELL}
+""",
+    tags=("north-star", "llm-pipeline", "stewardship", "sampling"),
+)
+def e97_qa_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUMAN-QA SAMPLE PACK: a deterministic {QA_PACK_PER_CELL}-doc
+    sample from every (language × quality band) cell — what a data
+    steward actually reads before shipping a corpus revision. Quality
+    is t2's exact score; bands are FIXED arithmetic thresholds
+    (floor(score×5), clamped) rather than ntile deciles, so band
+    assignment is scan-side per-row work with no global sort (e93's
+    ranking primitive covers the decile form); the in-cell sample
+    order is the portable LCG, so the same doc_ids come back on every
+    engine and every run.
+
+    100 TB: one window per (lang, band) cell — Spark's WindowGroupLimit
+    pushes the rn <= k filter into the sort (d10's shape), so each
+    task keeps k rows per cell, never the cell's full contents."""
+    from pyspark_ml_features_spark.operators.textops import STOPWORDS
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t)).cast("double")
+    score = (F.lit(0.3) * (n_distinct / n_tokens)
+             + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tokens)
+             + F.lit(0.4) * F.least((total_chars / n_tokens) / F.lit(10.0),
+                                    F.lit(1.0)))
+    banded = d.select(
+        "doc_id", "lang", score.alias("quality_score"),
+        F.least(F.floor(score * 5), F.lit(4)).cast("bigint").alias("band"))
+    lcg = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(1103515245)
+           + F.lit(12345)) % F.lit(2147483648)
+    w = Window.partitionBy("lang", "band").orderBy(lcg.asc(), "doc_id")
+    return (banded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= QA_PACK_PER_CELL)
+            .select("doc_id", "lang", "band", "quality_score"))

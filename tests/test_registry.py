@@ -161,6 +161,10 @@ DEFERRED_ORACLES: set[str] = {
     "e5b_dimension_minmax_scale",
     "e95_chunk_stitch_roundtrip",
     "e96_cross_source_template_matrix",
+    "d136_unpivot_sql",
+    "d137_limit_offset_pagination",
+    "d138_identifier_clause",
+    "e97_qa_sample_pack",
 }
 
 

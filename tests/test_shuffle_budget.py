@@ -98,6 +98,8 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "d122_blocked_linkage": (0.00, 0.0),
     "t18_char_ngram_langid": (0.05, 16.2),
     "e90_chunk_dedup_stats": (0.10, 16.2),
+    "e5b_dimension_minmax_scale": (0.00, 16.2),
+    "e95_chunk_stitch_roundtrip": (0.24, 0.0),
 }
 
 #: single headroom constant over the measured baselines (ADVICE r6)
