@@ -526,3 +526,187 @@ def e97_qa_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (banded.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= QA_PACK_PER_CELL)
             .select("doc_id", "lang", "band", "quality_score"))
+
+
+@register(
+    "d139_listagg_within_group",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY l_linenumber) AS line_list,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+GROUP BY l_orderkey
+""",
+    tags=("engine", "D4", "aggregate", "spark4"),
+)
+def d139_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg(...) WITHIN GROUP (ORDER BY ...) — the SQL-standard
+    ordered string aggregate added in Spark 4 (d69 built the same thing
+    manually from array_join(array_sort(collect_list))). The WITHIN
+    GROUP order makes the concatenation deterministic — DuckDB's
+    string_agg(... ORDER BY ...) is the exact equivalent; duplicate
+    order keys are harmless because equal keys carry equal strings.
+    Per-order groups are bounded (≤7 lines), so the aggregate state is
+    small and map-side combinable like any collect."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_lagg8")
+    return spark.sql("""
+        SELECT l_orderkey,
+               listagg(CAST(l_linenumber AS STRING), ',')
+                   WITHIN GROUP (ORDER BY l_linenumber) AS line_list,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM li_lagg8
+        WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey
+    """)
+
+
+@register(
+    "d140_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("engine", "D5", "bitmap", "spark4", "scale"),
+)
+def d140_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count) — the D5/D6 family's third point on
+    the exactness-vs-state curve: exact like count(DISTINCT) but with
+    MERGEABLE fixed-size state (one ≤4 KB bitmap per 32768-id bucket)
+    instead of a per-key hash set, and rollup-able like HLL (d38) but
+    with zero error. The three-level shape is the real rollup pattern:
+    per-(type, day, bucket) bitmaps built once from raw ids, OR-merged
+    across days WITHOUT re-reading raw ids (what HLL can only do
+    approximately), then counted — shuffle carries bitmaps, never ids.
+    (Nesting construct_agg inside or_agg in ONE select is an analysis
+    error, NESTED_AGGREGATE_FUNCTION — each level is its own GROUP BY.)
+    The oracle is the plain count(DISTINCT), which is the point: same
+    answer, bounded mergeable state."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ev_bmp8")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(sum(bitmap_count(b)) AS BIGINT) AS n_users
+        FROM (
+            SELECT event_type, bkt, bitmap_or_agg(day_b) AS b
+            FROM (
+                SELECT event_type, date(ts) AS day,
+                       bitmap_bucket_number(user_id) AS bkt,
+                       bitmap_construct_agg(
+                           bitmap_bit_position(user_id)) AS day_b
+                FROM ev_bmp8
+                GROUP BY event_type, date(ts),
+                         bitmap_bucket_number(user_id)
+            )
+            GROUP BY event_type, bkt
+        )
+        GROUP BY event_type
+    """)
+
+
+@register(
+    "d141_from_csv_codec",
+    oracle="""
+WITH packed AS (
+    SELECT o_orderkey::VARCHAR || ',' || o_orderpriority || ','
+           || CAST(o_totalprice AS VARCHAR) AS line
+    FROM orders
+), parsed AS (
+    SELECT CAST(str_split(line, ',')[1] AS BIGINT) AS k,
+           str_split(line, ',')[2] AS pr,
+           CAST(str_split(line, ',')[3] AS DOUBLE) AS tp
+    FROM packed
+)
+SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(tp * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(min(k) AS BIGINT) AS min_key
+FROM parsed GROUP BY pr
+""",
+    tags=("engine", "D17", "codec"),
+)
+def d141_from_csv_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv row codec — the CSV sibling of d17b's from_json: pack
+    three order columns into one delimited string, parse it back with a
+    typed schema, and aggregate the PARSED fields. Pins that the
+    serialize→parse round trip is lossless for integer keys and that
+    double formatting/parsing composes to the identical IEEE value on
+    both engines (CAST(double AS STRING) → parse; DuckDB mirrors with
+    str_split + casts). The codec runs inside codegen per row — the
+    pattern for ingesting Kafka-style delimited payloads without a
+    Python boundary."""
+    o = table(spark, sf_dir, "orders")
+    packed = o.select(
+        F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                    "o_orderpriority",
+                    F.col("o_totalprice").cast("string")).alias("line"))
+    parsed = packed.select(F.from_csv(
+        "line", "k BIGINT, pr STRING, tp DOUBLE").alias("r"))
+    return (parsed.select("r.k", "r.pr", "r.tp")
+            .groupBy(F.col("pr").alias("o_orderpriority"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.floor(F.col("tp") * 100).cast("bigint"))
+                 .cast("bigint").alias("price_cents"),
+                 F.min("k").cast("bigint").alias("min_key")))
+
+
+@register(
+    "a30_insert_default_columns",
+    oracle="""
+WITH ins AS (
+    SELECT o_orderkey, 'UNKNOWN' AS priority, 'none' AS flag
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'none' FROM orders
+    WHERE o_orderkey % 100 = 50
+)
+SELECT priority, flag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM ins GROUP BY priority, flag
+""",
+    tags=("engine", "A-source", "ddl", "spark4"),
+)
+def a30_insert_default_columns(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Column DEFAULT values on a parquet catalog table: CREATE TABLE
+    with DEFAULTs, one INSERT naming only (o_orderkey) — the engine
+    fills both defaults — and one naming (o_orderkey, priority) — only
+    flag defaults. The oracle states the expanded values over the
+    ORIGINAL orders table (the a15 trick: sink round-trip oracles never
+    read the sink). pid-suffixed table name + DROP + location rmtree
+    first (d50's stale-warehouse-dir gotcha); defaults resolve at
+    INSERT time, so the stored parquet holds materialized values — a
+    reader without the table schema sees the same data."""
+    import os
+    import shutil
+
+    tab = f"pmfs_a30_defaults_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tab}")
+    loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir")
+                       .removeprefix("file:"), tab)
+    shutil.rmtree(loc, ignore_errors=True)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_a30")
+    spark.sql(f"""
+        CREATE TABLE {tab} (
+            o_orderkey BIGINT,
+            priority STRING DEFAULT 'UNKNOWN',
+            flag STRING DEFAULT 'none'
+        ) USING parquet
+    """)
+    spark.sql(f"""
+        INSERT INTO {tab} (o_orderkey)
+        SELECT o_orderkey FROM ord_a30 WHERE o_orderkey % 100 = 0
+    """)
+    spark.sql(f"""
+        INSERT INTO {tab} (o_orderkey, priority)
+        SELECT o_orderkey, o_orderpriority FROM ord_a30
+        WHERE o_orderkey % 100 = 50
+    """)
+    return spark.sql(f"""
+        SELECT priority, flag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM {tab} GROUP BY priority, flag
+    """)

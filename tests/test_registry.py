@@ -165,6 +165,10 @@ DEFERRED_ORACLES: set[str] = {
     "d137_limit_offset_pagination",
     "d138_identifier_clause",
     "e97_qa_sample_pack",
+    "d139_listagg_within_group",
+    "d140_bitmap_distinct",
+    "d141_from_csv_codec",
+    "a30_insert_default_columns",
 }
 
 
