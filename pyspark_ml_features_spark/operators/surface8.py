@@ -710,3 +710,108 @@ def a30_insert_default_columns(spark: SparkSession,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM {tab} GROUP BY priority, flag
     """)
+
+
+@register(
+    "a31_metadata_columns",
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+""",
+    tags=("engine", "A-source", "lineage"),
+)
+def a31_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns on a parquet scan — per-file row
+    lineage (which physical file produced each row) without a separate
+    listing join: the debugging primitive for "which input file is
+    corrupt/skewed/duplicated" at 100 TB, where a scan covers 10^5
+    files. The column materializes scan-side per split (no shuffle, no
+    extra IO — the reader already knows its file). Every sf_dir ships
+    each table as ONE file with a constant basename, so the oracle
+    states 'orders.parquet' literally (DuckDB's equivalent probe,
+    read_parquet(filename=true) + parse_filename, verified identical);
+    the Spark side still COMPUTES the name from _metadata.file_path —
+    a wrong file association breaks the hash."""
+    o = table(spark, sf_dir, "orders")
+    return (o.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("file_name"), "o_orderkey")
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("o_orderkey").cast("bigint").alias("key_sum")))
+
+
+@register(
+    "d142_observed_quality_metrics",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("engine", "observability", "spark4"),
+)
+def d142_observed_quality_metrics(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Observation API: data-quality counters (row count, null count,
+    total cents) piggybacked on the SAME job as the business aggregate
+    via ``df.observe`` — zero extra passes over the data, the
+    production alternative to running a second validation query (which
+    at 100 TB doubles the scan bill). The observe node is a pass-
+    through for the result (the oracle is the plain aggregate);
+    tests/test_invariants.py collects the observed metrics and pins
+    them against the result itself."""
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation(f"d142_quality_{id(o)}")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("total_cents"))
+    return (observed.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                 .cast("bigint").alias("price_cents")))
+
+
+@register(
+    "d143_transpose",
+    oracle="""
+WITH s AS (
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT 'n' AS key,
+       CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN n END)
+            AS BIGINT) AS "1-URGENT",
+       CAST(max(CASE WHEN o_orderpriority = '2-HIGH' THEN n END)
+            AS BIGINT) AS "2-HIGH",
+       CAST(max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN n END)
+            AS BIGINT) AS "3-MEDIUM",
+       CAST(max(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN n END)
+            AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(max(CASE WHEN o_orderpriority = '5-LOW' THEN n END)
+            AS BIGINT) AS "5-LOW"
+FROM s
+""",
+    tags=("engine", "reshape", "spark4"),
+)
+def d143_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): rows ↔ columns over a SMALL
+    aggregate — the report-formatting tail of a pipeline, never a data
+    operator (the transposed frame's width = input row count, so it is
+    only defined for aggregate-sized inputs; Spark collects the pivot
+    column to name the output columns — driver cost = one small
+    column). The oracle is the manual conditional-aggregation pivot
+    the API replaces."""
+    o = table(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+           .orderBy("o_orderpriority"))
+    return agg.transpose()

@@ -791,3 +791,31 @@ def test_distributed_rank_monotone_on_real_data(spark):
            .filter(F.col("p").isNotNull() & (F.col("p") > F.col("k")))
            .count())
     assert bad == 0, "grk order must agree with order_cols order"
+
+
+def test_d142_observation_matches_result(spark):
+    """d142's Observation counters ride the same job as the aggregate —
+    the collected metrics must equal what the result itself implies
+    (total rows, total cents) and the null counter must be zero on this
+    fixture. Re-built here rather than imported so the observation
+    handle is local to the test."""
+    from pyspark.sql import Observation
+
+    from pyspark_ml_features_spark.operators.basic import table
+
+    o = table(spark, SF_DIR, "orders")
+    obs = Observation("d142_invariant")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("total_cents"))
+    res = (observed.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("price_cents"))).collect()
+    m = obs.get
+    assert m["n_rows"] == sum(r["n"] for r in res)
+    assert m["n_null_price"] == 0
+    assert m["total_cents"] == sum(r["price_cents"] for r in res)

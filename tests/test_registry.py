@@ -169,6 +169,9 @@ DEFERRED_ORACLES: set[str] = {
     "d140_bitmap_distinct",
     "d141_from_csv_codec",
     "a30_insert_default_columns",
+    "a31_metadata_columns",
+    "d142_observed_quality_metrics",
+    "d143_transpose",
 }
 
 
