@@ -815,3 +815,57 @@ def d143_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
            .orderBy("o_orderpriority"))
     return agg.transpose()
+
+
+@register(
+    "d144_sql_scripting",
+    oracle="""
+WITH s AS (
+    SELECT avg(o_totalprice) AS ap FROM orders
+)
+SELECT o_orderpriority,
+       CASE WHEN s.ap > 100000.0 THEN 'high' ELSE 'low' END AS price_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(s.ap * 100) AS BIGINT) AS avg_cents,
+       0.9990234375 AS geo_sum
+FROM orders, s
+GROUP BY o_orderpriority, s.ap
+""",
+    tags=("engine", "sql-scripting", "spark4"),
+)
+def d144_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END): DECLARE'd local variables, a
+    scalar-subquery SET, an IF/ELSE branch, and a WHILE loop — the
+    procedural control flow that previously required a driver-side
+    Python wrapper, now running as one SQL unit whose value is the last
+    statement's result. Everything the script computes is expressible
+    declaratively (the expanded-form oracle: the branch is a CASE over
+    the same average, the loop's geometric sum of ten exact dyadics is
+    the literal 0.9990234375), which is the right mental model — the
+    scripting layer sequences plans, it does not add operators, so each
+    inner statement still gets full Catalyst treatment."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ord_scr8")
+    return spark.sql("""
+        BEGIN
+            DECLARE avg_price DOUBLE;
+            DECLARE band STRING;
+            DECLARE geo DOUBLE DEFAULT 0.0;
+            DECLARE i INT DEFAULT 1;
+            SET avg_price = (SELECT avg(o_totalprice) FROM ord_scr8);
+            IF avg_price > 100000.0 THEN
+                SET band = 'high';
+            ELSE
+                SET band = 'low';
+            END IF;
+            WHILE i <= 10 DO
+                SET geo = geo + power(0.5, i);
+                SET i = i + 1;
+            END WHILE;
+            SELECT o_orderpriority, band AS price_band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(floor(avg_price * 100) AS BIGINT) AS avg_cents,
+                   geo AS geo_sum
+            FROM ord_scr8
+            GROUP BY o_orderpriority;
+        END
+    """)

@@ -172,6 +172,7 @@ DEFERRED_ORACLES: set[str] = {
     "a31_metadata_columns",
     "d142_observed_quality_metrics",
     "d143_transpose",
+    "d144_sql_scripting",
 }
 
 
