@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.operators.textops import STOPWORDS
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -231,7 +232,7 @@ WITH x AS (
     SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim
 )
 SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
-       (x.v - s.lo) / (s.hi - s.lo) AS scaled
+       (x.v - s.lo) / nullif(s.hi - s.lo, 0) AS scaled
 FROM x JOIN s USING (dim)
 """,
     tags=("north-star", "E5", "similarity", "scaling"),
@@ -257,8 +258,12 @@ def e5b_dimension_minmax_scale(spark: SparkSession,
     s = x.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     return (x.join(F.broadcast(s), "dim")
             .select("vec_id", "dim",
-                    ((F.col("v") - F.col("lo"))
-                     / (F.col("hi") - F.col("lo"))).alias("scaled")))
+                    # try_divide: a constant dimension (hi == lo) yields
+                    # NULL on BOTH engines instead of an ANSI
+                    # DIVIDE_BY_ZERO on Spark only (review r8 finding)
+                    F.try_divide(F.col("v") - F.col("lo"),
+                                 F.col("hi") - F.col("lo"))
+                    .alias("scaled")))
 
 
 @register(
@@ -457,7 +462,7 @@ WITH m AS (
            len(str_split(text, ' '))::DOUBLE AS n_tokens,
            len(list_distinct(str_split(text, ' ')))::DOUBLE AS n_distinct,
            len(list_filter(str_split(text, ' '),
-               t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)
+               t -> list_contains({list(STOPWORDS)}, t)
                ))::DOUBLE AS n_stop,
            list_sum(list_transform(str_split(text, ' '),
                                    t -> length(t)))::DOUBLE AS total_chars
@@ -500,8 +505,6 @@ def e97_qa_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one window per (lang, band) cell — Spark's WindowGroupLimit
     pushes the rn <= k filter into the sort (d10's shape), so each
     task keeps k rows per cell, never the cell's full contents."""
-    from pyspark_ml_features_spark.operators.textops import STOPWORDS
-
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens("text").alias("__toks"))
     toks = F.col("__toks")

@@ -14,8 +14,12 @@ advancement and state handoff across batches, not one monolithic scan.
 Claims under test:
  - correctness under replication: windowed (event_type × hour) counts
    scale EXACTLY ×K (disjoint users, identical event streams);
- - the window spine is CONSTANT across tiers (the fixture's time span
-   does not grow — state is bounded by watermark horizon, not volume);
+ - the window spine is CONSTANT across tiers because the fixture's
+   TIME SPAN does not grow with volume — window state tracks time, not
+   rows. (Complete output mode retains every window, so WATERMARK
+   eviction is deliberately not what this row measures —
+   stress_streaming.py pins that state bound with append-mode drains
+   and a checkpoint restart; review r8 finding.);
  - throughput (input rows/sec over the drain wall) is FLAT-to-rising
    with volume — fixed per-batch overhead amortizes; a SUBLINEAR
    throughput drop at higher tiers would mean per-batch state cost is

@@ -11,8 +11,9 @@ ways at ×1/×5/×10 document replication:
    (the df aggregate's OUTPUT stays |vocab| rows at every tier) while
    per-doc TF rows grow ×K — term statistics are vocabulary-bounded,
    not corpus-bounded (the e69 dup-gram finding, measured for TF-IDF);
- - MARKER replication (each replica's text gains one unique token):
-   vocabulary grows by exactly n_docs×(K−1) — the regime where a
+ - MARKER replication (each replica's text gains one unique token,
+   rep 0 included): vocabulary grows by exactly n_docs×K — the regime
+   where a
    broadcast hint on the df side would pin driver memory to an
    unbounded vocab (why e8's docstring forbids it);
  - the plan's TOTAL shuffle is dominated by the per-doc TF exchange
@@ -86,17 +87,26 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet").count()
     print(f"{'mode':>7} {'tier':>5} {'tf_rows':>9} {'vocab':>9} "
-          f"{'df_shuffle_MiB':>14} {'wall_s':>7}")
+          f"{'df_shuffle_MiB':>14} {'wall_s':>7}  vocab-law")
     base = {}
     for marker in (False, True):
         mode = "marker" if marker else "pure"
         for k in (1, 5, 10):
             r = run_tfidf(spark, docs(spark, k, marker))
-            base.setdefault(mode, r)
+            b = base.setdefault(mode, r)
+            # the row's vocabulary law, checked not just printed:
+            # pure replication keeps vocab CONSTANT; marker replication
+            # adds one unique token per doc in EVERY replica (rep 0
+            # included — replication only kicks in at k > 1), so
+            # vocab = base + n_docs*k.
+            want = b["vocab"] if not marker \
+                else b["vocab"] + (n_docs * k if k > 1 else 0)
             print(f"{mode:>7} {'x' + str(k):>5} {r['tf_rows']:>9} "
                   f"{r['vocab']:>9} {r['df_shuffle_MiB']:>14} "
-                  f"{r['wall']:>7}")
+                  f"{r['wall']:>7}  {r['vocab'] == want}")
     spark.stop()
 
 

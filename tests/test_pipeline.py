@@ -18,7 +18,7 @@ from tests.conftest import SF_DIR
 # out of the default ~3-min suite; the round's closing full-scale pass
 # opts in with PMFS_SF01_PIPELINE=1.
 SF01_DIR = "/root/testdata/sf0.1"
-RUN_SF01 = bool(int(os.environ.get("PMFS_SF01_PIPELINE", "0")))
+RUN_SF01 = os.environ.get("PMFS_SF01_PIPELINE", "") == "1"
 
 
 # e76's exact funnel at the driver's grading scale (sf0.01), pinned so a
