@@ -271,7 +271,7 @@ def e5b_dimension_minmax_scale(spark: SparkSession,
     oracle="""
 SELECT doc_id, text AS stitched_text
 FROM documents
-WHERE len(str_split(text, ' ')) > 0
+WHERE trim(text) <> ''
 """,
     tags=("north-star", "llm-pipeline", "chunking"),
 )
@@ -295,6 +295,10 @@ def e95_chunk_stitch_roundtrip(spark: SparkSession,
         CHUNK_SIZE, CHUNK_STRIDE)
 
     d = (table(spark, sf_dir, "documents")
+         # Meaningful empty-doc exclusion, mirrored in the oracle's
+         # trim(text) <> ''. (A size(split(...)) > 0 guard would be
+         # vacuous: split always yields >= 1 element — r8 ADVICE.)
+         .filter(F.trim(F.col("text")) != "")
          .select("doc_id", tokens("text").alias("__toks")))
     t = F.col("__toks")
     n_tok = F.size(t)
@@ -302,9 +306,8 @@ def e95_chunk_stitch_roundtrip(spark: SparkSession,
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(t, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
-    chunked = (d.filter(n_tok > 0)
-               .select("doc_id",
-                       F.posexplode(chunks).alias("chunk_id", "chunk")))
+    chunked = d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
     per_doc = (chunked.groupBy("doc_id")
                .agg(F.sort_array(F.collect_list(
                    F.struct("chunk_id", "chunk"))).alias("cs"))
@@ -767,10 +770,14 @@ def d142_observed_quality_metrics(spark: SparkSession,
     through for the result (the oracle is the plain aggregate);
     tests/test_invariants.py collects the observed metrics and pins
     them against the result itself."""
+    import uuid
+
     from pyspark.sql import Observation
 
     o = table(spark, sf_dir, "orders")
-    obs = Observation(f"d142_quality_{id(o)}")
+    # uuid suffix, not id(): CPython reuses id() values after GC, so two
+    # executions in one session could collide on the CollectMetrics name.
+    obs = Observation(f"d142_quality_{uuid.uuid4().hex}")
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
@@ -853,6 +860,7 @@ def d144_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             DECLARE avg_price DOUBLE;
             DECLARE band STRING;
             DECLARE geo DOUBLE DEFAULT 0.0;
+            DECLARE half DOUBLE DEFAULT 0.5;
             DECLARE i INT DEFAULT 1;
             SET avg_price = (SELECT avg(o_totalprice) FROM ord_scr8);
             IF avg_price > 100000.0 THEN
@@ -860,8 +868,12 @@ def d144_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ELSE
                 SET band = 'low';
             END IF;
+            -- geometric sum via an exact dyadic recurrence (each step
+            -- halves a power of two — always representable), never
+            -- power(): no libm transcendental behind an exact oracle.
             WHILE i <= 10 DO
-                SET geo = geo + power(0.5, i);
+                SET geo = geo + half;
+                SET half = half * 0.5;
                 SET i = i + 1;
             END WHILE;
             SELECT o_orderpriority, band AS price_band,
