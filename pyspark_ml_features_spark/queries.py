@@ -61,6 +61,12 @@ from pyspark_ml_features_spark.operators import curation7  # noqa: F401, E402
 # the landed r07 grades before registration.
 from pyspark_ml_features_spark.operators import surface8  # noqa: F401, E402
 
+# Round-9 batch, imported after surface8: post-r08 the backlog is again
+# EMPTY, so these register as the r9 window's backlog head and grade
+# same-round — simulated against the landed r08 grades before
+# registration.
+from pyspark_ml_features_spark.operators import surface9  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

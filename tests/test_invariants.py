@@ -140,10 +140,22 @@ def test_label_index_matches_stringindexer(spark):
 
 
 def test_image_stub_plumbing(run):
+    """e13 re-pointed (r9): even doc_ids carry real PNGs through the
+    full-pixel decode (small formula geometry), odd ones carry text
+    bytes through the documented fake fallback — both rungs of
+    decode_image_auto in one result."""
     df = run("e13_image_features_stub")
     assert df.columns == ["doc_id", "width", "height", "n_channels", "mean_luma"]
-    rows = df.limit(10).collect()
-    assert all(64 <= r["width"] < 128 and 0 <= r["mean_luma"] < 256 for r in rows)
+    rows = df.limit(100).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 2 == 0:  # real decode of a synthesized PNG
+            assert r["width"] == 5 + r["doc_id"] % 4
+            assert r["height"] == 4 + r["doc_id"] % 3
+            assert r["n_channels"] == 1
+        else:  # fake fallback on non-image bytes
+            assert 64 <= r["width"] < 128 and r["n_channels"] == 3
+        assert 0 <= r["mean_luma"] < 256
 
 
 def test_approx_robust_scale_close_to_exact(run):

@@ -327,6 +327,9 @@ ROW_PYTHON_ALLOWED = {
     # the documented "genuinely sequential per-group logic" slot of the
     # D20 spectrum (vectorizable logic belongs in applyInPandas, d21).
     "d109_udtf_table_arg",
+    # Polymorphic table-arg UDTF: same row-at-a-time-by-API-design slot
+    # as d109, exercised for the analyze()-computed-schema surface.
+    "d145_polymorphic_udtf",
 }
 # Arrow-batched Python (pandas UDF / applyInPandas / mapInPandas): the
 # documented Python-boundary operators (multimodal decode, grouped fits,
@@ -338,6 +341,9 @@ ARROW_ALLOWED = {
     "e13b_image_header_parse", "e29_audio_features",
     "e30_video_frame_sample",
     "e71_image_resize",  # real BMP decode+resize — numpy over Arrow batches
+    "e98_png_decode",  # real PNG pixel decode (zlib+defilter) over Arrow
+    "e99_image_content_dedup",  # decoded-content dedup — e98's decode
+                                # boundary feeding a JVM groupBy
     "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)

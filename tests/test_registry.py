@@ -173,6 +173,13 @@ DEFERRED_ORACLES: set[str] = {
     "d142_observed_quality_metrics",
     "d143_transpose",
     "d144_sql_scripting",
+    # -- round-9 batch (surface9.py, registered last; backlog head of the
+    #    r9 window — locally hash-verified by drive_contract.py)
+    "e98_png_decode",
+    "d145_polymorphic_udtf",
+    "d146_recursive_month_spine",
+    "d147_xml_roundtrip",
+    "e99_image_content_dedup",
 }
 
 
