@@ -123,6 +123,10 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    # closures reference package helpers (decode_png etc.) — ship the
+    # package zip so executor Python workers can import it
+    from pyspark_ml_features_spark.session import tune_session
+    tune_session(spark)
 
     n_base = (spark.read.parquet(
         "/root/testdata/sf0.1/documents.parquet")
