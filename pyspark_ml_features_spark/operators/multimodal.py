@@ -138,9 +138,18 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int, int]:
     if payload[:2] == b"BM":
         width, height = struct.unpack("<ii", payload[18:26])
         bpp, = struct.unpack("<H", payload[28:30])
+        # Plausibility gate (r9 review): text that merely starts with
+        # 'BM' would otherwise unpack garbage geometry from its bytes —
+        # require a spec-legal bit depth and sane dimensions before
+        # trusting the parse.
+        if bpp not in (1, 4, 8, 16, 24, 32) or not (
+                0 < width <= 1 << 20 and 0 < abs(height) <= 1 << 20):
+            raise ValueError("implausible BMP header fields")
         return ("bmp", width, abs(height), bpp, max(1, bpp // 8))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         width, height = struct.unpack("<HH", payload[6:10])
+        if width == 0 or height == 0:
+            raise ValueError("implausible GIF header fields")
         return ("gif", width, height, 8, 1)
     raise ValueError("unrecognized image format (not PNG/BMP/GIF)")
 
@@ -261,6 +270,10 @@ def decode_png(payload: bytes) -> "object":
     pos = 8
     while pos + 12 <= len(payload):
         length, = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # keep the documented ValueError contract — unpack_from past
+            # the buffer would leak struct.error (r9 review)
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         crc, = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -280,7 +293,11 @@ def decode_png(payload: bytes) -> "object":
         pos += 12 + length
     if width is None:
         raise ValueError("PNG payload has no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # empty/truncated IDAT — keep the documented ValueError contract
+        raise ValueError(f"bad PNG pixel stream: {exc}") from exc
     stride = width + 1  # one filter-type byte per scanline
     if len(raw) != height * stride:
         raise ValueError("PNG pixel data length mismatch")

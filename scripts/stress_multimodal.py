@@ -3,7 +3,7 @@
 family (e71/e98 image decode + e72 audio resample), closing the one
 family VERDICT r8 flagged as measured-scale-thin.
 
-Documents sf0.1 (10k docs) replicated ×1/×5/×10 as DISJOINT doc_ids
+Documents sf0.1 (5k docs) replicated ×1/×5/×10 as DISJOINT doc_ids
 whose payload CONTENT is keyed on ``doc_id % n_base`` — every replica
 carries byte-identical media to the base tier under new ids, so exact
 ×K pins hold end to end:
@@ -42,18 +42,16 @@ import pandas as pd  # noqa: E402
 import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
-N_BASE = None  # filled from the base table at runtime
 
-
-def doc_ids(spark: SparkSession, replicas: int):
+def doc_ids(spark: SparkSession, replicas: int, n_base: int):
     d = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
          .select("doc_id"))
     if replicas == 1:
         return d
-    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = spark.range(replicas).select(F.col("id").alias("rep"))
     return (d.crossJoin(reps)
-            .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id")))
+            .select((F.col("doc_id") + F.col("rep") * n_base)
+                    .alias("doc_id")))
 
 
 def image_tier(spark: SparkSession, replicas: int, n_base: int) -> dict:
@@ -76,7 +74,7 @@ def image_tier(spark: SparkSession, replicas: int, n_base: int) -> dict:
             yield pd.DataFrame(out, columns=["n_bytes", "checksum"]
                                ).astype("int64")
 
-    df = doc_ids(spark, replicas).mapInPandas(
+    df = doc_ids(spark, replicas, n_base).mapInPandas(
         _decode, schema="n_bytes long, checksum long")
     t0 = time.time()
     row = df.agg(F.count(F.lit(1)).alias("n"),
@@ -105,7 +103,7 @@ def audio_tier(spark: SparkSession, replicas: int, n_base: int) -> dict:
                 out, columns=["n_bytes", "n_out", "crossings"]
             ).astype("int64")
 
-    df = doc_ids(spark, replicas).mapInPandas(
+    df = doc_ids(spark, replicas, n_base).mapInPandas(
         _resample, schema="n_bytes long, n_out long, crossings long")
     t0 = time.time()
     row = df.agg(F.count(F.lit(1)).alias("n"),
@@ -135,8 +133,7 @@ def main() -> None:
     image_tier(spark, 1, n_base)  # JIT/Arrow warmup
     print(f"{'path':>6} {'tier':>5} {'docs':>8} {'MiB':>8} {'wall_s':>7} "
           f"{'s_per_MiB':>10}  exact")
-    for path, fn, key in (("image", image_tier, "sum"),
-                          ("audio", audio_tier, "sum")):
+    for path, fn in (("image", image_tier), ("audio", audio_tier)):
         base = None
         for k in (1, 5, 10):
             m = fn(spark, k, n_base)

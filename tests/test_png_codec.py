@@ -61,6 +61,31 @@ def test_png_rejects_unsupported_shape():
         decode_png(synth_png_header(4, 4, bit_depth=8, color_type=2))
 
 
+def test_png_truncated_payload_is_value_error():
+    # every truncation point must surface as the documented ValueError,
+    # never a leaked struct.error or zlib.error
+    payload = synth_png(3, 6, 5)
+    # cuts inside the IEND trailer (last 12 bytes) leave a complete IDAT
+    # and decode fine; every cut that loses pixel/header bytes must raise
+    for cut in range(9, len(payload) - 12):
+        with pytest.raises(ValueError):
+            decode_png(payload[:cut])
+    assert decode_png(payload).shape == (5, 6)
+
+
+def test_bm_prefixed_text_is_not_a_bmp():
+    # text that merely starts with 'BM' must not parse as garbage geometry
+    from pyspark_ml_features_spark.operators.multimodal import (
+        parse_image_header)
+
+    with pytest.raises(ValueError):
+        parse_image_header(b"BMW drivers wrote this forty-byte document")
+    # and the auto ladder lands on the fake, not a misparse
+    got = decode_image_auto(b"BMW drivers wrote this forty-byte document")
+    assert got == fake_decode_image(
+        b"BMW drivers wrote this forty-byte document")
+
+
 def test_decode_image_png_real_luma():
     doc_id, w, h = 11, 5, 4
     width, height, n_ch, luma = decode_image(synth_png(doc_id, w, h))
