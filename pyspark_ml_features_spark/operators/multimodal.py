@@ -346,14 +346,37 @@ def synth_png(doc_id: int, w: int, h: int, filter_offset: int = 0) -> bytes:
     ANY filter breaks the round-trip. Distinct ``filter_offset`` values
     produce byte-DIFFERENT files with pixel-IDENTICAL content — the
     re-encoded-duplicate fixture e99's content-dedup relies on."""
-    import struct
-    import zlib
-
     import numpy as np
 
     x = np.arange(w, dtype="int64")
     y = np.arange(h, dtype="int64")
     grey = (x[None, :] * 7 + y[:, None] * 13 + doc_id) % 256
+    return encode_png_grey(grey, filter_offset)
+
+
+def synth_png_brightness(key: int, w: int, h: int, brightness: int) -> bytes:
+    """Bounded-brightness render for the perceptual-hash fixture (e101):
+    base pattern ``(x*7 + y*13 + key) % 128`` (values 0..127) plus a
+    flat ``brightness`` offset (caller keeps it ≤ 128 so nothing wraps
+    mod 256) — re-renders of the same content under different exposure,
+    the duplicate class aHash groups and exact pixel dedup splits."""
+    import numpy as np
+
+    x = np.arange(w, dtype="int64")
+    y = np.arange(h, dtype="int64")
+    grey = (x[None, :] * 7 + y[:, None] * 13 + key) % 128 + brightness
+    return encode_png_grey(grey)
+
+
+def encode_png_grey(grey: "object", filter_offset: int = 0) -> bytes:
+    """Encode a top-down int array (values 0..255) as a real greyscale-8
+    PNG, cycling scanline filter type ``(y + filter_offset) % 5``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = grey.shape
     lines = bytearray()
     for r in range(h):
         ftype = (r + filter_offset) % 5

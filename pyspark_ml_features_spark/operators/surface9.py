@@ -340,3 +340,102 @@ def e99_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.countDistinct("byte_md5").cast("bigint")
                  .alias("n_byte_variants")))
+
+
+@register(
+    "e101_image_ahash_neardup",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, doc_id % 64 AS ck, doc_id % 5 AS bright FROM documents
+), px AS (
+    -- the 8x8 nearest-neighbor sample of the BASE pattern (brightness
+    -- cancels out of the threshold test exactly, so it never appears)
+    SELECT ck, yy * 8 + xx AS i,
+           ((xx * (16 + ck % 16)) // 8 * 7
+            + (yy * (12 + ck % 8)) // 8 * 13 + ck) % 128 AS v
+    FROM (SELECT DISTINCT ck FROM d) AS cks,
+         UNNEST(range(0, 8)) AS tx(xx),
+         UNNEST(range(0, 8)) AS ty(yy)
+), tot AS (
+    SELECT ck, sum(v) AS s FROM px GROUP BY ck
+), bits AS (
+    SELECT px.ck, px.i,
+           CASE WHEN 64 * px.v > tot.s THEN 1 ELSE 0 END AS b
+    FROM px JOIN tot USING (ck)
+), hash AS (
+    SELECT ck,
+           CAST(sum(CASE WHEN i >= 32
+                         THEN b * (1::BIGINT << (i - 32)) ELSE 0 END)
+                AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN i < 32
+                         THEN b * (1::BIGINT << i) ELSE 0 END)
+                AS BIGINT) AS hash_lo
+    FROM bits GROUP BY ck
+)
+SELECT h.hash_hi, h.hash_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.bright) AS BIGINT) AS n_brightness_variants
+FROM d JOIN hash h USING (ck)
+GROUP BY h.hash_hi, h.hash_lo
+""",
+    tags=("north-star", "llm-pipeline", "multimodal", "dedup", "neardup"),
+)
+def e101_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image hashing (8×8 average-hash) for NEAR-dup grouping
+    — where e99's exact content dedup splits on ANY pixel change, aHash
+    groups re-renders that differ by a global brightness shift (the
+    'same image, different exposure/levels' duplicate class): every doc
+    renders its content pattern (keyed on doc_id % 64, values 0..127)
+    plus a per-doc brightness offset (16·(doc_id % 5), no wraparound by
+    construction), decodes the real PNG, resizes to 8×8 nearest-
+    neighbor, and sets bit i = (64·vᵢ > Σv) — an EXACT integer
+    threshold: adding c to every pixel adds 64c to both sides, so the
+    comparison (and therefore the hash) is brightness-invariant by
+    arithmetic, not approximation, which is what makes an exact oracle
+    possible for a 'perceptual' operator. The hash packs into
+    (hash_hi, hash_lo) 32-bit halves (no BIGINT sign-bit games — the
+    simhash64 two's-complement trick not needed). n_brightness_variants
+    per group (5 everywhere at sf ≥ 0.01) is the in-result witness
+    that exact pixel dedup would have split these groups.
+
+    100 TB: decode+hash is the embarrassingly-parallel Arrow scan; the
+    grouping exchange carries 16 bytes per doc and is partial-
+    aggregated to distinct-hash cardinality — the banded-LSH economics
+    of e2d applied to images. Hamming-radius near-dup (not just
+    radius-0) buckets these same halves the e2c band way."""
+    import numpy as np
+
+    from pyspark_ml_features_spark.operators.multimodal import (
+        decode_png, synth_png_brightness)
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ck, bright = i % 64, i % 5
+                w, h = 16 + ck % 16, 12 + ck % 8
+                # bounded-brightness render: base pattern 0..127 plus
+                # 16*bright <= 64 — never wraps mod 256
+                payload = synth_png_brightness(ck, w, h, bright * 16)
+                px = decode_png(payload).astype("int64")
+                sx = (np.arange(8, dtype="int64") * w) // 8
+                sy = (np.arange(8, dtype="int64") * h) // 8
+                small = px[np.ix_(sy, sx)]
+                bits = (64 * small > small.sum()).flatten()
+                weights = 1 << np.arange(64, dtype="uint64")
+                hash_lo = int((bits[:32] * weights[:32]).sum())
+                hash_hi = int((bits[32:] * weights[:32]).sum())
+                out.append((i, hash_hi, hash_lo, bright))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "hash_hi", "hash_lo", "bright"]
+            ).astype("int64")
+
+    hashed = d.mapInPandas(
+        _hash, schema="doc_id long, hash_hi long, hash_lo long, bright long")
+    return (hashed.groupBy("hash_hi", "hash_lo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("bright").cast("bigint")
+                 .alias("n_brightness_variants")))

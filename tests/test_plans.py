@@ -344,6 +344,8 @@ ARROW_ALLOWED = {
     "e98_png_decode",  # real PNG pixel decode (zlib+defilter) over Arrow
     "e99_image_content_dedup",  # decoded-content dedup — e98's decode
                                 # boundary feeding a JVM groupBy
+    "e101_image_ahash_neardup",  # perceptual-hash near-dup — same decode
+                                 # boundary, 16-byte hash rows out
     "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)

@@ -180,6 +180,7 @@ DEFERRED_ORACLES: set[str] = {
     "d146_recursive_month_spine",
     "d147_xml_roundtrip",
     "e99_image_content_dedup",
+    "e101_image_ahash_neardup",
 }
 
 
