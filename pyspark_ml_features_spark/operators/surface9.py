@@ -403,32 +403,12 @@ def e101_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated to distinct-hash cardinality — the banded-LSH economics
     of e2d applied to images. Hamming-radius near-dup (not just
     radius-0) buckets these same halves the e2c band way."""
-    import numpy as np
-
-    from pyspark_ml_features_spark.operators.multimodal import (
-        decode_png, synth_png_brightness)
-
     d = table(spark, sf_dir, "documents").select("doc_id")
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                ck, bright = i % 64, i % 5
-                w, h = 16 + ck % 16, 12 + ck % 8
-                # bounded-brightness render: base pattern 0..127 plus
-                # 16*bright <= 64 — never wraps mod 256
-                payload = synth_png_brightness(ck, w, h, bright * 16)
-                px = decode_png(payload).astype("int64")
-                sx = (np.arange(8, dtype="int64") * w) // 8
-                sy = (np.arange(8, dtype="int64") * h) // 8
-                small = px[np.ix_(sy, sx)]
-                bits = (64 * small > small.sum()).flatten()
-                weights = 1 << np.arange(64, dtype="uint64")
-                hash_lo = int((bits[:32] * weights[:32]).sum())
-                hash_hi = int((bits[32:] * weights[:32]).sum())
-                out.append((i, hash_hi, hash_lo, bright))
+            out = [(int(i), *doc_ahash(int(i)), int(i) % 5)
+                   for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 out, columns=["doc_id", "hash_hi", "hash_lo", "bright"]
             ).astype("int64")
@@ -439,3 +419,191 @@ def e101_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.countDistinct("bright").cast("bigint")
                  .alias("n_brightness_variants")))
+
+
+def doc_ahash(i: int) -> tuple[int, int]:
+    """The e101/e102 fixture hash: render doc i's content pattern (keyed
+    on i % 64) at brightness 16·(i % 5) — bounded so nothing wraps mod
+    256 — decode the real PNG, nearest-neighbor to 8×8, and set bit
+    j = (64·vⱼ > Σv), an EXACT integer threshold that is brightness-
+    invariant by arithmetic. Returns (hash_hi, hash_lo) 32-bit halves
+    (sign-bit-free on both engines)."""
+    import numpy as np
+
+    from pyspark_ml_features_spark.operators.multimodal import (
+        decode_png, synth_png_brightness)
+
+    ck, bright = i % 64, i % 5
+    w, h = 16 + ck % 16, 12 + ck % 8
+    px = decode_png(synth_png_brightness(ck, w, h, bright * 16)
+                    ).astype("int64")
+    sx = (np.arange(8, dtype="int64") * w) // 8
+    sy = (np.arange(8, dtype="int64") * h) // 8
+    small = px[np.ix_(sy, sx)]
+    bits = (64 * small > small.sum()).flatten()
+    weights = 1 << np.arange(64, dtype="uint64")
+    return (int((bits[32:] * weights[:32]).sum()),
+            int((bits[:32] * weights[:32]).sum()))
+
+
+@register(
+    "e102_image_hamming_pairs",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT doc_id % 64 AS ck FROM documents
+), px AS (
+    SELECT ck, yy * 8 + xx AS i,
+           ((xx * (16 + ck % 16)) // 8 * 7
+            + (yy * (12 + ck % 8)) // 8 * 13 + ck) % 128 AS v
+    FROM d,
+         UNNEST(range(0, 8)) AS tx(xx),
+         UNNEST(range(0, 8)) AS ty(yy)
+), tot AS (
+    SELECT ck, sum(v) AS s FROM px GROUP BY ck
+), bits AS (
+    SELECT px.ck, px.i,
+           CASE WHEN 64 * px.v > tot.s THEN 1 ELSE 0 END AS b
+    FROM px JOIN tot USING (ck)
+), hx AS (
+    SELECT DISTINCT
+           CAST(sum(CASE WHEN i >= 32
+                         THEN b * (1::BIGINT << (i - 32)) ELSE 0 END)
+                AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN i < 32
+                         THEN b * (1::BIGINT << i) ELSE 0 END)
+                AS BIGINT) AS hash_lo
+    FROM bits GROUP BY ck
+), bands AS (
+    SELECT hash_hi, hash_lo, bb.band_id,
+           CASE bb.band_id
+               WHEN 0 THEN hash_lo & 65535
+               WHEN 1 THEN (hash_lo >> 16) & 65535
+               WHEN 2 THEN hash_hi & 65535
+               ELSE (hash_hi >> 16) & 65535 END AS band_val
+    FROM hx, UNNEST(range(0, 4)) AS bb(band_id)
+), pairs AS (
+    SELECT DISTINCT a.hash_hi AS a_hi, a.hash_lo AS a_lo,
+                    c.hash_hi AS b_hi, c.hash_lo AS b_lo
+    FROM bands a JOIN bands c
+      ON a.band_id = c.band_id AND a.band_val = c.band_val
+     AND (a.hash_hi < c.hash_hi
+          OR (a.hash_hi = c.hash_hi AND a.hash_lo < c.hash_lo))
+)
+SELECT a_hi, a_lo, b_hi, b_lo,
+       CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+            AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 8
+""",
+    tags=("north-star", "llm-pipeline", "multimodal", "dedup", "neardup",
+          "lsh"),
+)
+def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED Hamming-radius near-dup over perceptual image hashes —
+    e101 groups radius-0 (identical aHash); this finds PAIRS of distinct
+    hashes within Hamming distance 8 using the e2c/e2d banding economics
+    on images: each 64-bit hash splits into four 16-bit bands, candidate
+    pairs must share ≥1 exact band (an EQUI-join — measured 96
+    candidates of 1,953 possible pairs at this fixture's geometry, a
+    20× reduction that grows with corpus size), and only candidates pay
+    the exact bit_count(xor) distance filter. Banding is recall-bounded
+    as always (d ≤ 3 guarantees a shared band by pigeonhole; larger
+    distances are found only when errors cluster) — both engines
+    implement the SAME band-then-filter algorithm, so the oracle pins
+    the algorithm, and the recall trade is the documented LSH semantic,
+    not drift. Hash halves are 32-bit positives: `&`, `>>`,
+    `bit_count`, `xor` all match between engines with no sign-bit games
+    (the simhash64 two's-complement trick is unnecessary here).
+
+    100 TB: per-doc hashing is the Arrow scan (16 bytes out per doc);
+    the distinct-hash set is content-bounded, bands explode it ×4, and
+    the pair join is hash-partitioned on (band_id, band_val) — never
+    all-pairs. This is the image twin of the text banded-near-dup
+    family (e2c/e2d/e33)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [doc_ahash(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(out, columns=["hash_hi", "hash_lo"]
+                               ).astype("int64")
+
+    hx = (d.mapInPandas(_hash, schema="hash_hi long, hash_lo long")
+          .distinct())
+    bands = hx.select(
+        "hash_hi", "hash_lo",
+        F.posexplode(F.array(
+            F.col("hash_lo").bitwiseAND(F.lit(65535)),
+            F.shiftright("hash_lo", 16).bitwiseAND(F.lit(65535)),
+            F.col("hash_hi").bitwiseAND(F.lit(65535)),
+            F.shiftright("hash_hi", 16).bitwiseAND(F.lit(65535)),
+        )).alias("band_id", "band_val"))
+    a = bands.alias("a")
+    c = bands.alias("c")
+    pairs = (a.join(c, on=[
+        F.col("a.band_id") == F.col("c.band_id"),
+        F.col("a.band_val") == F.col("c.band_val"),
+        (F.col("a.hash_hi") < F.col("c.hash_hi"))
+        | ((F.col("a.hash_hi") == F.col("c.hash_hi"))
+           & (F.col("a.hash_lo") < F.col("c.hash_lo")))])
+        .select(F.col("a.hash_hi").alias("a_hi"),
+                F.col("a.hash_lo").alias("a_lo"),
+                F.col("c.hash_hi").alias("b_hi"),
+                F.col("c.hash_lo").alias("b_lo"))
+        .distinct())
+    hamming = (F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+               + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
+    return (pairs.withColumn("hamming", hamming.cast("bigint"))
+            .filter(F.col("hamming") <= 8))
+
+
+@register(
+    "d148_sql_table_function",
+    oracle="""
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+    FROM orders
+)
+SELECT * FROM ranked WHERE rnk <= 5
+""",
+    tags=("engine", "D20", "sql", "table-function", "spark4"),
+)
+def d148_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED table function (`CREATE FUNCTION ... RETURNS TABLE
+    ... RETURN SELECT`): the declarative macro layer of the D20 spectrum
+    — d113 is the scalar SQL UDF, d109/d145 are Python UDTFs; this slot
+    is a PARAMETERIZED table view whose body is pure SQL, so Catalyst
+    inlines it like any subquery (full pushdown/pruning through the
+    function boundary — no black box, unlike the Python shapes). The
+    parameter feeds a rank predicate rather than LIMIT because a
+    correlated limit must be plan-time constant
+    (INVALID_LIMIT_LIKE_EXPRESSION — probed); the rank filter lowers to
+    WindowGroupLimit anyway, which is the better plan at scale.
+
+    100 TB: the inlined body is d10's top-k-per-group shape — one
+    window exchange on the partition key, group-limit pushed into the
+    sort. Reference: no SQL-function surface in the reference repo
+    (spark_ml_features.py:1); SURVEY §2-D20 family."""
+    o = table(spark, sf_dir, "orders")
+    view = f"sqltvf_orders_{os.getpid()}"
+    o.createOrReplaceTempView(view)
+    fn = f"priority_top_{os.getpid()}"
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION {fn}(lim INT)
+        RETURNS TABLE (o_orderpriority STRING, o_orderkey BIGINT,
+                       cents BIGINT, rnk BIGINT)
+        RETURN SELECT * FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)
+                        AS BIGINT) AS rnk
+            FROM {view}
+        ) WHERE rnk <= lim
+    """)
+    return spark.sql(f"SELECT * FROM {fn}(5)")

@@ -534,3 +534,74 @@ def s12_chained_stateful_windows(spark: SparkSession,
     replaces sink+re-read pipelines and their double storage cost."""
     return run_stream_to_memory(
         chained_window_rollup(events_stream(spark, sf_dir)), mode="append")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (the events_stream symlink
+    trick; no timestamp normalization needed — this is the binary/media
+    ingest shape: a watcher directory of arriving media-bearing files)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    stage = _mkdtemp("documents_stream_")
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(src).schema.fields)
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def streaming_media_features(docs: DataFrame) -> DataFrame:
+    """Media decode under structured streaming: the e98 Arrow decode
+    boundary (synthesize a real PNG per doc, full zlib+defilter decode,
+    position-weighted checksum) applied as a STATELESS streaming
+    projection, then a global aggregate — the 'decode features on
+    ingest' pipeline. mapInPandas composes with readStream unchanged:
+    same schema, same batch shape, per-micro-batch execution."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def _decode(batches: "Iterator[pd.DataFrame]"):
+        from pyspark_ml_features_spark.operators.multimodal import (
+            decode_png, synth_png)
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = decode_png(
+                    synth_png(i, 5 + i % 4, 4 + i % 3)).astype("int64")
+                h, w = px.shape
+                weights = (np.arange(w * h, dtype="int64") + 1
+                           ).reshape(h, w)
+                out.append((i, int((px * weights).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "checksum"])
+
+    decoded = docs.select("doc_id").mapInPandas(
+        _decode, schema="doc_id long, checksum long")
+    return decoded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("checksum").cast("bigint").alias("checksum_sum"))
+
+
+@register("s13_streaming_media_decode",
+          tags=("north-star", "streaming", "multimodal"))
+def s13_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media family's streaming twin — real PNG decode (e98's exact
+    boundary) running per micro-batch on a document stream, reduced to
+    (n_docs, checksum_sum). Equality with the batch twin is asserted in
+    tests/test_streaming.py (the checksum sum is order-independent
+    integer math, so streaming == batch exactly). Rows-only for the
+    driver (streaming execution isn't SQL-oracle-able); e98 is the
+    hash-graded batch oracle for the same decode.
+
+    100 TB/day ingest: decode is stateless (no watermark, no state
+    store) — each micro-batch Arrow-streams its files through Python
+    workers and emits metadata; the only stateful node is the final
+    scalar aggregate. This is the shape for 'extract features as media
+    lands' pipelines; swap the synth step for the binaryFile source
+    (a28) in deployment."""
+    return run_stream_to_memory(
+        streaming_media_features(documents_stream(spark, sf_dir)))

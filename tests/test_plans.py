@@ -346,6 +346,8 @@ ARROW_ALLOWED = {
                                 # boundary feeding a JVM groupBy
     "e101_image_ahash_neardup",  # perceptual-hash near-dup — same decode
                                  # boundary, 16-byte hash rows out
+    "e102_image_hamming_pairs",  # e101's hashing boundary feeding a JVM
+                                 # banded equi-join + bit_count filter
     "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)

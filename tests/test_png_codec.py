@@ -108,6 +108,33 @@ def test_decode_image_refuses_non_codec_free():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        grey=arrays("int64", st.tuples(st.integers(1, 24),
+                                       st.integers(1, 24)),
+                    elements=st.integers(0, 255)),
+        offset=st.integers(0, 4),
+    )
+    def test_encode_decode_roundtrip_random_images(grey, offset):
+        """Property: encode→decode is the identity for ARBITRARY pixel
+        content (not just the formula fixtures), at every filter-schedule
+        rotation — catches filter math that happens to cancel on smooth
+        gradients."""
+        from pyspark_ml_features_spark.operators.multimodal import (
+            encode_png_grey)
+
+        px = decode_png(encode_png_grey(grey, offset))
+        assert px.shape == grey.shape
+        assert (px == grey.astype("uint8")).all()
+except ImportError:  # pragma: no cover — hypothesis ships in this env
+    pass
+
+
 def test_auto_ladder_full_then_header_then_fake():
     # rung 1: decodable PNG → real pixels
     full = decode_image_auto(synth_png(2, 5, 4))

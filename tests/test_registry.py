@@ -181,6 +181,8 @@ DEFERRED_ORACLES: set[str] = {
     "d147_xml_roundtrip",
     "e99_image_content_dedup",
     "e101_image_ahash_neardup",
+    "e102_image_hamming_pairs",
+    "d148_sql_table_function",
 }
 
 

@@ -354,3 +354,15 @@ def test_watermark_bounds_state_and_drops_late_replay(spark, tmp_path):
     state, dropped = drain()
     assert dropped == hours  # post-partial-agg group rows, one per window
     assert state == 1
+
+
+def test_streaming_media_decode_equals_batch(spark):
+    """s13's per-micro-batch PNG decode must reduce to exactly the batch
+    e98 totals — the checksum sum is order-independent integer math, so
+    streaming == batch with no tolerance."""
+    stream = ALL["s13_streaming_media_decode"].fn(spark, SF_DIR).toPandas()
+    batch = (ALL["e98_png_decode"].fn(spark, SF_DIR)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("checksum").cast("bigint").alias("checksum_sum"))
+             .toPandas())
+    assert_frames_match(stream, batch, "streaming_media_vs_batch")
