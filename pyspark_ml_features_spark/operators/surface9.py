@@ -520,6 +520,12 @@ def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join is hash-partitioned on (band_id, band_val) — never
     all-pairs. This is the image twin of the text banded-near-dup
     family (e2c/e2d/e33)."""
+    return hamming_pairs(doc_hashes(spark, sf_dir).distinct())
+
+
+def doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perceptual hashes over the Arrow decode boundary — the
+    shared front end of e102 (pairs) and e103 (clusters)."""
     d = table(spark, sf_dir, "documents").select("doc_id")
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -528,8 +534,13 @@ def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["hash_hi", "hash_lo"]
                                ).astype("int64")
 
-    hx = (d.mapInPandas(_hash, schema="hash_hi long, hash_lo long")
-          .distinct())
+    return d.mapInPandas(_hash, schema="hash_hi long, hash_lo long")
+
+
+def hamming_pairs(hx: DataFrame, radius: int = 8) -> DataFrame:
+    """Banded Hamming-radius pairs over DISTINCT (hash_hi, hash_lo)
+    rows: four 16-bit bands → equi-join candidates → exact
+    bit_count(xor) ≤ radius filter."""
     bands = hx.select(
         "hash_hi", "hash_lo",
         F.posexplode(F.array(
@@ -554,7 +565,151 @@ def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = (F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
                + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
     return (pairs.withColumn("hamming", hamming.cast("bigint"))
-            .filter(F.col("hamming") <= 8))
+            .filter(F.col("hamming") <= radius))
+
+
+@register(
+    "e103_image_neardup_clusters",
+    oracle="""
+WITH RECURSIVE d AS (
+    SELECT doc_id, doc_id % 64 AS ck FROM documents
+), px AS (
+    SELECT ck, yy * 8 + xx AS i,
+           ((xx * (16 + ck % 16)) // 8 * 7
+            + (yy * (12 + ck % 8)) // 8 * 13 + ck) % 128 AS v
+    FROM (SELECT DISTINCT ck FROM d) AS cks,
+         UNNEST(range(0, 8)) AS tx(xx),
+         UNNEST(range(0, 8)) AS ty(yy)
+), tot AS (
+    SELECT ck, sum(v) AS s FROM px GROUP BY ck
+), bits AS (
+    SELECT px.ck, px.i,
+           CASE WHEN 64 * px.v > tot.s THEN 1 ELSE 0 END AS b
+    FROM px JOIN tot USING (ck)
+), hq AS (
+    SELECT ck,
+           CAST(sum(CASE WHEN i >= 32
+                         THEN b * (1::BIGINT << (i - 32)) ELSE 0 END)
+                AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN i < 32
+                         THEN b * (1::BIGINT << i) ELSE 0 END)
+                AS BIGINT) AS hash_lo
+    FROM bits GROUP BY ck
+), hx AS (
+    SELECT DISTINCT hash_hi, hash_lo FROM hq
+), keys AS (
+    -- one HUGEINT key per hash: lexicographic pair order == numeric
+    -- order of hi*2^32+lo, and HUGEINT sidesteps the BIGINT sign bit
+    SELECT hash_hi::HUGEINT * 4294967296 + hash_lo AS k,
+           hash_hi, hash_lo
+    FROM hx
+), bands AS (
+    SELECT hash_hi, hash_lo, bb.band_id,
+           CASE bb.band_id
+               WHEN 0 THEN hash_lo & 65535
+               WHEN 1 THEN (hash_lo >> 16) & 65535
+               WHEN 2 THEN hash_hi & 65535
+               ELSE (hash_hi >> 16) & 65535 END AS band_val
+    FROM hx, UNNEST(range(0, 4)) AS bb(band_id)
+), pairs AS (
+    SELECT DISTINCT a.hash_hi AS a_hi, a.hash_lo AS a_lo,
+                    c.hash_hi AS b_hi, c.hash_lo AS b_lo
+    FROM bands a JOIN bands c
+      ON a.band_id = c.band_id AND a.band_val = c.band_val
+     AND (a.hash_hi < c.hash_hi
+          OR (a.hash_hi = c.hash_hi AND a.hash_lo < c.hash_lo))
+), close_pairs AS (
+    SELECT * FROM pairs
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 8
+), edges AS (
+    SELECT a_hi::HUGEINT * 4294967296 + a_lo AS src,
+           b_hi::HUGEINT * 4294967296 + b_lo AS dst
+    FROM close_pairs
+    UNION ALL
+    SELECT b_hi::HUGEINT * 4294967296 + b_lo,
+           a_hi::HUGEINT * 4294967296 + a_lo
+    FROM close_pairs
+), reach(node, lbl) AS (
+    SELECT k, k FROM keys
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node, min(lbl) AS rep FROM reach GROUP BY node
+), nd AS (
+    SELECT hq.hash_hi::HUGEINT * 4294967296 + hq.hash_lo AS node,
+           count(*) AS n_docs
+    FROM d JOIN hq USING (ck)
+    GROUP BY 1
+)
+SELECT CAST(cc.rep // 4294967296 AS BIGINT) AS rep_hi,
+       CAST(cc.rep % 4294967296 AS BIGINT) AS rep_lo,
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       CAST(sum(nd.n_docs) AS BIGINT) AS n_docs
+FROM cc JOIN nd USING (node)
+GROUP BY cc.rep
+""",
+    tags=("north-star", "llm-pipeline", "multimodal", "dedup", "graph",
+          "iterative"),
+)
+def e103_image_neardup_clusters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IMAGE near-dup CLUSTERS end to end — the full media-dedup
+    pipeline as one graded query: decode (e98's boundary) → perceptual
+    hash (e101) → banded Hamming pairs (e102) → connected components
+    (e45's checkpointed min-label fixpoint) → one report row per
+    cluster with its representative hash (the lexicographically
+    smallest member), hash count, and document count. Near-dup that is
+    only TRANSITIVELY connected (A≈B, B≈C, d(A,C) > radius) lands in
+    one cluster — the semantics a pair list alone cannot express, and
+    the keep-one-per-cluster predicate for a crawl corpus.
+
+    The Spark fixpoint runs over dense rank ids (row_number over the
+    content-bounded distinct-hash set — a 64-bit hash key could
+    overflow BIGINT's sign bit); the oracle replays the identical
+    closure as a DuckDB recursive CTE over HUGEINT-packed hash keys.
+    Rank order equals lexicographic hash order, so both engines elect
+    the same representative and the report hash-matches exactly.
+
+    100 TB: hashing is the linear Arrow scan; pairs/closure run over
+    the DISTINCT-hash graph, whose size is content-bounded (dedup
+    economics, not corpus economics); closure cost is O(diameter)
+    rounds like e45."""
+    from pyspark.sql import Window
+
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components)
+
+    hashed = doc_hashes(spark, sf_dir)
+    hx = hashed.distinct()
+    ids = hx.withColumn(
+        "node",
+        F.row_number().over(Window.orderBy("hash_hi", "hash_lo"))
+        .cast("long"))
+    prs = hamming_pairs(hx)
+    a_ids = ids.select(F.col("hash_hi").alias("a_hi"),
+                       F.col("hash_lo").alias("a_lo"),
+                       F.col("node").alias("src"))
+    b_ids = ids.select(F.col("hash_hi").alias("b_hi"),
+                       F.col("hash_lo").alias("b_lo"),
+                       F.col("node").alias("dst"))
+    pair_ids = prs.join(a_ids, ["a_hi", "a_lo"]).join(b_ids, ["b_hi", "b_lo"])
+    edges = (pair_ids.select("src", "dst")
+             .unionByName(pair_ids.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst"))))
+    cc = connected_components(ids.select("node"), edges)
+    nd = (hashed.groupBy("hash_hi", "hash_lo")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .join(ids, ["hash_hi", "hash_lo"])
+          .select("node", "n"))
+    per_cluster = (cc.join(nd, "node")
+                   .groupBy("cluster_id")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+                        F.sum("n").cast("bigint").alias("n_docs")))
+    rep = ids.select(F.col("node").alias("cluster_id"),
+                     F.col("hash_hi").alias("rep_hi"),
+                     F.col("hash_lo").alias("rep_lo"))
+    return (per_cluster.join(rep, "cluster_id")
+            .select("rep_hi", "rep_lo", "n_hashes", "n_docs"))
 
 
 @register(

@@ -348,6 +348,8 @@ ARROW_ALLOWED = {
                                  # boundary, 16-byte hash rows out
     "e102_image_hamming_pairs",  # e101's hashing boundary feeding a JVM
                                  # banded equi-join + bit_count filter
+    "e103_image_neardup_clusters",  # same hashing boundary feeding the
+                                    # banded pairs + CC fixpoint
     "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)

@@ -183,6 +183,7 @@ DEFERRED_ORACLES: set[str] = {
     "e101_image_ahash_neardup",
     "e102_image_hamming_pairs",
     "d148_sql_table_function",
+    "e103_image_neardup_clusters",
 }
 
 
