@@ -407,14 +407,16 @@ def e101_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [(int(i), *doc_ahash(int(i)), int(i) % 5)
+            # no doc_id in the output: Spark can't prune columns back
+            # through a Python boundary, and the grouping never reads it
+            out = [(*doc_ahash(int(i)), int(i) % 5)
                    for i in pdf["doc_id"]]
             yield pd.DataFrame(
-                out, columns=["doc_id", "hash_hi", "hash_lo", "bright"]
+                out, columns=["hash_hi", "hash_lo", "bright"]
             ).astype("int64")
 
     hashed = d.mapInPandas(
-        _hash, schema="doc_id long, hash_hi long, hash_lo long, bright long")
+        _hash, schema="hash_hi long, hash_lo long, bright long")
     return (hashed.groupBy("hash_hi", "hash_lo")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.countDistinct("bright").cast("bigint")
@@ -678,13 +680,22 @@ def e103_image_neardup_clusters(spark: SparkSession,
 
     from pyspark_ml_features_spark.operators.graph import (
         connected_components)
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 
-    hashed = doc_hashes(spark, sf_dir)
+    # Materialize the per-doc decode+hash ONCE: every downstream branch
+    # (pair join sides, CC init, nd, rep) embeds this lineage, and the
+    # per-doc PNG defilter is the dominant cost — without the checkpoint
+    # the corpus decodes >= 4 times per run (r9 late review; the exact
+    # graph.py connected_components.edges situation).
+    hashed = probe_checkpoint(doc_hashes(spark, sf_dir),
+                              "e103.doc_hashes")
     hx = hashed.distinct()
-    ids = hx.withColumn(
-        "node",
-        F.row_number().over(Window.orderBy("hash_hi", "hash_lo"))
-        .cast("long"))
+    ids = probe_checkpoint(
+        hx.withColumn(
+            "node",
+            F.row_number().over(Window.orderBy("hash_hi", "hash_lo"))
+            .cast("long")),
+        "e103.ids")
     prs = hamming_pairs(hx)
     a_ids = ids.select(F.col("hash_hi").alias("a_hi"),
                        F.col("hash_lo").alias("a_lo"),

@@ -38,15 +38,22 @@ def _mkdtemp(prefix: str) -> str:
     return _rm_at_exit(tempfile.mkdtemp(prefix=prefix))
 
 
+def _stage_single_parquet(sf_dir: str, name: str) -> str:
+    """Expose one driver-shipped parquet FILE as a file-source stream
+    directory via a symlink in a fresh staging dir (no copy; _mkdtemp
+    guarantees the dir is empty, so the link never pre-exists)."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    stage = _mkdtemp(f"{name}_stream_")
+    os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+    return stage
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream. The file source wants a directory;
     the driver ships a single parquet file, so we expose it via a symlinked
     staging dir (a no-copy operation)."""
     src = os.path.join(sf_dir, "events.parquet")
-    stage = _mkdtemp("events_stream_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_single_parquet(sf_dir, "events")
     # Match the batch reader's layout handling (sources/io.py:table): the
     # legacy nanos layout must be read as long and truncated; the round-3+
     # timestamp[us] layout streams natively.
@@ -541,10 +548,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick; no timestamp normalization needed — this is the binary/media
     ingest shape: a watcher directory of arriving media-bearing files)."""
     src = os.path.join(sf_dir, "documents.parquet")
-    stage = _mkdtemp("documents_stream_")
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_single_parquet(sf_dir, "documents")
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in spark.read.parquet(src).schema.fields)
