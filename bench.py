@@ -148,6 +148,15 @@ HEADLINE = [
     # WindowGroupLimit).
     "e5b_dimension_minmax_scale",
     "e95_chunk_stitch_roundtrip",
+    # r10 (VERDICT r9 item 3): e103 promoted — round 9's one genuinely
+    # new plan shape (Arrow decode → banded Hamming pairs → CC fixpoint
+    # over media hashes); left out of the r9 minima because fresh
+    # shuffle/peak baselines measured on the drifted machine would have
+    # been poor anchors. e104 joins as round 10's new composition shape
+    # (checkpointed exact dedup → chunk → window-packed bins → unpack →
+    # stitch → survivorship re-expansion).
+    "e103_image_neardup_clusters",
+    "e104_dedup_pack_stitch_roundtrip",
 ]
 
 

@@ -521,8 +521,18 @@ def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-hash set is content-bounded, bands explode it ×4, and
     the pair join is hash-partitioned on (band_id, band_val) — never
     all-pairs. This is the image twin of the text banded-near-dup
-    family (e2c/e2d/e33)."""
-    return hamming_pairs(doc_hashes(spark, sf_dir).distinct())
+    family (e2c/e2d/e33). The distinct hash set is MATERIALIZED once
+    (probe_checkpoint) before the band self-join: without it both join
+    sides embed the per-doc decode lineage — the executed plan showed
+    two MapInPandas nodes and no ReusedExchange, so the corpus decoded
+    twice per run (ADVICE r9; the same hazard e103 checkpoints
+    against). The checkpoint also hands the pre-join lineage to the
+    internal-plan ratchet via FIXPOINT_QUERIES."""
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
+    hx = probe_checkpoint(doc_hashes(spark, sf_dir).distinct(),
+                          "e102.doc_hashes")
+    return hamming_pairs(hx)
 
 
 def doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:

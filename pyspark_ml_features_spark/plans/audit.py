@@ -74,6 +74,27 @@ def probe_checkpoint(df: DataFrame, label: str = "") -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def probe_stream_query(query, label: str) -> None:
+    """Audit tap for a FINISHED StreamingQuery (ADVICE r9): the
+    registry-wide scale audit sees only the drained memory-sink table —
+    a batch scan whose plan hides every streaming node, so a Python
+    boundary or an all-pairs join inside the streaming pipeline was
+    invisible to the ratchet. Under capture_checkpoint_plans() this
+    records the query's EXECUTED micro-batch physical plan (what
+    actually ran, post-AQE — `explainInternal` on the finished query)
+    so tests can run the same cartesian/BNLJ/Python audit over it.
+    Zero overhead when no capture is active. No "df" entry: the
+    streaming DataFrame cannot be re-executed for SQLMetrics the way a
+    checkpointed batch plan can."""
+    captured = _CAPTURE.get()
+    if captured is not None:
+        captured.append({
+            "label": label,
+            "plan": query._jsq.explainInternal(False),
+            "analyzed": query._jsq.explainInternal(True),
+        })
+
+
 @dataclass
 class PlanAudit:
     cartesian_products: int = 0

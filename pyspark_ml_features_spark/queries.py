@@ -67,6 +67,12 @@ from pyspark_ml_features_spark.operators import surface8  # noqa: F401, E402
 # registration.
 from pyspark_ml_features_spark.operators import surface9  # noqa: F401, E402
 
+# Round-10 batch, imported after surface9: post-r09 the backlog is again
+# EMPTY (349/349 graded), so these register as the r10 window's backlog
+# head and grade same-round — simulated against the landed r09 grades
+# before registration.
+from pyspark_ml_features_spark.operators import surface10  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

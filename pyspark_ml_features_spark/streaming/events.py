@@ -99,10 +99,16 @@ def streaming_sessions(events: DataFrame) -> DataFrame:
 def run_stream_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame with AvailableNow into a memory sink and
     return the result as a batch DataFrame."""
+    from pyspark_ml_features_spark.plans.audit import probe_stream_query
+
     name = f"stream_sink_{next(_sink_counter)}"
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination()
+    # Audit tap (ADVICE r9): hand the EXECUTED streaming plan to the
+    # scale ratchet — the drained memory-sink table the registry audit
+    # sees is plan-opaque for everything upstream of the sink.
+    probe_stream_query(q, f"stream.{name}")
     return df.sparkSession.table(name)
 
 
@@ -140,6 +146,8 @@ def run_stream_foreach_batch_parquet(df: DataFrame, out_dir: str) -> None:
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    from pyspark_ml_features_spark.plans.audit import probe_stream_query
+    probe_stream_query(q, "stream.foreach_batch_parquet")
 
 
 def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
@@ -204,6 +212,8 @@ def run_streaming_materialized_rollup(spark: SparkSession, sf_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    from pyspark_ml_features_spark.plans.audit import probe_stream_query
+    probe_stream_query(q, "stream.materialized_rollup")
     return spark.read.parquet(target_dir)
 
 

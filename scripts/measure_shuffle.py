@@ -35,7 +35,8 @@ def main() -> None:
             df = qs[name].fn(spark, SF_DIR)
             df.collect()
         rows = [runtime_metrics(df).row()] + [
-            runtime_metrics(c["df"]).row() for c in captured]
+            runtime_metrics(c["df"]).row() for c in captured
+            if "df" in c]  # probe_stream_query entries carry no df
         shuffle = round(sum(r["shuffle_MiB"] for r in rows), 2)
         spill = round(sum(r["spill_MiB"] for r in rows), 2)
         peak = round(max(r["peak_task_MiB"] for r in rows), 1)

@@ -350,6 +350,15 @@ ARROW_ALLOWED = {
                                  # banded equi-join + bit_count filter
     "e103_image_neardup_clusters",  # same hashing boundary feeding the
                                     # banded pairs + CC fixpoint
+    "s13_streaming_media_decode",  # e98's decode boundary per micro-batch
+                                   # (ADVICE r9: the drained memory sink
+                                   # hides it; the streaming-plan audit
+                                   # below sees it via probe_stream_query)
+    "s3_streaming_stateful_totals",  # applyInPandasWithState — THE Spark
+                                     # API for custom stateful streaming
+                                     # operators is Arrow-batched Python
+                                     # by design (SURVEY §2 E-stream);
+                                     # per-group state, bounded output
     "e72_audio_resample",  # real PCM decimate+re-encode — same boundary
     "d59_map_in_arrow",  # the deliberate raw-Arrow boundary demonstration
     "d83_pandas_udaf",  # the UDAF slot of the D20 spectrum (bounded groups)
@@ -389,6 +398,15 @@ FIXPOINT_QUERIES = {
     "e81_token_drift": set(),
     "e63_sorted_neighborhood": set(),
     "e64_multipass_sorted_neighborhood": set(),
+    # media near-dup (ADVICE r9): both checkpoint the decode+hash
+    # lineage, so the banded pair join (and e103's CC rounds) — exactly
+    # where an all-pairs join could hide — reach the internal ratchet
+    "e102_image_hamming_pairs": set(),
+    "e103_image_neardup_clusters": set(),
+    # r10 composition: the dedup stage (corpus scan + text groupBy) is
+    # checkpointed because two branches consume it; its pre-truncation
+    # plan joins the ratchet
+    "e104_dedup_pack_stitch_roundtrip": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level
@@ -446,21 +464,45 @@ def test_registry_wide_scale_safety(spark):
     or must justify themselves here — the ratchet that keeps the 100 TB
     posture from regressing one query at a time. Runs at sf0.001 (plans
     don't depend on scale; eager ML fits stay cheap)."""
-    from pyspark_ml_features_spark.plans.audit import audit
+    from pyspark_ml_features_spark.plans.audit import (
+        audit, audit_text, capture_checkpoint_plans)
     from tests.conftest import SMOKE_SF_DIR
 
     violations = []
-    for name, q in ALL.items():
-        a = audit(q.fn(spark, SMOKE_SF_DIR))
+
+    def check(name, a, where):
         if a.cartesian_products:
-            violations.append(f"{name}: CartesianProduct")
+            violations.append(f"{where}: CartesianProduct")
         if a.nested_loop_joins and name not in BNLJ_ALLOWED:
-            violations.append(f"{name}: BroadcastNestedLoopJoin (justify or fix)")
+            violations.append(
+                f"{where}: BroadcastNestedLoopJoin (justify or fix)")
         if a.python_row_udfs and name not in ROW_PYTHON_ALLOWED:
-            violations.append(f"{name}: row-at-a-time Python UDF")
+            violations.append(f"{where}: row-at-a-time Python UDF")
         if a.arrow_python_nodes and name not in ARROW_ALLOWED:
-            violations.append(f"{name}: unexpected Python boundary")
+            violations.append(f"{where}: unexpected Python boundary")
+
+    streams_audited = 0
+    for name, q in ALL.items():
+        with capture_checkpoint_plans() as captured:
+            df = q.fn(spark, SMOKE_SF_DIR)
+        check(name, audit(df), name)
+        # Streaming queries drain eagerly inside fn(); the returned
+        # memory-sink table is plan-opaque for everything upstream of
+        # the sink (ADVICE r9). probe_stream_query recorded the EXECUTED
+        # micro-batch plan — run the same ratchet over it. (Fixpoint
+        # internals, also captured here, keep their dedicated
+        # per-label-allowlisted test above.)
+        for c in captured:
+            if c["label"].startswith("stream."):
+                check(name, audit_text(c["plan"]), f"{name}/{c['label']}")
+                streams_audited += 1
     assert not violations, "\n".join(violations)
+    # The streaming tap must stay wired: if run_stream_to_memory stops
+    # routing through probe_stream_query, this audit silently goes
+    # blind for every s-query again.
+    assert streams_audited >= 10, (
+        f"only {streams_audited} streaming plans captured — the "
+        f"probe_stream_query tap is no longer firing for s-queries")
 
 
 def test_tpch_q4_exists_becomes_semi_join(spark):

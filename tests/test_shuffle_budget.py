@@ -100,6 +100,9 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "e90_chunk_dedup_stats": (0.10, 16.2),
     "e5b_dimension_minmax_scale": (0.00, 16.2),
     "e95_chunk_stitch_roundtrip": (0.24, 0.0),
+    # r10 headline joiners (2026-08-16, via scripts/measure_shuffle.py)
+    "e103_image_neardup_clusters": (0.10, 16.2),
+    "e104_dedup_pack_stitch_roundtrip": (0.57, 16.1),
 }
 
 #: single headroom constant over the measured baselines (ADVICE r6)
@@ -140,7 +143,8 @@ def test_shuffle_volumes_within_pinned_budgets(spark):
             df = qs[name].fn(spark, SF_DIR)
             df.collect()
         rows = [runtime_metrics(df).row()] + [
-            runtime_metrics(c["df"]).row() for c in captured]
+            runtime_metrics(c["df"]).row() for c in captured
+            if "df" in c]  # probe_stream_query entries carry no df
         shuffle = round(sum(r["shuffle_MiB"] for r in rows), 2)
         spill = sum(r["spill_MiB"] for r in rows)
         peak = max(r["peak_task_MiB"] for r in rows)
