@@ -157,6 +157,13 @@ HEADLINE = [
     # stitch → survivorship re-expansion).
     "e103_image_neardup_clusters",
     "e104_dedup_pack_stitch_roundtrip",
+    # r10 compositions: e105 is the batch's one genuinely new plan shape
+    # (vocab checkpointed once → TWO broadcast decode/encode joins with
+    # the corpus never shuffling for either → positional reassembly
+    # groupBy, the only corpus exchange). e106/d149/d150 ride
+    # already-timed shapes (e9's session window + e95's container
+    # explode, d98's union-merge as-of, dimension-bounded pivot).
+    "e105_vocab_encode_decode_roundtrip",
 ]
 
 

@@ -146,3 +146,270 @@ def e104_dedup_pack_stitch_roundtrip(spark: SparkSession,
                            F.explode("member_ids").alias("doc_id"))
     return (members.join(stitched, "canon_id")
             .select("doc_id", F.col("stitched").alias("reconstructed_text")))
+
+
+@register(
+    "e105_vocab_encode_decode_roundtrip",
+    oracle="""
+SELECT doc_id, text AS decoded_text
+FROM documents
+""",
+    tags=("north-star", "llm-pipeline", "tokenization", "vocab",
+          "integration"),
+)
+def e105_vocab_encode_decode_roundtrip(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """TOKENIZER round-trip — the e18/e24 vocabulary pipeline run FORWARD
+    (corpus → frequency-ranked vocab → per-token id encoding, the exact
+    materialized form a training dataloader consumes) then INVERTED
+    (id → token decode through the same vocab → positional reassembly),
+    graded against the whole corpus verbatim (`SELECT doc_id, text FROM
+    documents` — no filter: empty/whitespace-only docs round-trip too,
+    since `split` keeps empty tokens and `concat_ws(' ')` re-emits them).
+    The hash pins, at once:
+
+    - e18 vocab construction: every corpus token present exactly once
+      with a unique dense id (a dropped token = OOV hole = missing text;
+      a duplicated id = wrong decode somewhere).
+    - e24 encoding: (doc_id, pos, token_id) is a faithful positional
+      encoding — any pos slip or id mismatch reassembles wrong bytes.
+    - decode bijectivity: the id→token map inverts the token→id map.
+
+    100 TB: the vocab is vocabulary-bounded after map-side partial
+    counts and BROADCAST to both the encode and decode joins, so the
+    corpus never shuffles for either direction; the one corpus-keyed
+    exchange is the per-doc reassembly groupBy. The vocab lineage is
+    materialized ONCE (probe_checkpoint) because it feeds two plan
+    branches and AQE does not reuse cross-branch exchanges (the e81
+    finding). Decode state per doc is bounded by doc length (e95's
+    bound). JVM-pure end to end."""
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # 1. VOCAB (e18's id assignment): token -> dense id by (freq desc,
+    # token asc). The ranking window runs over the vocab table, never
+    # the corpus; checkpointed once for the two consumer joins.
+    freq = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    vocab = probe_checkpoint(
+        freq.select("token",
+                    (F.dense_rank().over(w) - 1).cast("bigint")
+                    .alias("token_id")),
+        "e105.vocab")
+
+    # 2. ENCODE (e24): corpus stays map-only, vocab broadcast.
+    encoded = (d.select("doc_id",
+                        F.posexplode(tokens("text")).alias("pos", "token"))
+               .join(F.broadcast(vocab), "token")
+               .select("doc_id", "pos", "token_id"))
+
+    # 3. DECODE: ids back to tokens through the SAME vocab (broadcast),
+    # then positional reassembly per doc.
+    decoded = encoded.join(
+        F.broadcast(vocab.select("token_id",
+                                 F.col("token").alias("__tok"))),
+        "token_id")
+    return (decoded.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "__tok"))).alias("ps"))
+            .select("doc_id",
+                    F.concat_ws(" ", F.transform(
+                        F.col("ps"), lambda s: s["__tok"]))
+                    .alias("decoded_text")))
+
+
+@register(
+    "e106_session_pack_unpack_roundtrip",
+    oracle="""
+WITH flagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+    SELECT event_id, user_id, ts, event_type,
+           (sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) + 1)::BIGINT
+               AS session_id
+    FROM flagged
+)
+SELECT event_id, user_id, ts, event_type,
+       min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+FROM s
+""",
+    tags=("north-star", "E9", "sessionize", "integration"),
+)
+def e106_session_pack_unpack_roundtrip(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """SESSION-CONTAINER round-trip — e9's gap sessionization run FORWARD
+    into MATERIALIZED session rows (one row per session carrying the
+    sorted event array, the form a session store or replay log persists)
+    then INVERTED (explode the containers back to events), with each
+    event annotated by its session's start taken FROM THE CONTAINER. The
+    oracle recomputes the gap-and-islands assignment + per-session min
+    independently, so the hash pins:
+
+    - the session assignment is a PARTITION of events — an event dropped,
+      duplicated, or torn across sessions by the pack/unpack breaks the
+      row set;
+    - the container's internal order/extent is right — session_start
+      comes from element 0 of the packed array, not a window over the
+      original rows, so a mis-sorted or mis-bounded container surfaces
+      as a wrong session_start even when the event rows survive.
+
+    100 TB: one shuffle on user_id (the e9 window), one on the
+    (user, session) container key; per-container state is bounded by
+    session length (the gap bound), never user history. JVM-pure."""
+    from pyspark_ml_features_spark.operators.sessionize import sessionized
+
+    ev = (table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "ts", "event_type"))
+    s = sessionized(ev)
+    # PACK: one row per session; struct order (ts, event_id) makes the
+    # sorted array's element 0 the session's first event.
+    packed = (s.groupBy("user_id", "session_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("ts", "event_id", "event_type"))).alias("evs")))
+    # UNPACK: explode the container; session_start read from the
+    # container itself (element 0), not recomputed from raw rows.
+    return (packed
+            .select("user_id",
+                    F.element_at("evs", 1)["ts"].alias("session_start"),
+                    F.explode("evs").alias("e"))
+            .select(F.col("e.event_id").alias("event_id"),
+                    "user_id",
+                    F.col("e.ts").alias("ts"),
+                    F.col("e.event_type").alias("event_type"),
+                    "session_start"))
+
+
+@register(
+    "d149_scd2_build_probe_roundtrip",
+    oracle="""
+WITH dedup AS (
+    SELECT user_id, ts, max_by(event_type, event_id) AS event_type
+    FROM events GROUP BY user_id, ts
+), iv AS (
+    SELECT user_id, epoch_us(ts) AS from_us, event_type,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS to_us
+    FROM dedup
+)
+SELECT user_id, (from_us + to_us) // 2 AS probe_us,
+       event_type AS recovered_type
+FROM iv
+WHERE to_us IS NOT NULL
+""",
+    tags=("engine", "temporal", "scd2", "asof", "integration"),
+)
+def d149_scd2_build_probe_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """SCD2 BUILD-THEN-PROBE round-trip — construct a type-2 dimension
+    from the event stream (one validity interval per (user, ts) state
+    change, valid_to = next change, the d66/d125 machinery) and then
+    POINT-IN-TIME-PROBE it at every interval's midpoint through a real
+    as-of join (d98's union-merge rewrite). The oracle derives each
+    midpoint's answer BY CONSTRUCTION (the midpoint lies inside its own
+    interval), while Spark derives it BY EXECUTING the as-of machinery
+    against the built dimension — so the hash pins the entire temporal
+    stack at once: the state dedup (max_by on the unique event_id), the
+    interval construction (lead over the change sequence: gap-free,
+    non-overlapping), and the as-of semantics (backward-inclusive match,
+    state-before-probe tag ordering at equal timestamps — midpoints of
+    1-µs intervals collapse onto valid_from, which the tag tiebreak must
+    resolve to the interval's OWN state).
+
+    100 TB: the union-merge as-of shuffles each row ONCE on the entity
+    key (no inequality join, no per-user pair blowup — d98's economics);
+    the built dimension is materialized once (probe_checkpoint) because
+    both the state side and the probe side read it and AQE does not
+    reuse cross-branch exchanges. Micros arithmetic end to end (the
+    sessionize rule: integer epoch_us on both engines)."""
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
+    ev = table(spark, sf_dir, "events")
+    # 1. BUILD: state changes (dedup to one type per (user, ts)) ->
+    # validity intervals [from_us, to_us).
+    dedup = (ev.groupBy("user_id", "ts")
+             .agg(F.max_by("event_type", "event_id").alias("event_type")))
+    wu = Window.partitionBy("user_id").orderBy("from_us")
+    scd2 = probe_checkpoint(
+        dedup.select("user_id",
+                     F.unix_micros("ts").alias("from_us"),
+                     "event_type")
+        .withColumn("to_us", F.lead("from_us").over(wu)),
+        "d149.scd2")
+
+    # 2. PROBE SET: every closed interval's midpoint.
+    probes = (scd2.filter(F.col("to_us").isNotNull())
+              .select("user_id",
+                      F.expr("(from_us + to_us) DIV 2").alias("t_us")))
+
+    # 3. AS-OF (union-merge, d98): states tag 0, probes tag 1; at equal
+    # instants the state sorts first (backward-INCLUSIVE match).
+    states = scd2.select("user_id", F.col("from_us").alias("t_us"),
+                         F.lit(0).alias("tag"), "event_type")
+    p = probes.select("user_id", "t_us", F.lit(1).alias("tag"),
+                      F.lit(None).cast("string").alias("event_type"))
+    w = (Window.partitionBy("user_id").orderBy("t_us", "tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = states.unionByName(p).select(
+        "user_id", "t_us", "tag",
+        F.last("event_type", ignorenulls=True).over(w).alias("recovered"))
+    return (merged.filter(F.col("tag") == 1)
+            .select("user_id", F.col("t_us").alias("probe_us"),
+                    F.col("recovered").alias("recovered_type")))
+
+
+@register(
+    "d150_pivot_unpivot_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(month(o_orderdate) AS INT) AS month,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("engine", "reshape", "pivot", "integration"),
+)
+def d150_pivot_unpivot_roundtrip(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """RESHAPE round-trip — the monthly revenue matrix pivoted WIDE
+    (one column per month, the layout reporting sinks export) and then
+    unpivoted back to long form, graded against the plain long-form
+    aggregate the chain started from. The hash pins the reshape pair as
+    exact inverses: pivot cell routing (a value landing in the wrong
+    month column comes back with the wrong key), the generated column
+    naming (unpivot re-parses the month from the pivot's column names),
+    and NULL discipline (absent (priority, month) combinations become
+    NULL cells in the wide form; unpivot's default NULL exclusion must
+    drop exactly those and nothing else).
+
+    100 TB: the pivot runs on the AGGREGATED long form (25 groups × 12
+    months here; dimension-bounded generally), with explicit pivot
+    values so no discovery pass over the fact table; the only
+    corpus-sized work is the long-form partial aggregate. Floor-cents
+    BIGINT keeps every cell engine-exact (the d95/q1 convention)."""
+    months = list(range(1, 13))
+    base = (table(spark, sf_dir, "orders")
+            .select("o_orderpriority",
+                    F.month("o_orderdate").alias("month"),
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents"))
+            .groupBy("o_orderpriority", "month")
+            .agg(F.sum("cents").alias("revenue_cents")))
+    wide = (base.groupBy("o_orderpriority")
+            .pivot("month", months)
+            .agg(F.first("revenue_cents")))
+    return (wide.unpivot("o_orderpriority",
+                         [str(m) for m in months],
+                         "month_name", "revenue_cents")
+            .filter(F.col("revenue_cents").isNotNull())
+            .select("o_orderpriority",
+                    F.col("month_name").cast("int").alias("month"),
+                    "revenue_cents"))

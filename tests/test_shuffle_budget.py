@@ -103,6 +103,7 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     # r10 headline joiners (2026-08-16, via scripts/measure_shuffle.py)
     "e103_image_neardup_clusters": (0.10, 16.2),
     "e104_dedup_pack_stitch_roundtrip": (0.57, 16.1),
+    "e105_vocab_encode_decode_roundtrip": (0.31, 16.2),
 }
 
 #: single headroom constant over the measured baselines (ADVICE r6)
