@@ -302,37 +302,52 @@ def decode_png(payload: bytes) -> "object":
     if len(raw) != height * stride:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((height, width), dtype="uint8")
+    scan = np.frombuffer(raw, dtype="uint8").reshape(height, stride)
+    zero_row = np.zeros(width, dtype="uint8")
+    # Per-filter reconstruction (left neighbor = already-RECONSTRUCTED
+    # byte; bpp = 1 for greyscale-8). None/Sub/Up have NO nonlinear
+    # left-dependency and vectorize exactly: Sub's recurrence
+    # recon[x] = raw[x] + recon[x-1] (mod 256) IS the uint8 prefix sum,
+    # Up is an elementwise wrap-add with the previous reconstructed row
+    # (round-10 measured optimization — the former per-pixel loops were
+    # the e98/e103 wall). Average/Paeth carry a genuine sequential
+    # dependency through a nonlinear predictor, so they stay per-pixel
+    # but walk plain bytes (numpy scalar indexing pays ~10× per access).
     for y in range(height):
-        ftype = raw[y * stride]
-        line = bytearray(raw[y * stride + 1:(y + 1) * stride])
-        prev = out[y - 1] if y > 0 else np.zeros(width, dtype="uint8")
-        # In-place left-to-right reconstruction: line[x-1] is already
-        # the RECONSTRUCTED left neighbor when x is processed (bpp = 1
-        # byte for greyscale-8).
+        ftype = int(scan[y, 0])
+        line = scan[y, 1:]
+        prev = out[y - 1] if y > 0 else zero_row
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(1, width):
-                line[x] = (line[x] + line[x - 1]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(width):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            out[y] = line
+        elif ftype == 1:  # Sub: mod-256 prefix sum of the raw bytes
+            out[y] = np.cumsum(line, dtype=np.uint8)
+        elif ftype == 2:  # Up: elementwise wrap-add of the prior row
+            out[y] = line + prev
         elif ftype == 3:  # Average
+            raw_b = line.tobytes()
+            prev_b = prev.tobytes()
+            rec = bytearray(width)
+            left = 0
             for x in range(width):
-                left = line[x - 1] if x > 0 else 0
-                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                left = (raw_b[x] + ((left + prev_b[x]) >> 1)) & 0xFF
+                rec[x] = left
+            out[y] = np.frombuffer(bytes(rec), dtype="uint8")
         elif ftype == 4:  # Paeth
+            raw_b = line.tobytes()
+            prev_b = prev.tobytes()
+            rec = bytearray(width)
+            a = c = 0  # recon left / prev-row left (both 0 at x = 0)
             for x in range(width):
-                a = line[x - 1] if x > 0 else 0
-                b = int(prev[x])
-                c = int(prev[x - 1]) if x > 0 else 0
+                b = prev_b[x]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+                a = (raw_b[x] + pred) & 0xFF
+                rec[x] = a
+                c = b
+            out[y] = np.frombuffer(bytes(rec), dtype="uint8")
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = np.frombuffer(bytes(line), dtype="uint8")
     return out
 
 
@@ -377,29 +392,34 @@ def encode_png_grey(grey: "object", filter_offset: int = 0) -> bytes:
     import numpy as np
 
     h, w = grey.shape
-    lines = bytearray()
-    for r in range(h):
-        ftype = (r + filter_offset) % 5
-        cur = grey[r]
-        prev = grey[r - 1] if r > 0 else np.zeros(w, dtype="int64")
-        left = np.concatenate(([0], cur[:-1]))
-        upleft = np.concatenate(([0], prev[:-1]))
-        if ftype == 0:
-            pred = np.zeros(w, dtype="int64")
-        elif ftype == 1:
-            pred = left
-        elif ftype == 2:
-            pred = prev
-        elif ftype == 3:
-            pred = (left + prev) // 2
-        else:
-            p = left + prev - upleft
-            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
-                          np.abs(p - upleft))
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-        lines += bytes([ftype]) + ((cur - pred) % 256).astype(
-            "uint8").tobytes()
+    # All five predictors as whole-image 2D arrays, then one gather by
+    # each row's filter type — encode filters read ORIGINAL bytes (not
+    # reconstructed), so unlike decode there is no sequential
+    # dependency anywhere and the whole filter pass vectorizes
+    # (round-10 measured optimization: the former per-row loop spent
+    # its wall in ~10 tiny-array numpy calls per 50-byte scanline).
+    # Byte-exact with the loop form: identical predictor arithmetic,
+    # identical (ftype, filtered-bytes) stream into the same
+    # zlib.compress level.
+    g = np.asarray(grey, dtype="int64")
+    left = np.zeros_like(g)
+    left[:, 1:] = g[:, :-1]
+    prev = np.zeros_like(g)
+    prev[1:] = g[:-1]
+    upleft = np.zeros_like(g)
+    upleft[1:, 1:] = g[:-1, :-1]
+    p = left + prev - upleft
+    pa, pb, pc = (np.abs(p - left), np.abs(p - prev), np.abs(p - upleft))
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, prev, upleft))
+    preds = np.stack([np.zeros_like(g), left, prev,
+                      (left + prev) // 2, paeth])
+    ftypes = (np.arange(h) + filter_offset) % 5
+    pred = preds[ftypes, np.arange(h)]
+    scan = np.empty((h, w + 1), dtype="uint8")
+    scan[:, 0] = ftypes
+    scan[:, 1:] = (g - pred) % 256
+    lines = scan.tobytes()
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
