@@ -123,6 +123,44 @@ def s1_streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         streaming_tumbling_counts(events_stream(spark, sf_dir)))
 
 
+@register(
+    "s14_streaming_windows_exact",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("north-star", "E10", "streaming", "integration"),
+)
+def s14_streaming_windows_exact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The repo's first ORACLE-GRADED streaming query: s1's tumbling
+    windows computed BY THE STREAMING ENGINE (AvailableNow drain,
+    complete mode, per-window state maintained across micro-batches)
+    and hashed bit-exact against the same DuckDB SQL that grades the
+    batch twin e10. s1 stays rows-only with its pytest batch-equality
+    check; this query makes that equality a DRIVER-VERIFIED fact.
+
+    Why it's deterministic where streaming usually isn't: complete
+    mode emits the FULL final state after the last micro-batch, so
+    late-data drops (s9's subject) and emission timing are out of the
+    picture — only the aggregation values matter. Counts are exact;
+    the one cross-row double sum carries the registry-wide 6-dp
+    rounding convention (the e48 rule) which absorbs the third
+    summation order the streaming state store introduces.
+
+    100 TB: identical economics to e10 (one shuffle on the window/type
+    key, partial aggregation map-side); complete mode is appropriate
+    here only because the window/type key space is bounded — unbounded
+    keys would use append mode + watermark eviction (s1/s9)."""
+    return run_stream_to_memory(
+        streaming_tumbling_counts(events_stream(spark, sf_dir)))
+
+
 @register("s2_streaming_sessions", tags=("north-star", "E9", "streaming"))
 def s2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization on the stream (30 min gap)."""

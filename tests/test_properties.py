@@ -168,3 +168,70 @@ def test_distributed_prefix_sum_matches_window(spark, rows):
         acc += w
         want[(v, k)] = (i + 1, acc)
     assert got == want
+
+
+def _reference_defilter(raw: bytes, width: int, height: int) -> "np.ndarray":
+    """Per-pixel RFC 2083 reconstruction — the spec as literally as
+    possible, kept as the independent model for the vectorized decoder."""
+    stride = width + 1
+    out = np.zeros((height, width), dtype="uint8")
+    for y in range(height):
+        ftype = raw[y * stride]
+        line = bytearray(raw[y * stride + 1:(y + 1) * stride])
+        prev = out[y - 1] if y > 0 else np.zeros(width, dtype="uint8")
+        for x in range(width):
+            a = line[x - 1] if x > 0 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (line[x] + pred) & 0xFF
+        out[y] = np.frombuffer(bytes(line), dtype="uint8")
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_png_codec_roundtrip_random_content(data):
+    """Encode→decode must be the identity for ARBITRARY pixel content and
+    per-row filter schedule (the graded fixtures use the arithmetic
+    formula; random content exercises wrap boundaries the formula's
+    structure can miss), and the vectorized decoder must agree with a
+    literal per-pixel RFC 2083 model on the filtered byte stream."""
+    import struct
+    import zlib
+
+    from pyspark_ml_features_spark.operators.multimodal import (
+        decode_png, encode_png_grey)
+
+    w = data.draw(st.integers(min_value=1, max_value=40))
+    h = data.draw(st.integers(min_value=1, max_value=24))
+    pixels = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                           max_size=w * h)),
+        dtype="int64").reshape(h, w)
+    offset = data.draw(st.integers(0, 4))
+    payload = encode_png_grey(pixels, offset)
+    decoded = decode_png(payload)
+    assert (decoded == pixels.astype("uint8")).all()
+    # cross-check the vectorized defilter against the literal model on
+    # the actual filtered stream inside the payload
+    pos = 8
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        length, = struct.unpack_from(">I", payload, pos)
+        if payload[pos + 4:pos + 8] == b"IDAT":
+            idat += payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    assert (decoded == _reference_defilter(raw, w, h)).all()
