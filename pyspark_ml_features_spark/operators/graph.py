@@ -95,11 +95,31 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         neigh_min = (edges.join(labels, edges["src"] == labels["node"])
                      .groupBy(F.col("dst").alias("node"))
                      .agg(F.min("lbl").alias("nmin")))
-        labels = (labels.join(neigh_min, "node", "left")
-                  .select("node",
-                          F.least(F.col("lbl"),
-                                  F.coalesce("nmin", "lbl")).alias("lbl")))
-        labels = probe_checkpoint(labels, "connected_components.round")
+        stepped = (labels.join(neigh_min, "node", "left")
+                   .select("node",
+                           F.least(F.col("lbl"),
+                                   F.coalesce("nmin", "lbl")).alias("lbl")))
+        # Pointer jumping (round-10): lbl <- min(lbl, lbl[lbl]). Every
+        # label is a node id inside its own component (min-propagation
+        # invariant), so the label's label is too — the fixpoint is
+        # unchanged (component min) but long chains collapse in
+        # O(log diameter) rounds instead of O(diameter). On a
+        # fixed-overhead-per-round local fixpoint this is the whole
+        # wall: e103's 63-node brightness-chain graph took 11 rounds
+        # (5.0 s) without it. The self-join re-evaluates the stepped
+        # subtree (one tiny shuffle) — cheaper than the rounds it
+        # removes at any scale, since rounds cost a full edge join.
+        jumped = stepped
+        for _ in range(2):
+            ptr = jumped.select(F.col("node").alias("pnode"),
+                                F.col("lbl").alias("plbl"))
+            jumped = (jumped.join(ptr, jumped["lbl"] == ptr["pnode"],
+                                  "left")
+                      .select(jumped["node"],
+                              F.least(jumped["lbl"],
+                                      F.coalesce("plbl", jumped["lbl"]))
+                              .alias("lbl")))
+        labels = probe_checkpoint(jumped, "connected_components.round")
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break

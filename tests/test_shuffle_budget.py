@@ -101,7 +101,9 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "e5b_dimension_minmax_scale": (0.00, 16.2),
     "e95_chunk_stitch_roundtrip": (0.24, 0.0),
     # r10 headline joiners (2026-08-16, via scripts/measure_shuffle.py)
-    "e103_image_neardup_clusters": (0.10, 16.2),
+    # re-measured r10 after pointer jumping (fewer CC rounds outweigh
+    # the per-round self-joins: 0.10 -> 0.08 MiB)
+    "e103_image_neardup_clusters": (0.08, 16.2),
     "e104_dedup_pack_stitch_roundtrip": (0.57, 16.1),
     "e105_vocab_encode_decode_roundtrip": (0.31, 16.2),
 }
