@@ -413,3 +413,71 @@ def d150_pivot_unpivot_roundtrip(spark: SparkSession,
             .select("o_orderpriority",
                     F.col("month_name").cast("int").alias("month"),
                     "revenue_cents"))
+
+
+#: e107's ingest split: batch A = the "standing corpus" (two of every
+#: three doc ids), batch B = the ingest. Batch ORDER is irrelevant to
+#: correctness — the merge keeps the global min per text via least(),
+#: and the monoid is commutative — the 2/3 split just keeps both the
+#: duplicate-against-corpus and the new-text merge paths non-empty at
+#: every sf.
+INGEST_SPLIT_NUM = 2
+INGEST_SPLIT_DEN = 3
+
+
+@register(
+    "e107_incremental_dedup_equivalence",
+    oracle="""
+SELECT CAST(min(doc_id) AS BIGINT) AS canon_id,
+       text,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM documents
+GROUP BY text
+""",
+    tags=("north-star", "E1", "dedup", "incremental", "integration"),
+)
+def e107_incremental_dedup_equivalence(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """INCREMENTAL == BATCH equivalence for exact dedup — the claim
+    that makes a 100 TB dedup store operable: you never reprocess the
+    corpus. Spark runs the INCREMENTAL protocol (dedup the standing
+    corpus A; ingest batch B; dedup B locally; merge survivor states by
+    text with least(canon_id) / summed member counts — a full-outer
+    merge of two survivor stores, the e1b/e20 machinery), and the
+    oracle states the BATCH answer in one expression over the union.
+    Hash equality IS the algebra proof: survivorship (min doc_id) and
+    membership counts form a commutative monoid over batches, and any
+    slip in the merge (a text matched by normalized key instead of
+    byte key, a member count lost on the matched path, a survivor
+    preferring the wrong side) breaks it. e1b grades the
+    new-only-vs-corpus shape against an incrementally-PHRASED oracle;
+    this query grades the merged STORE against the batch-phrased one.
+
+    100 TB: each batch shuffles once on text (fingerprint in
+    production — e36); the standing store is never rescanned, only
+    merged survivor-to-survivor on the same key, and the merge is
+    associative so batches compose in any arrival order."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = F.pmod(F.col("doc_id"), F.lit(INGEST_SPLIT_DEN))
+
+    def survivors(batch: DataFrame) -> DataFrame:
+        return (batch.groupBy("text")
+                .agg(F.min("doc_id").alias("canon_id"),
+                     F.count(F.lit(1)).alias("n_members")))
+
+    store_a = survivors(d.filter(gate < INGEST_SPLIT_NUM))
+    store_b = survivors(d.filter(gate >= INGEST_SPLIT_NUM))
+    merged = (store_a.alias("a")
+              .join(store_b.alias("b"), "text", "full")
+              .select(
+                  "text",
+                  F.least(F.col("a.canon_id"), F.col("b.canon_id"))
+                  .alias("_min_present"),
+                  F.coalesce(F.col("a.canon_id"), F.col("b.canon_id"))
+                  .alias("_only"),
+                  (F.coalesce(F.col("a.n_members"), F.lit(0))
+                   + F.coalesce(F.col("b.n_members"), F.lit(0)))
+                  .alias("n_members")))
+    return merged.select(
+        F.coalesce("_min_present", "_only").alias("canon_id"),
+        "text", "n_members")
