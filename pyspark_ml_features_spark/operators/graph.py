@@ -109,16 +109,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # (5.0 s) without it. The self-join re-evaluates the stepped
         # subtree (one tiny shuffle) — cheaper than the rounds it
         # removes at any scale, since rounds cost a full edge join.
-        jumped = stepped
-        for _ in range(2):
-            ptr = jumped.select(F.col("node").alias("pnode"),
-                                F.col("lbl").alias("plbl"))
-            jumped = (jumped.join(ptr, jumped["lbl"] == ptr["pnode"],
-                                  "left")
-                      .select(jumped["node"],
-                              F.least(jumped["lbl"],
-                                      F.coalesce("plbl", jumped["lbl"]))
-                              .alias("lbl")))
+        # ONE jump per round: a second application was measured to buy
+        # zero rounds on the e103 graph (8 with either) while the
+        # self-join re-evaluates the un-materialized stepped subtree —
+        # plan work grows multiplicatively per extra jump.
+        ptr = stepped.select(F.col("node").alias("pnode"),
+                             F.col("lbl").alias("plbl"))
+        jumped = (stepped.join(ptr, stepped["lbl"] == ptr["pnode"],
+                               "left")
+                  .select(stepped["node"],
+                          F.least(stepped["lbl"],
+                                  F.coalesce("plbl", stepped["lbl"]))
+                          .alias("lbl")))
         labels = probe_checkpoint(jumped, "connected_components.round")
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
