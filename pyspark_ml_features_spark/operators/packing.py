@@ -134,6 +134,22 @@ def e17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("test").alias("split"))
 
 
+def vocab_with_ids(docs):
+    """SHARED vocabulary id assignment (the e18 contract): token ->
+    (freq, token_id) with ids dense-ranked by (freq DESC, token ASC).
+    One definition for e18/e24/e105 — the exact arithmetic several
+    oracles depend on lives here and nowhere else. The frequency
+    aggregate partial-combines map-side; the ranking window runs over
+    the vocabulary-bounded table, never the corpus."""
+    freq = (docs.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.select(
+        "token", "freq",
+        (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))
+
+
+
 @register(
     "e18_vocab_build",
     oracle="""
@@ -154,13 +170,7 @@ def e18_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     token domain. The shuffle is bounded by vocabulary size after map-side
     partial counts; the id-assignment window runs over the vocab table,
     never the corpus."""
-    d = table(spark, sf_dir, "documents")
-    freq = (d.select(F.explode(tokens("text")).alias("token"))
-            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return freq.select(
-        "token", "freq",
-        (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))
+    return vocab_with_ids(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -224,11 +234,7 @@ def e24_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side never shuffles — encoding 100 TB is a map-only stage
     after one vocab-sized aggregation."""
     d = table(spark, sf_dir, "documents")
-    freq = (d.select(F.explode(tokens("text")).alias("token"))
-            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    vocab = freq.select(
-        "token", (F.dense_rank().over(w) - 1).cast("bigint").alias("token_id"))
+    vocab = vocab_with_ids(d).select("token", "token_id")
     toks = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
     return (toks.join(F.broadcast(vocab), "token")
             .select("doc_id", F.col("pos").cast("bigint").alias("pos"),

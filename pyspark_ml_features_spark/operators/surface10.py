@@ -185,19 +185,18 @@ def e105_vocab_encode_decode_roundtrip(spark: SparkSession,
     bound). JVM-pure end to end."""
     from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 
+    from pyspark_ml_features_spark.operators.packing import vocab_with_ids
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # 1. VOCAB (e18's id assignment): token -> dense id by (freq desc,
-    # token asc). The ranking window runs over the vocab table, never
-    # the corpus; checkpointed once for the two consumer joins.
-    freq = (d.select(F.explode(tokens("text")).alias("token"))
-            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # 1. VOCAB — the SHARED e18 id assignment (token -> dense id by
+    # (freq desc, token asc); see packing.vocab_with_ids — one
+    # definition for e18/e24/e105, so the exact arithmetic five oracles
+    # depend on cannot desynchronize). The ranking window runs over the
+    # vocab table, never the corpus; checkpointed once for the two
+    # consumer joins.
     vocab = probe_checkpoint(
-        freq.select("token",
-                    (F.dense_rank().over(w) - 1).cast("bigint")
-                    .alias("token_id")),
-        "e105.vocab")
+        vocab_with_ids(d).select("token", "token_id"), "e105.vocab")
 
     # 2. ENCODE (e24): corpus stays map-only, vocab broadcast.
     encoded = (d.select("doc_id",
@@ -387,8 +386,10 @@ def d150_pivot_unpivot_roundtrip(spark: SparkSession,
     month column comes back with the wrong key), the generated column
     naming (unpivot re-parses the month from the pivot's column names),
     and NULL discipline (absent (priority, month) combinations become
-    NULL cells in the wide form; unpivot's default NULL exclusion must
-    drop exactly those and nothing else).
+    NULL cells in the wide form; Spark's DataFrame.unpivot RETAINS
+    NULL value rows — unlike SQL UNPIVOT's default — so the explicit
+    isNotNull filter below is load-bearing: it must drop exactly the
+    absent-combination cells and nothing else).
 
     100 TB: the pivot runs on the AGGREGATED long form (25 groups × 12
     months here; dimension-bounded generally), with explicit pivot
@@ -467,17 +468,14 @@ def e107_incremental_dedup_equivalence(spark: SparkSession,
 
     store_a = survivors(d.filter(gate < INGEST_SPLIT_NUM))
     store_b = survivors(d.filter(gate >= INGEST_SPLIT_NUM))
-    merged = (store_a.alias("a")
-              .join(store_b.alias("b"), "text", "full")
-              .select(
-                  "text",
-                  F.least(F.col("a.canon_id"), F.col("b.canon_id"))
-                  .alias("_min_present"),
-                  F.coalesce(F.col("a.canon_id"), F.col("b.canon_id"))
-                  .alias("_only"),
-                  (F.coalesce(F.col("a.n_members"), F.lit(0))
-                   + F.coalesce(F.col("b.n_members"), F.lit(0)))
-                  .alias("n_members")))
-    return merged.select(
-        F.coalesce("_min_present", "_only").alias("canon_id"),
-        "text", "n_members")
+    # least() skips NULLs in Spark, so on a one-sided full-outer row it
+    # returns the present side's canon_id directly.
+    return (store_a.alias("a")
+            .join(store_b.alias("b"), "text", "full")
+            .select(
+                F.least(F.col("a.canon_id"), F.col("b.canon_id"))
+                .alias("canon_id"),
+                "text",
+                (F.coalesce(F.col("a.n_members"), F.lit(0))
+                 + F.coalesce(F.col("b.n_members"), F.lit(0)))
+                .alias("n_members")))

@@ -42,7 +42,8 @@ import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 
-def build_tier(spark: SparkSession, k: int, root: str) -> str:
+def build_tier(spark: SparkSession, k: int,
+               root: str) -> tuple[str, int]:
     """Replicate sf0.1 documents ×k: new disjoint doc_ids, byte-identical
     text/lang/source — every original acquires k-1 exact duplicates."""
     d01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -57,8 +58,8 @@ def build_tier(spark: SparkSession, k: int, root: str) -> str:
     return sf_dir, n01 * k
 
 
-def check_roundtrip(spark: SparkSession, sf_dir: str, out, out_col: str,
-                    n_expected: int) -> tuple[int, int]:
+def check_roundtrip(spark: SparkSession, sf_dir: str, out,
+                    out_col: str) -> tuple[int, int]:
     """(rows, mismatches): mismatches counts docs whose reconstruction
     differs from the source text (null-safe equality)."""
     src = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -114,7 +115,7 @@ def main() -> None:
                 walls[(qname, k)] = wall
                 out = qs[qname].fn(spark, sf_dir)
                 n_rows, n_bad = check_roundtrip(
-                    spark, sf_dir, out, out_col, n_expected)
+                    spark, sf_dir, out, out_col)
                 rows_ok = n_rows == n_expected
                 bytes_ok = n_bad == (0 if not blank_adj
                                      else n_docs - n_expected)
