@@ -161,6 +161,75 @@ def s14_streaming_windows_exact(spark: SparkSession,
         streaming_tumbling_counts(events_stream(spark, sf_dir)))
 
 
+@register(
+    "s15_stream_static_join_exact",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour'
+           AS window_end,
+       c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+""",
+    tags=("north-star", "streaming", "join", "integration"),
+)
+def s15_stream_static_join_exact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Oracle-graded STREAM-STATIC JOIN — s11's enrichment shape (event
+    stream broadcast-joined to the customer dimension per micro-batch,
+    rolled up per 1 h window x market segment) drained in complete mode
+    and hashed bit-exact against the equivalent batch join SQL. s14
+    proved the streaming AGGREGATE exact; this pins the second
+    production streaming shape — the per-batch dimension resolution and
+    the join keying — under the same determinism argument (complete
+    mode emits the full final state; counts exact, the one cross-row
+    double sum on the 6-dp convention). s11 stays rows-only.
+
+    100 TB/day: one shuffle on the (window, segment) aggregate key
+    after map-side combine; the dimension stays broadcast-sized."""
+    dim = table(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_mktsegment")
+    return run_stream_to_memory(
+        streaming_enriched_segment_windows(events_stream(spark, sf_dir),
+                                           dim))
+
+
+@register(
+    "s16_streaming_dedup_exact",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+""",
+    tags=("north-star", "streaming", "dedup", "integration"),
+)
+def s16_streaming_dedup_exact(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Oracle-graded STREAMING DEDUP / exactly-once relay — s4's
+    at-least-once shape (the stream unioned with itself, every event
+    delivered twice) flowed through state-store dedup
+    (dropDuplicatesWithinWatermark on event_id, append mode) and hashed
+    against the plain projection of the events table: every event must
+    come out EXACTLY once — a dropped event, a surviving duplicate, or
+    a state-eviction slip each breaks the row-set hash. Deterministic
+    because both copies are byte-identical (whichever copy wins, the
+    emitted row is the same) and AvailableNow batching is reproducible
+    for a fixed file source. The third production streaming shape
+    graded exactly, after the aggregate (s14) and the stream-static
+    join (s15); s4 stays rows-only.
+
+    100 TB/day: state holds only ids inside the watermark horizon —
+    bounded regardless of stream length (s4's economics)."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionAll(events_stream(spark, sf_dir))
+    deduped = (doubled.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "ts", "user_id", "event_type",
+                       "value"))
+    return run_stream_to_memory(deduped, mode="append")
+
+
 @register("s2_streaming_sessions", tags=("north-star", "E9", "streaming"))
 def s2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization on the stream (30 min gap)."""
