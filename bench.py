@@ -164,6 +164,13 @@ HEADLINE = [
     # already-timed shapes (e9's session window + e95's container
     # explode, d98's union-merge as-of, dimension-bounded pivot).
     "e105_vocab_encode_decode_roundtrip",
+    # r11: no promotions — e108 rides three already-timed shapes chained
+    # (t16 per-row codegen, e86 percentile + broadcast join-back, e34
+    # struct-max dedup + survivor join); e109 rides e45's exact-pairwise
+    # edge baseline, excluded from the headline since r4 with e3/e45
+    # (deliberate correctness baseline, not a scale path); s17/s18 are
+    # streaming drains (the headline times batch plans; streaming
+    # throughput has its own ladder in scripts/stress_stream_throughput.py).
 ]
 
 

@@ -132,6 +132,98 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(nodes: DataFrame, edges: DataFrame,
+                              max_rounds: int = 50,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the published O(log n)-round algorithm the
+    min-label fixpoint's docstring names as the adversarial-graph
+    upgrade. Same contract as ``connected_components`` (``nodes``: one
+    BIGINT ``node`` column; ``edges``: symmetric src/dst; returns
+    (node, cluster_id) with cluster_id = component-min node id), so the
+    two are drop-in interchangeable — equality is pinned on every CC
+    fixture in tests/test_graph_star.py and driver-graded via e109.
+
+    Per round (both steps are one groupBy + one equi-join — the exact
+    shuffle shape of a min-label round, just two of them):
+
+    - large-star: every node u connects each STRICTLY LARGER neighbor
+      to m(u) = min(N(u) ∪ {u}). Keeps connectivity, halves the height
+      of tall subtrees (the step min-label lacks: it moves edges, not
+      just labels).
+    - small-star: with edges oriented (hi, lo), every node u connects
+      its smaller neighbors — and itself — to its minimum neighbor.
+      Collapses the local stars large-star built.
+
+    Convergence = the canonical (hi, lo) edge SET is exactly unchanged
+    (an exceptAll probe, not a hash — a hash-collision early stop would
+    silently mislabel); at the fixpoint every surviving edge is
+    (node, component-min), so labels read straight off the edge list
+    and isolated nodes label themselves. The paper PROVES O(log n)
+    rounds on ANY graph; measured on long chains (scripts/stress_cc.py
+    ladder) both variants land at ~log2(n)+1 — 4096-node path: 13 star
+    rounds vs 13 jumped min-label rounds, with min-label ~2× faster per
+    round (one shuffle + a scalar-agg probe vs two shuffles + an exact
+    set-equality probe). What the star variant buys is therefore the
+    GUARANTEE, not a chain speedup: single-hop pointer jumping matches
+    it empirically on paths but carries no published worst-case bound,
+    so star is the documented fallback when a fixpoint run blows past
+    the expected round budget on unknown topology.
+
+    100 TB: identical per-round economics to the min-label fixpoint
+    (equi-join shuffles on node id, lineage truncated per round via
+    probe_checkpoint); the round COUNT is what improves. Near-dup
+    graphs are tiny-diameter stars/cliques where min-label already
+    closes in 3-5 rounds, so the default stays min-label; this variant
+    is for unknown/adversarial topology (social graphs, citation
+    chains, web link graphs)."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("hi"),
+                 F.least("src", "dst").alias("lo"))
+         .distinct())
+    e = probe_checkpoint(e, "cc_star.init")
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star over both orientations of the current edge set
+        nbrs = (e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+                .unionByName(e.select(F.col("lo").alias("u"),
+                                      F.col("hi").alias("v"))))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        large = (nbrs.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                 .distinct())
+        # small-star over the (hi, lo) orientation
+        smins = (large.groupBy(F.col("hi").alias("u"))
+                 .agg(F.min("lo").alias("m")))
+        lowered = (large.join(smins, large["hi"] == smins["u"])
+                   .select(F.col("lo").alias("v"), "m")
+                   .filter(F.col("v") != F.col("m"))
+                   .select(F.col("v").alias("hi"), F.col("m").alias("lo")))
+        selfed = smins.select(F.col("u").alias("hi"),
+                              F.col("m").alias("lo"))
+        small = lowered.unionByName(selfed).distinct()
+        small = probe_checkpoint(small, "cc_star.round")
+        # exact set-equality convergence probe: equal counts + empty
+        # one-way difference == multiset equality for two distinct sets
+        changed = (small.count() != e.count()
+                   or small.exceptAll(e).limit(1).count() > 0)
+        e = small
+        if not changed:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    star_lbl = e.groupBy(F.col("hi").alias("node")) \
+        .agg(F.min("lo").alias("star_lbl"))
+    return (nodes.join(star_lbl, "node", "left")
+            .select("node",
+                    F.coalesce("star_lbl", F.col("node"))
+                    .alias("cluster_id")))
+
+
 @register(
     "e45_dup_clusters_cc",
     oracle="""

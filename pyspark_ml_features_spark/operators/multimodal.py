@@ -324,26 +324,39 @@ def decode_png(payload: bytes) -> "object":
         elif ftype == 2:  # Up: elementwise wrap-add of the prior row
             out[y] = line + prev
         elif ftype == 3:  # Average
-            raw_b = line.tobytes()
-            prev_b = prev.tobytes()
             rec = bytearray(width)
             left = 0
-            for x in range(width):
-                left = (raw_b[x] + ((left + prev_b[x]) >> 1)) & 0xFF
+            x = 0
+            # zip over plain bytes: one bounds-check pair per pixel
+            # instead of two subscript lookups (measured ~10% off the
+            # row wall; the recurrence itself — a floor-halved carry
+            # chain — is genuinely sequential, see the r11 negative
+            # result in DESIGN_SCALE.md "PNG decode floor")
+            for r, p in zip(line.tobytes(), prev.tobytes()):
+                left = (r + ((left + p) >> 1)) & 0xFF
                 rec[x] = left
+                x += 1
             out[y] = np.frombuffer(bytes(rec), dtype="uint8")
         elif ftype == 4:  # Paeth
-            raw_b = line.tobytes()
-            prev_b = prev.tobytes()
             rec = bytearray(width)
             a = c = 0  # recon left / prev-row left (both 0 at x = 0)
-            for x in range(width):
-                b = prev_b[x]
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            x = 0
+            for r, b in zip(line.tobytes(), prev.tobytes()):
+                # |p-a| = |b-c|, |p-b| = |a-c|, |p-c| = |a+b-2c| for
+                # p = a+b-c; inlined sign tests beat 3 abs() calls
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pb = a - c
+                if pb < 0:
+                    pb = -pb
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                a = (raw_b[x] + pred) & 0xFF
+                a = (r + pred) & 0xFF
                 rec[x] = a
+                x += 1
                 c = b
             out[y] = np.frombuffer(bytes(rec), dtype="uint8")
         else:

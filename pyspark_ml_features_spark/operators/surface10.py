@@ -151,7 +151,7 @@ def e104_dedup_pack_stitch_roundtrip(spark: SparkSession,
 @register(
     "e105_vocab_encode_decode_roundtrip",
     oracle="""
-SELECT doc_id, text AS decoded_text
+SELECT doc_id, coalesce(text, '') AS decoded_text
 FROM documents
 """,
     tags=("north-star", "llm-pipeline", "tokenization", "vocab",
@@ -163,10 +163,13 @@ def e105_vocab_encode_decode_roundtrip(spark: SparkSession,
     (corpus → frequency-ranked vocab → per-token id encoding, the exact
     materialized form a training dataloader consumes) then INVERTED
     (id → token decode through the same vocab → positional reassembly),
-    graded against the whole corpus verbatim (`SELECT doc_id, text FROM
-    documents` — no filter: empty/whitespace-only docs round-trip too,
-    since `split` keeps empty tokens and `concat_ws(' ')` re-emits them).
-    The hash pins, at once:
+    graded against the whole corpus verbatim (`SELECT doc_id,
+    coalesce(text, '') FROM documents` — no filter: empty/
+    whitespace-only docs round-trip too, since `split` keeps empty
+    tokens and `concat_ws(' ')` re-emits them; NULL text is coalesced
+    to '' on BOTH sides since r11 — ADVICE r10: posexplode of
+    split(NULL) yields no rows, which would silently drop a NULL-text
+    doc the bare oracle kept). The hash pins, at once:
 
     - e18 vocab construction: every corpus token present exactly once
       with a unique dense id (a dropped token = OOV hole = missing text;
@@ -187,7 +190,8 @@ def e105_vocab_encode_decode_roundtrip(spark: SparkSession,
 
     from pyspark_ml_features_spark.operators.packing import vocab_with_ids
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
 
     # 1. VOCAB — the SHARED e18 id assignment (token -> dense id by
     # (freq desc, token asc); see packing.vocab_with_ids — one

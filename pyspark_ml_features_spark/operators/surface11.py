@@ -1,0 +1,274 @@
+"""Round-11 surface: the quality-filter CHAIN audit (VERDICT r10 item 6
+— the one §2-F family member the r10 plan named but didn't land) and the
+driver-graded large-star/small-star connected-components variant
+(VERDICT r10 item 5). Both follow the composition-oracle doctrine: chain
+several already-graded operators and grade a property the chain must
+preserve — a corpus partition for e108, closure equality for e109.
+
+Registered LAST (queries.py imports this module after surface10) per the
+CLAUDE.md rotation contract: post-r10 the backlog is empty, so these
+register at the r11 window's backlog head and grade same-round.
+
+Reference: the reference repo (six MLlib utilities,
+spark_ml_features.py:1-315) has none of this surface; SURVEY §2-E/§2-F
+north-star scope (quality filtering, dedup, graph clustering composed).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+#: the t16 Gopher stopword probe set (Rae et al. 2021) — shared verbatim
+#: with textops.t16_gopher_rules so the chain's stage-1 flags cannot
+#: drift from the graded single-stage query
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+@register(
+    "e108_quality_filter_chain_audit",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, lang, coalesce(text, '') AS text, n_chars
+    FROM documents
+), g AS (
+    SELECT doc_id, lang, text, n_chars,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+           CAST(len(list_filter(str_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_words,
+           CASE WHEN len(list_filter(str_split(text, ' '),
+                                     t -> t <> '')) >= 1 THEN
+               round(list_sum(list_transform(
+                         list_filter(str_split(text, ' '), t -> t <> ''),
+                         t -> length(t)))
+                     / len(list_filter(str_split(text, ' '),
+                                       t -> t <> '')), 6) END AS mwl,
+           CASE WHEN len(list_filter(str_split(text, ' '),
+                                     t -> t <> '')) >= 1 THEN
+               round(len(list_filter(str_split(text, ' '),
+                         t -> regexp_matches(t, '[a-z]')))
+                     / len(list_filter(str_split(text, ' '),
+                                       t -> t <> '')), 6) END AS fa,
+           CAST(len(list_intersect(
+                    list_distinct(list_filter(str_split(text, ' '),
+                                              t -> t <> '')),
+                    ['the','be','to','of','and','that','have','with']))
+                AS BIGINT) AS ns
+    FROM d
+), gk AS (
+    SELECT *, (n_words >= 50 AND n_words <= 100000
+               AND mwl >= 3 AND mwl <= 10
+               AND fa >= 0.8 AND ns >= 2) AS gopher_keep
+    FROM g
+), bands AS (
+    SELECT lang, quantile_cont(n_tokens_raw, 0.05) AS lo_p05,
+           quantile_cont(n_tokens_raw, 0.95) AS hi_p95
+    FROM gk WHERE gopher_keep GROUP BY lang
+), lk AS (
+    SELECT gk.*,
+           (gopher_keep AND n_tokens_raw >= lo_p05
+            AND n_tokens_raw <= hi_p95) AS len_keep
+    FROM gk LEFT JOIN bands ON gk.lang = bands.lang
+), surv AS (
+    SELECT nt, doc_id AS surviving_doc FROM (
+        SELECT lower(trim(text)) AS nt, doc_id,
+               row_number() OVER (PARTITION BY lower(trim(text))
+                                  ORDER BY n_chars DESC, doc_id ASC)
+                   AS rk
+        FROM lk WHERE len_keep)
+    WHERE rk = 1
+)
+SELECT lk.doc_id,
+       CASE WHEN NOT gopher_keep THEN 'gopher_reject'
+            WHEN NOT len_keep THEN 'length_reject'
+            WHEN lk.doc_id = s.surviving_doc THEN 'kept'
+            ELSE 'dup_reject' END AS stage,
+       CAST(coalesce(CASE WHEN len_keep THEN s.surviving_doc END, -1)
+            AS BIGINT) AS surviving_doc
+FROM lk LEFT JOIN surv s ON lower(trim(lk.text)) = s.nt
+""",
+    tags=("north-star", "llm-pipeline", "quality", "dedup",
+          "integration"),
+)
+def e108_quality_filter_chain_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER CHAIN with a full-corpus DISPOSITION AUDIT — the
+    three graded curation stages run as one pipeline, in pipeline order:
+
+    1. t16's Gopher rule bundle (word-count bounds, mean word length,
+       alpha-word fraction, stopword hits) rejects raw junk;
+    2. e86's per-language [p5, p95] length band — recomputed over the
+       GOPHER SURVIVORS, which is what makes this a true chain rather
+       than three independent flags: the band thresholds themselves
+       depend on stage 1's output;
+    3. e34's quality-aware exact dedup (keep longest, ties to lowest
+       doc_id) elects one survivor per normalized-text group among the
+       stage-2 survivors.
+
+    The output is the AUDIT every production curation run must be able
+    to produce: EVERY corpus document exactly once, labeled with the
+    first stage that rejected it ('gopher_reject' → 'length_reject' →
+    'dup_reject') or 'kept', plus the surviving doc of its content
+    group when it reached dedup (-1 sentinel otherwise, keeping the
+    column BIGINT across engines). The oracle replays the identical
+    chain in DuckDB, so the hash pins the corpus-partition property
+    (sum of stage counts == corpus count, no doc dropped or
+    double-counted) AND per-doc attribution — a band computed over the
+    wrong survivor set, a flag flipped by rounding drift, or a dedup
+    tie broken differently each moves at least one doc across stages
+    and breaks it. NULL text coalesces to '' on both sides (the e105
+    rule).
+
+    100 TB: stage 1 is per-row codegen, no shuffle; stage 2 is one
+    langs-sized aggregate (exact percentile here; approxQuantile at
+    corpus scale, b6→b6b's documented swap) broadcast back; stage 3
+    is ONE shuffle on the normalized-text key (or its fingerprint,
+    e34's note) plus the survivor join on the same key — the audit
+    costs the same two corpus shuffles the bare dedup does.
+
+    Cites: textops.py:t16_gopher_rules, curation7.py:e86_length_band_trim,
+    dedup.py:e34_quality_dedup."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"), "n_chars")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    g = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens_raw"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.when(F.size(toks) >= 1,
+               F.round(F.aggregate(toks, F.lit(0).cast("bigint"),
+                                   lambda a, t: a + F.length(t))
+                       / F.size(toks), 6)).alias("mwl"),
+        F.when(F.size(toks) >= 1,
+               F.round(F.size(F.filter(toks,
+                                       lambda t: t.rlike("[a-z]")))
+                       / F.size(toks), 6)).alias("fa"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop))
+        .cast("bigint").alias("ns"))
+    gk = g.withColumn(
+        "gopher_keep",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mwl") >= 3) & (F.col("mwl") <= 10)
+        & (F.col("fa") >= 0.8) & (F.col("ns") >= 2))
+    bands = (gk.filter("gopher_keep").groupBy("lang")
+             .agg(F.percentile("n_tokens_raw", F.lit(0.05))
+                  .alias("lo_p05"),
+                  F.percentile("n_tokens_raw", F.lit(0.95))
+                  .alias("hi_p95")))
+    lk = (gk.join(F.broadcast(bands), "lang", "left")
+          .withColumn("len_keep",
+                      F.col("gopher_keep")
+                      & (F.col("n_tokens_raw") >= F.col("lo_p05"))
+                      & (F.col("n_tokens_raw") <= F.col("hi_p95")))
+          .withColumn("nt", F.lower(F.trim(F.col("text")))))
+    # the flagged corpus feeds TWO branches (survivor election + the
+    # final disposition join) and AQE does not reuse cross-branch
+    # exchanges (the e81 finding) — materialize once; the
+    # pre-truncation lineage joins the fixpoint-internal plan ratchet
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
+    lk = probe_checkpoint(lk, "e108.flags")
+    # e34's struct-max survivor election: argmax(n_chars, then min
+    # doc_id) in one map-side-combinable aggregate — no window
+    surv = (lk.filter("len_keep").groupBy("nt")
+            .agg(F.max(F.struct(F.col("n_chars"),
+                                (-F.col("doc_id")).alias("neg")))
+                 .alias("best"))
+            .select("nt", (-F.col("best.neg")).alias("surviving_doc")))
+    out = lk.join(surv, "nt", "left")
+    return out.select(
+        "doc_id",
+        F.when(~F.col("gopher_keep"), F.lit("gopher_reject"))
+        .when(~F.col("len_keep"), F.lit("length_reject"))
+        .when(F.col("doc_id") == F.col("surviving_doc"), F.lit("kept"))
+        .otherwise(F.lit("dup_reject")).alias("stage"),
+        F.coalesce(F.when(F.col("len_keep"), F.col("surviving_doc")),
+                   F.lit(-1)).cast("bigint").alias("surviving_doc"))
+
+
+@register(
+    "e109_dup_clusters_cc_star",
+    oracle="""
+WITH RECURSIVE sub AS (
+    SELECT doc_id, list_distinct(str_split(text, ' ')) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+), sizes AS (
+    SELECT doc_id, len(sh) AS n_sh FROM sub
+), inv AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sub
+), shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared) >= 0.5
+), edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM sub
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY cluster_id
+)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)
+""",
+    tags=("north-star", "E1", "dedup", "graph", "iterative"),
+)
+def e109_dup_clusters_cc_star(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """e45's duplicate-cluster assignment computed by the LARGE-STAR /
+    SMALL-STAR algorithm (graph.py:connected_components_star, Kiveris
+    et al. SoCC'14) instead of min-label propagation — the O(log n)
+    bound the min-label docstring has cited since r1, now implemented
+    and DRIVER-GRADED: the oracle is the same recursive-CTE transitive
+    closure that grades e45, so a green hash is a cross-engine proof
+    that star contraction computes the exact component minima on the
+    real near-dup graph (pair graph, cluster ids, and sizes all
+    bit-match). Equality with the min-label fixpoint across topology
+    classes — paths, bridges, cliques, random graphs — is pinned in
+    tests/test_graph_star.py; round counts on long chains are measured
+    side by side in scripts/stress_cc.py's ladder (4096-node path:
+    13 rounds for both variants — see connected_components_star's
+    docstring for the honest reading: star buys the proven bound, not
+    an empirical chain speedup over jumped min-label).
+
+    100 TB: each star round is two groupBy+join shuffles on node id —
+    the same per-round shape as a min-label round — and the round count
+    is PROVABLY O(log n) on any topology: min-label stays the default
+    for tiny-diameter near-dup graphs, this variant bounds the
+    adversarial case (web link graphs, citation chains)."""
+    from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prs = jaccard_pairs(d, tokens("text"), threshold=0.5)
+    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .unionByName(
+                 prs.select(F.col("d2").alias("src"),
+                            F.col("d1").alias("dst"))))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components_star(nodes, edges)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (cc.join(sizes, "cluster_id")
+            .select(F.col("node").alias("doc_id"), "cluster_id",
+                    "cluster_size"))

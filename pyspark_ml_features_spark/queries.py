@@ -73,6 +73,14 @@ from pyspark_ml_features_spark.operators import surface9  # noqa: F401, E402
 # before registration.
 from pyspark_ml_features_spark.operators import surface10  # noqa: F401, E402
 
+# Round-11 batch, imported after surface10: post-r10 the backlog is again
+# EMPTY (358/358 graded), so these register as the r11 window's backlog
+# head and grade same-round — simulated against the landed r10 grades
+# before registration. (s17/s18 register earlier via streaming.events,
+# adjacent to the s14-s16 family they extend — same-round grading holds
+# for them too with the backlog empty.)
+from pyspark_ml_features_spark.operators import surface11  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

@@ -214,20 +214,123 @@ def s16_streaming_dedup_exact(spark: SparkSession,
     come out EXACTLY once — a dropped event, a surviving duplicate, or
     a state-eviction slip each breaks the row-set hash. Deterministic
     because both copies are byte-identical (whichever copy wins, the
-    emitted row is the same) and AvailableNow batching is reproducible
-    for a fixed file source. The third production streaming shape
-    graded exactly, after the aggregate (s14) and the stream-static
-    join (s15); s4 stays rows-only.
+    emitted row is the same) and — since r11, closing an ADVICE r10
+    finding — the duplicate is manufactured INSIDE the source row via
+    an explode of a 2-element array, so both copies are guaranteed
+    co-batched in the same micro-batch no matter how the file source
+    splits files or what maxFilesPerTrigger is set to. The earlier
+    union-of-two-streams form was exact only under a
+    single-file/one-micro-batch assumption: dropDuplicatesWithinWatermark
+    dedups within the 10-minute horizon, and a second copy arriving
+    after state eviction would re-emit. The third production streaming
+    shape graded exactly, after the aggregate (s14) and the
+    stream-static join (s15); s4 stays rows-only.
 
     100 TB/day: state holds only ids inside the watermark horizon —
     bounded regardless of stream length (s4's economics)."""
     s = events_stream(spark, sf_dir)
-    doubled = s.unionAll(events_stream(spark, sf_dir))
+    doubled = (s.withColumn("__copy", F.explode(F.array(F.lit(0),
+                                                        F.lit(1))))
+               .drop("__copy"))
     deduped = (doubled.withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "ts", "user_id", "event_type",
                        "value"))
     return run_stream_to_memory(deduped, mode="append")
+
+
+@register(
+    "s17_streaming_new_users_exact",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+), by_day AS (
+    SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+    FROM firsts GROUP BY first_day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM by_day
+""",
+    tags=("north-star", "D8", "streaming", "incremental", "integration"),
+)
+def s17_streaming_new_users_exact(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Oracle-graded CUMULATIVE-USERS rollup — s8's shape (the streaming
+    engine maintains the per-user first-seen-day table as a stateful min
+    aggregate, drained complete; the |days|-row daily rollup + running
+    sum finish batch-side) hashed bit-exact against d93's batch SQL.
+    The fourth streaming shape graded exactly (after aggregate s14,
+    stream-static join s15, dedup s16) and the first INTEGER-PURE one:
+    min over timestamps and counts over users involve no floating point
+    at all, so the grade needs no rounding convention — any state-store
+    slip (a lost user, a wrong min across micro-batch state merges)
+    flips an integer and breaks the hash. Deterministic under the s14
+    rule: complete mode emits the full final state, a pure function of
+    the input SET (min/count are order-insensitive). s8 stays rows-only.
+
+    100 TB: the streaming state is 16 bytes/user (the MERGE-maintainable
+    `firsts` table d93's docstring names); the downstream window runs
+    over calendar days, never events (d93's economics)."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    firsts = (s.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    mat = run_stream_to_memory(firsts, mode="complete")
+    by_day = (mat.groupBy(F.col("first_day").alias("day"))
+              .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy(F.col("day").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (by_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users")))
+
+
+@register(
+    "s18_streaming_merge_rollup_exact",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("north-star", "E10", "streaming", "incremental", "integration"),
+)
+def s18_streaming_merge_rollup_exact(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Oracle-graded INCREMENTAL MATERIALIZATION — s6's foreachBatch
+    merge (the events table staged as 4 files, streamed one file per
+    micro-batch, each batch's partial (window, type) aggregates MERGED
+    into a parquet target by summing with the existing rows — history
+    never rescanned) with the final materialized table hashed against
+    the one-shot batch SQL. This is the continuous-aggregate contract
+    stated as a driver-verified fact: incremental-merge == full
+    recompute, which holds because count/sum are commutative monoids
+    (the e107 argument applied to the streaming engine's batching).
+    Counts are exact integers whatever the batch split; the double sum
+    is merged in micro-batch order rather than scan order, absorbed by
+    the registry-wide 6-dp rounding convention exactly as s14 absorbs
+    the state store's summation order. The fifth streaming-exact shape;
+    s6 stays rows-only with its pytest recompute-equality and replay-
+    idempotency (batch-id ledger) checks, which cover the at-least-once
+    redelivery path this complete-history hash can't see.
+
+    100 TB: each merge touches only the window partitions the batch
+    spans (partitioned target); the merge itself shuffles only
+    rollup-sized rows, never events (s6's economics)."""
+    target = _mkdtemp("pmfs_s18_rollup_")
+    merged = run_streaming_materialized_rollup(spark, sf_dir, target)
+    return merged.select(
+        "window_start", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_value"), 6).alias("total_value"))
 
 
 @register("s2_streaming_sessions", tags=("north-star", "E9", "streaming"))

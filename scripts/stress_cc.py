@@ -32,6 +32,7 @@ from pyspark_ml_features_spark.operators.dedup import (  # noqa: E402
 )
 from pyspark_ml_features_spark.operators.graph import (  # noqa: E402
     connected_components,
+    connected_components_star,
 )
 
 SF001 = "/root/testdata/sf0.01"
@@ -92,6 +93,36 @@ def main() -> None:
         print(f"{tier:>7} {n_docs:>7} {n_edges:>9} {stats['rounds']:>6} "
               f"{wall:>7.1f} {agg['n_clusters']:>10} {agg['max_sz']:>6} "
               f"{agg['p_single']:>11.3f}")
+
+    # LONG-CHAIN LADDER (round 11): the adversarial-diameter topology
+    # where the large-star/small-star variant's O(log n) bound matters.
+    # Gate: star rounds <= jumped min-label rounds AND identical labels
+    # (all nodes collapse to 1). A path of n nodes has diameter n-1 —
+    # the worst case named in connected_components' docstring.
+    print(f"\n{'chain_n':>8} {'minlabel_rounds':>15} {'star_rounds':>11} "
+          f"{'minlabel_s':>10} {'star_s':>7} {'equal':>6}")
+    for n in (1024, 4096):
+        nodes = spark.range(1, n + 1).select(F.col("id").alias("node"))
+        pairs = spark.range(1, n).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        edges = pairs.unionByName(pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+        s_min: dict = {}
+        t0 = time.time()
+        a = connected_components(nodes, edges, max_rounds=60,
+                                 stats=s_min)
+        bad_a = a.filter(F.col("cluster_id") != 1).count()
+        w_min = time.time() - t0
+        s_star: dict = {}
+        t0 = time.time()
+        b = connected_components_star(nodes, edges, stats=s_star)
+        bad_b = b.filter(F.col("cluster_id") != 1).count()
+        w_star = time.time() - t0
+        equal = bad_a == 0 and bad_b == 0
+        print(f"{n:>8} {s_min['rounds']:>15} {s_star['rounds']:>11} "
+              f"{w_min:>10.1f} {w_star:>7.1f} {str(equal):>6}")
+        assert equal, (n, bad_a, bad_b)
+        assert s_star["rounds"] <= s_min["rounds"], (s_star, s_min)
     spark.stop()
 
 

@@ -108,10 +108,15 @@ def main() -> None:
                         .filter(F.trim("text") != "").count())
                 else:
                     n_expected = n_docs
-                t0 = time.time()
-                out = qs[qname].fn(spark, sf_dir)
-                out.write.format("noop").mode("overwrite").save()
-                wall = time.time() - t0
+                # min-of-repeats (the repo's minima convention — ADVICE
+                # r10: a single-run wall on a loaded shared host can
+                # fail the gate even when the exact pins pass)
+                wall = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    out = qs[qname].fn(spark, sf_dir)
+                    out.write.format("noop").mode("overwrite").save()
+                    wall = min(wall, time.time() - t0)
                 walls[(qname, k)] = wall
                 out = qs[qname].fn(spark, sf_dir)
                 n_rows, n_bad = check_roundtrip(

@@ -407,6 +407,10 @@ FIXPOINT_QUERIES = {
     # checkpointed because two branches consume it; its pre-truncation
     # plan joins the ratchet
     "e104_dedup_pack_stitch_roundtrip": set(),
+    # r11: e109's star-contraction fixpoint (cc_star.* rounds) and
+    # e108's twice-consumed flagged corpus (e108.flags)
+    "e108_quality_filter_chain_audit": set(),
+    "e109_dup_clusters_cc_star": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level
@@ -414,7 +418,12 @@ FIXPOINT_QUERIES = {
 # instead of a CartesianProduct, and its edges plan shows the hint TWICE
 # because the src/dst union references the same hinted pair subplan in
 # both branches — still one bounded relation.
-FIXPOINT_MAX_HINTS = {"e58_semantic_dup_clusters": 2}
+FIXPOINT_MAX_HINTS = {
+    "e58_semantic_dup_clusters": 2,
+    # e108.flags carries e86's langs-bounded percentile-band broadcast
+    # (|bands| = |langs|, dimension-bounded by construction)
+    "e108_quality_filter_chain_audit": 1,
+}
 
 
 def test_fixpoint_internal_plans_are_scale_safe(spark):

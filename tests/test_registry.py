@@ -184,6 +184,14 @@ DEFERRED_ORACLES: set[str] = {
     "e102_image_hamming_pairs",
     "d148_sql_table_function",
     "e103_image_neardup_clusters",
+    # -- round-11 batch: streaming-exact promotions (streaming/events.py,
+    #    adjacent to s14-s16) + the surface11 tail module; backlog was
+    #    empty post-r10 so the whole batch heads the r11 window and
+    #    grades same-round — locally hash-verified at sf0.01 AND sf0.1
+    "s17_streaming_new_users_exact",
+    "s18_streaming_merge_rollup_exact",
+    "e108_quality_filter_chain_audit",
+    "e109_near_dedup_cluster_roundtrip",
 }
 
 
