@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -57,6 +58,58 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+@register(
+    "s19_streaming_stateful_totals_exact",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("north-star", "streaming", "stateful", "integration"),
+)
+def s19_streaming_stateful_totals_exact(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Oracle-graded CUSTOM STATEFUL operator — s3's shape (per-user
+    running totals folded in applyInPandasWithState, update-mode drain)
+    hashed bit-exact against the batch groupBy SQL. This completes the
+    oracle-graded streaming classes: aggregate (s14), stream-static
+    join (s15), dedup relay (s16), bounded-key rollup (s17), incremental
+    merge (s18), and now the custom state machine — the path SURVEY §2
+    names for operators Spark's built-in windows can't express.
+
+    What makes update mode gradeable (it emits one row per TOUCHED user
+    per micro-batch, so the raw drained sink is batching-DEPENDENT):
+    the final per-user select takes max(struct(n_events, total_value)).
+    n_events strictly increases across a user's emissions (a user is
+    only emitted when the batch contained its rows), so the max IS the
+    final state — the drained result becomes a pure function of the
+    input set regardless of how AvailableNow splits files into batches.
+    This closes, by construction, the same fragility class ADVICE r10
+    flagged on s16's original union form (exactness resting on a
+    single-file/one-micro-batch staging assumption). Counts are exact;
+    the per-user double fold is emitted pre-rounded at 6 dp (the s14
+    convention — pandas' pairwise batch sums and DuckDB's sequential
+    sum agree far below the rounding grain). s3 stays rows-only with
+    its pytest batch-equality check.
+
+    100 TB/day: state is 16 bytes/user partitioned by the group key —
+    each user's state lives on exactly one executor (stateful.py module
+    docstring's scaling argument)."""
+    from pyspark_ml_features_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    drained = run_stream_to_memory(
+        streaming_user_totals(events_stream(spark, sf_dir)),
+        mode="update")
+    return (drained.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value"))
+                 .alias("fin"))
+            .select("user_id", "fin.n_events", "fin.total_value"))
 
 
 @register("s3_streaming_stateful_totals",

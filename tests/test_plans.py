@@ -354,6 +354,9 @@ ARROW_ALLOWED = {
                                    # (ADVICE r9: the drained memory sink
                                    # hides it; the streaming-plan audit
                                    # below sees it via probe_stream_query)
+    "s19_streaming_stateful_totals_exact",  # s3's applyInPandasWithState
+                                            # boundary, oracle-graded via
+                                            # the final-emission select
     "s3_streaming_stateful_totals",  # applyInPandasWithState — THE Spark
                                      # API for custom stateful streaming
                                      # operators is Arrow-batched Python

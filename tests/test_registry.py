@@ -191,7 +191,8 @@ DEFERRED_ORACLES: set[str] = {
     "s17_streaming_new_users_exact",
     "s18_streaming_merge_rollup_exact",
     "e108_quality_filter_chain_audit",
-    "e109_near_dedup_cluster_roundtrip",
+    "e109_dup_clusters_cc_star",
+    "s19_streaming_stateful_totals_exact",
 }
 
 
