@@ -273,6 +273,17 @@ def e45_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical closure as a DuckDB recursive CTE, so
     the iterative Spark fixpoint is hash-checked end-to-end — pair graph,
     transitive closure, cluster ids, and sizes all match exactly."""
+    return dup_cluster_assignment(spark, sf_dir, connected_components)
+
+
+def dup_cluster_assignment(spark: SparkSession, sf_dir: str,
+                           cc_fn) -> DataFrame:
+    """The e45 pipeline with the CC algorithm as a parameter — ONE
+    definition of the sample filter, pair threshold, edge
+    symmetrization, and cluster-size join shared by e45 (min-label) and
+    e109 (large-star/small-star, surface11.py), so the two graded
+    queries can never diverge in anything but the algorithm under test
+    (r11 review finding: the pipeline was copied verbatim)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     prs = jaccard_pairs(d, tokens("text"), threshold=0.5)
     edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
@@ -280,7 +291,7 @@ def e45_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  prs.select(F.col("d2").alias("src"),
                             F.col("d1").alias("dst"))))
     nodes = d.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, edges)
+    cc = cc_fn(nodes, edges)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("cluster_size")))
     return (cc.join(sizes, "cluster_id")

@@ -20,19 +20,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_ml_features_spark.functions.text import tokens
+from pyspark_ml_features_spark.operators.textops import (
+    _GOPHER_STOP_SQL,
+    GOPHER_STOPWORDS,
+)
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
-
-#: the t16 Gopher stopword probe set (Rae et al. 2021) — shared verbatim
-#: with textops.t16_gopher_rules so the chain's stage-1 flags cannot
-#: drift from the graded single-stage query
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
-                    "with")
 
 
 @register(
     "e108_quality_filter_chain_audit",
-    oracle="""
+    oracle=f"""
 WITH d AS (
     SELECT doc_id, lang, coalesce(text, '') AS text, n_chars
     FROM documents
@@ -57,7 +55,7 @@ WITH d AS (
            CAST(len(list_intersect(
                     list_distinct(list_filter(str_split(text, ' '),
                                               t -> t <> '')),
-                    ['the','be','to','of','and','that','have','with']))
+                    {_GOPHER_STOP_SQL}))
                 AS BIGINT) AS ns
     FROM d
 ), gk AS (
@@ -71,8 +69,9 @@ WITH d AS (
     FROM gk WHERE gopher_keep GROUP BY lang
 ), lk AS (
     SELECT gk.*,
-           (gopher_keep AND n_tokens_raw >= lo_p05
-            AND n_tokens_raw <= hi_p95) AS len_keep
+           (gopher_keep AND coalesce(n_tokens_raw >= lo_p05
+                                     AND n_tokens_raw <= hi_p95, FALSE))
+               AS len_keep
     FROM gk LEFT JOIN bands ON gk.lang = bands.lang
 ), surv AS (
     SELECT nt, doc_id AS surviving_doc FROM (
@@ -162,11 +161,20 @@ def e108_quality_filter_chain_audit(spark: SparkSession,
                   .alias("lo_p05"),
                   F.percentile("n_tokens_raw", F.lit(0.95))
                   .alias("hi_p95")))
+    # the band comparison coalesces to FALSE so len_keep is never NULL:
+    # a Gopher-passing doc whose lang has no band row (NULL lang, or a
+    # lang with zero survivors) is a LENGTH reject — without the
+    # coalesce, three-valued logic would skip the `WHEN NOT len_keep`
+    # arm and mislabel it 'dup_reject' (r11 review finding; both
+    # engines replay the same coalesce so the semantics, not just the
+    # hash, are right)
     lk = (gk.join(F.broadcast(bands), "lang", "left")
           .withColumn("len_keep",
                       F.col("gopher_keep")
-                      & (F.col("n_tokens_raw") >= F.col("lo_p05"))
-                      & (F.col("n_tokens_raw") <= F.col("hi_p95")))
+                      & F.coalesce(
+                          (F.col("n_tokens_raw") >= F.col("lo_p05"))
+                          & (F.col("n_tokens_raw") <= F.col("hi_p95")),
+                          F.lit(False)))
           .withColumn("nt", F.lower(F.trim(F.col("text")))))
     # the flagged corpus feeds TWO branches (survivor election + the
     # final disposition join) and AQE does not reuse cross-branch
@@ -254,21 +262,13 @@ def e109_dup_clusters_cc_star(spark: SparkSession,
     is PROVABLY O(log n) on any topology: min-label stays the default
     for tiny-diameter near-dup graphs, this variant bounds the
     adversarial case (web link graphs, citation chains)."""
-    from pyspark_ml_features_spark.operators.dedup import jaccard_pairs
     from pyspark_ml_features_spark.operators.graph import (
         connected_components_star,
+        dup_cluster_assignment,
     )
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    prs = jaccard_pairs(d, tokens("text"), threshold=0.5)
-    edges = (prs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-             .unionByName(
-                 prs.select(F.col("d2").alias("src"),
-                            F.col("d1").alias("dst"))))
-    nodes = d.select(F.col("doc_id").alias("node"))
-    cc = connected_components_star(nodes, edges)
-    sizes = (cc.groupBy("cluster_id")
-             .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (cc.join(sizes, "cluster_id")
-            .select(F.col("node").alias("doc_id"), "cluster_id",
-                    "cluster_size"))
+    # e45's exact pipeline with only the CC algorithm swapped — the
+    # shared helper guarantees the two graded queries differ in
+    # nothing but the algorithm under test
+    return dup_cluster_assignment(spark, sf_dir,
+                                  connected_components_star)

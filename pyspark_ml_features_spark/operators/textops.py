@@ -826,9 +826,19 @@ def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("flesch")))
 
 
+#: the Gopher stopword probe set (Rae et al. 2021) — the ONE definition
+#: every consumer derives from: t16's Spark body + SQL oracle and
+#: e108's chain (surface11) all read this constant, so the probe set
+#: cannot drift between the graded single-stage query and the chain
+#: (r11 review finding: three independent copies nearly shipped)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+_GOPHER_STOP_SQL = "[" + ",".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
 @register(
     "t16_gopher_rules",
-    oracle="""
+    oracle=f"""
 WITH f AS (
     SELECT doc_id,
            list_filter(str_split(text, ' '), t -> t <> '') AS toks
@@ -841,7 +851,7 @@ WITH f AS (
            round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
                  / len(toks), 6) AS frac_alpha_words,
            CAST(len(list_intersect(list_distinct(toks),
-                ['the','be','to','of','and','that','have','with']))
+                {_GOPHER_STOP_SQL}))
                 AS BIGINT) AS n_stop_hits
     FROM f WHERE len(toks) >= 1
 )
@@ -880,9 +890,7 @@ def t16_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.filter(tokens("text"), lambda t: t != "")
     f = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
-    stop = F.array(*[F.lit(w) for w in
-                     ("the", "be", "to", "of", "and", "that", "have",
-                      "with")])
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     m = f.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_words"),

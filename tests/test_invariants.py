@@ -875,3 +875,35 @@ def test_d142_observation_matches_result(spark):
     assert m["n_rows"] == sum(r["n"] for r in res)
     assert m["n_null_price"] == 0
     assert m["total_cents"] == sum(r["price_cents"] for r in res)
+
+
+def test_e108_disposition_partitions_corpus_and_null_lang_is_length_reject(
+        spark, tmp_path):
+    """e108's audit contract on a constructed fixture: (a) every doc
+    appears exactly once (the corpus-partition property); (b) a
+    Gopher-PASSING doc with NULL lang is a 'length_reject' — it never
+    matched a per-language band, so the band stage is the first one
+    that rejected it (r11 review finding: three-valued logic previously
+    let it fall through to 'dup_reject' without ever reaching dedup)."""
+    good = "the and have with " + " ".join(["word"] * 56)  # passes Gopher
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good, "en", "s", len(good)),          # exact dup of 1
+        (3, good, None, "s", len(good)),          # NULL lang, passes Gopher
+        (4, "tiny", "en", "s", 4),                # fails Gopher (n_words)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+              "n_chars BIGINT") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+    out = {r["doc_id"]: (r["stage"], r["surviving_doc"])
+           for r in ALL["e108_quality_filter_chain_audit"]
+           .fn(spark, sf_dir).collect()}
+    assert len(out) == 4                          # partition: each doc once
+    assert out[4] == ("gopher_reject", -1)
+    assert out[3] == ("length_reject", -1)        # the review-finding pin
+    # docs 1 and 2 share content; the lower doc_id survives (equal length)
+    assert out[1] == ("kept", 1)
+    assert out[2] == ("dup_reject", 1)

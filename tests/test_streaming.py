@@ -25,7 +25,9 @@ def test_stateful_totals_equal_batch_groupby(spark):
     pass per user either way; totals rounded to 6 dp on both sides."""
     from pyspark_ml_features_spark.sources import table
 
-    stream = ALL["s3_streaming_stateful_totals"].fn(spark, SF_DIR).toPandas()
+    stream = (ALL["s3_streaming_stateful_totals"].fn(spark, SF_DIR)
+              .withColumn("total_value", F.round("total_value", 6))
+              .toPandas())
     batch = (table(spark, SF_DIR, "events")
              .groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n_events"),
