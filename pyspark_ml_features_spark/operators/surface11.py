@@ -272,3 +272,139 @@ def e109_dup_clusters_cc_star(spark: SparkSession,
     # nothing but the algorithm under test
     return dup_cluster_assignment(spark, sf_dir,
                                   connected_components_star)
+
+
+def _e110_oracle() -> str:
+    from pyspark_ml_features_spark.functions.text import duckdb_rolling_hash
+    from pyspark_ml_features_spark.operators.packing import GREEDY_PACK_CAP
+    from pyspark_ml_features_spark.operators.quality import (
+        BLOOM_FNS,
+        BLOOM_M,
+    )
+
+    h = duckdb_rolling_hash("text")
+    pos_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, (h * {p} + {q}) % {BLOOM_M} AS pos FROM hashed"
+        for p, q in BLOOM_FNS)
+    return f"""
+WITH RECURSIVE hashed AS (
+    SELECT doc_id, text, {h} AS h FROM documents
+), pos AS (
+{pos_rows}
+), bloom AS (
+    SELECT DISTINCT pos FROM pos WHERE doc_id % 5 = 0
+), corpus_pos AS (
+    SELECT DISTINCT doc_id, pos FROM pos WHERE doc_id % 5 <> 0
+), hits AS (
+    SELECT c.doc_id, count(*) AS n_pos, count(b.pos) AS n_hit
+    FROM corpus_pos c LEFT JOIN bloom b ON c.pos = b.pos
+    GROUP BY c.doc_id
+), flags AS (
+    SELECT d.doc_id, d.lang, d.doc_id % 4 AS shard,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(h.n_hit = h.n_pos AS BIGINT) AS contaminated
+    FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 5 <> 0
+), docs AS (
+    SELECT lang, shard, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY lang, shard
+                              ORDER BY doc_id) AS rn
+    FROM flags WHERE contaminated = 0
+), pack AS (
+    SELECT lang, shard, doc_id, n_tokens, rn,
+           CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.fill + d.n_tokens > {GREEDY_PACK_CAP}
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + d.n_tokens > {GREEDY_PACK_CAP}
+                THEN d.n_tokens ELSE p.fill + d.n_tokens END
+    FROM pack p JOIN docs d ON d.lang = p.lang AND d.shard = p.shard
+                           AND d.rn = p.rn + 1
+)
+SELECT f.doc_id, f.lang, f.shard, f.n_tokens, f.contaminated,
+       CAST(coalesce(p.bin_id, -1) AS BIGINT) AS bin_id
+FROM flags f LEFT JOIN pack p ON f.doc_id = p.doc_id
+"""
+
+
+@register(
+    "e110_decontam_pack_audit",
+    oracle=_e110_oracle(),
+    tags=("north-star", "llm-pipeline", "decontamination", "packing",
+          "integration"),
+)
+def e110_decontam_pack_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """DECONTAMINATE → PACK chain with a full-corpus audit (the r12-plan
+    composition pulled forward): e52's Bloom decontamination flags every
+    corpus document against the benchmark slice (doc_id % 5 = 0, the e27
+    convention), and ONLY the clean survivors flow into e51's
+    capacity-respecting greedy packing fold — the two steps every
+    training-data build runs back to back, chained so the packing's
+    per-(lang, shard) walk order depends on stage 1's output (drop one
+    more doc and every later bin assignment in its shard shifts). The
+    output is one row per corpus doc — contaminated docs carry
+    bin_id = -1, clean docs their real bin — so the hash pins, at once:
+    the Bloom membership arithmetic (e52), the first-fit fold with
+    capacity resets (e51), AND the partition property (no doc dropped or
+    packed twice; a contaminated doc leaking into packing renumbers its
+    whole shard). The DuckDB oracle replays the chain with the same
+    bloom CTE and the recursive first-fit fold over the FILTERED doc
+    set.
+
+    100 TB: stage 1 is one corpus scan + broadcast m-bit membership
+    (zero corpus-text shuffles, e52's economics); stage 2 shuffles only
+    (lang, shard, doc_id, n_tokens) — text never crosses the Arrow
+    boundary, and the shard knob bounds per-task state (e51's measured
+    ladder). The flags table feeds two branches (the pack input and the
+    final audit join) and is checkpointed once (the e81 rule).
+
+    Cites: quality.py:e52_bloom_decontaminate, packing.py:greedy_pack."""
+    from pyspark_ml_features_spark.functions.text import rolling_hash
+    from pyspark_ml_features_spark.operators.packing import (
+        GREEDY_PACK_CAP,
+        greedy_pack,
+    )
+    from pyspark_ml_features_spark.operators.quality import (
+        BLOOM_FNS,
+        BLOOM_M,
+    )
+    from pyspark_ml_features_spark.plans.audit import probe_checkpoint
+
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", rolling_hash("text").alias("h"))
+    pos = hashed.select(
+        "doc_id",
+        F.explode(F.array(*[
+            ((F.col("h") * p + q) % BLOOM_M).alias(f"p{i}")
+            for i, (p, q) in enumerate(BLOOM_FNS)])).alias("pos"))
+    bloom = (pos.filter(F.col("doc_id") % 5 == 0)
+             .select("pos").distinct())
+    corpus_pos = (pos.filter(F.col("doc_id") % 5 != 0)
+                  .select("doc_id", "pos").distinct())
+    hits = (corpus_pos.join(F.broadcast(bloom.withColumn("hit", F.lit(1))),
+                            "pos", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pos"),
+                 F.count("hit").alias("n_hit")))
+    flags = (d.filter(F.col("doc_id") % 5 != 0)
+             .select("doc_id", "lang",
+                     (F.col("doc_id") % 4).alias("shard"),
+                     F.size(tokens("text")).cast("bigint")
+                     .alias("n_tokens"))
+             .join(hits, "doc_id")
+             .withColumn("contaminated",
+                         (F.col("n_hit") == F.col("n_pos"))
+                         .cast("bigint"))
+             .drop("n_pos", "n_hit"))
+    flags = probe_checkpoint(flags, "e110.flags")
+    packed = greedy_pack(
+        flags.filter(F.col("contaminated") == 0)
+        .select("lang", "shard", "doc_id", "n_tokens"),
+        GREEDY_PACK_CAP).select("doc_id", "bin_id")
+    return (flags.join(packed, "doc_id", "left")
+            .select("doc_id", "lang", "shard", "n_tokens", "contaminated",
+                    F.coalesce("bin_id", F.lit(-1)).cast("bigint")
+                    .alias("bin_id")))

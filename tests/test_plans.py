@@ -357,6 +357,10 @@ ARROW_ALLOWED = {
     "s19_streaming_stateful_totals_exact",  # s3's applyInPandasWithState
                                             # boundary, oracle-graded via
                                             # the final-emission select
+    "e110_decontam_pack_audit",  # e51's stateful packing fold over the
+                                 # decontaminated survivors — only
+                                 # (lang, shard, doc_id, n_tokens)
+                                 # crosses the boundary
     "s3_streaming_stateful_totals",  # applyInPandasWithState — THE Spark
                                      # API for custom stateful streaming
                                      # operators is Arrow-batched Python
@@ -414,6 +418,9 @@ FIXPOINT_QUERIES = {
     # e108's twice-consumed flagged corpus (e108.flags)
     "e108_quality_filter_chain_audit": set(),
     "e109_dup_clusters_cc_star": set(),
+    # r11 late batch: e110's twice-consumed decontamination flags
+    # (e110.flags — pack input + final audit join)
+    "e110_decontam_pack_audit": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level
@@ -426,6 +433,9 @@ FIXPOINT_MAX_HINTS = {
     # e108.flags carries e86's langs-bounded percentile-band broadcast
     # (|bands| = |langs|, dimension-bounded by construction)
     "e108_quality_filter_chain_audit": 1,
+    # e110.flags carries e52's m-bounded bloom-position broadcast
+    # (|bloom| <= BLOOM_M = 4096 rows by construction)
+    "e110_decontam_pack_audit": 1,
 }
 
 

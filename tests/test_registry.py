@@ -193,6 +193,7 @@ DEFERRED_ORACLES: set[str] = {
     "e108_quality_filter_chain_audit",
     "e109_dup_clusters_cc_star",
     "s19_streaming_stateful_totals_exact",
+    "e110_decontam_pack_audit",
 }
 
 
