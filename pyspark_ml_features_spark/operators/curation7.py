@@ -289,10 +289,13 @@ def e89_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANGID_TOP_K = 30
 LANGID_SCAN_CHARS = 1000
 
-
-@register(
-    "t18_char_ngram_langid",
-    oracle=f"""
+#: the Cavnar-Trenkle prediction pipeline as a reusable CTE block ending
+#: in a `pred` relation (doc_id, lang, predicted_lang, best_score) — ONE
+#: SQL definition shared by t18's oracle and e111's chain oracle
+#: (surface11), mirroring the dup_cluster_assignment single-definition
+#: rule so the two graded queries cannot drift in the prediction
+#: arithmetic
+LANGID_PRED_CTE = f"""
 WITH h AS (
     SELECT doc_id, lang, substr(text, 1, {LANGID_SCAN_CHARS}) AS head
     FROM documents
@@ -321,12 +324,19 @@ WITH h AS (
     GROUP BY te.doc_id, te.lang, prof.lang
 ), b AS (
     SELECT doc_id, max(score) AS best FROM sc GROUP BY doc_id
+), pred AS (
+    SELECT sc.doc_id, sc.lang, max(sc.lang2) AS predicted_lang,
+           CAST(b.best AS BIGINT) AS best_score
+    FROM sc JOIN b ON sc.doc_id = b.doc_id AND sc.score = b.best
+    GROUP BY sc.doc_id, sc.lang, b.best
 )
-SELECT sc.doc_id, sc.lang, max(sc.lang2) AS predicted_lang,
-       CAST(b.best AS BIGINT) AS best_score
-FROM sc JOIN b ON sc.doc_id = b.doc_id AND sc.score = b.best
-GROUP BY sc.doc_id, sc.lang, b.best
-""",
+"""
+
+
+@register(
+    "t18_char_ngram_langid",
+    oracle=LANGID_PRED_CTE
+    + "SELECT doc_id, lang, predicted_lang, best_score FROM pred",
     tags=("north-star", "text-analysis", "langid"),
 )
 def t18_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +370,14 @@ def t18_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     web documents. The cap makes per-doc cost O(min(chars, W)²) with
     W fixed; identical results (and hashes) on any doc shorter than
     the window, mirrored as substr(text, 1, W) in the oracle."""
+    return langid_predictions(spark, sf_dir)
+
+
+def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18's prediction pipeline as a reusable helper — (doc_id, lang,
+    predicted_lang, best_score) for the held-out slice; the ONE Spark
+    definition shared by t18 and e111's chain (surface11), paired with
+    LANGID_PRED_CTE on the SQL side."""
     d = (table(spark, sf_dir, "documents")
          .select("doc_id", "lang",
                  F.substring("text", 1, LANGID_SCAN_CHARS).alias("head")))

@@ -408,3 +408,104 @@ def e110_decontam_pack_audit(spark: SparkSession,
             .select("doc_id", "lang", "shard", "n_tokens", "contaminated",
                     F.coalesce("bin_id", F.lit(-1)).cast("bigint")
                     .alias("bin_id")))
+
+
+def _e111_oracle() -> str:
+    from pyspark_ml_features_spark.operators.curation7 import (
+        LANGID_PRED_CTE,
+    )
+
+    return LANGID_PRED_CTE + """
+, toks AS (
+    SELECT p.doc_id, p.predicted_lang,
+           CAST(len(list_filter(str_split(d.text, ' '), t -> t <> ''))
+                AS BIGINT) AS nt
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+), per AS (
+    SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY predicted_lang
+), t AS (
+    SELECT predicted_lang, n_docs, n_tokens,
+           sum(n_tokens) OVER () AS total,
+           CASE predicted_lang
+                WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+                WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500
+                WHEN 'zh' THEN 1500 ELSE 0 END AS target_bp
+    FROM per
+)
+SELECT predicted_lang, n_docs, n_tokens,
+       CAST(10000 * n_tokens // total AS BIGINT) AS actual_share_bp,
+       CAST(target_bp AS BIGINT) AS target_bp,
+       CAST(100 * target_bp * total // n_tokens AS BIGINT) AS weight_ppm,
+       CAST((target_bp * total + 10000 * n_tokens - 1)
+            // (10000 * n_tokens) AS BIGINT) AS epochs
+FROM t
+"""
+
+
+@register(
+    "e111_langid_mix_chain",
+    oracle=_e111_oracle(),
+    tags=("north-star", "llm-pipeline", "langid", "mixing",
+          "integration"),
+)
+def e111_langid_mix_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID → MIXTURE-REBALANCE chain (the last composition class
+    the r12 plan named): t18's Cavnar-Trenkle predictions assign each
+    held-out document a PREDICTED language, and e57's mixture arithmetic
+    then runs over those predictions instead of the labeled lang column
+    — the production order of operations (real corpora arrive
+    unlabeled; the mixture you can actually sample is over what the
+    classifier SAYS, so rebalance weights must be computed downstream
+    of language ID). The chain is load-bearing: one flipped prediction
+    moves a document's tokens between languages and changes two output
+    rows' counts, shares, and weights at once. All arithmetic is
+    INTEGER fixed-point (shares in basis points via 10000·n DIV total,
+    weights in ppm via 100·target_bp·total DIV n_tokens, epochs as an
+    integer ceiling) — the d112 rule: BIGINT ratios must never round a
+    float quotient behind an exact oracle. The oracle replays the
+    prediction CTE (LANGID_PRED_CTE, the same block that grades t18)
+    plus the mixture query; langid_predictions is the same Spark helper
+    t18 returns, so neither stage can drift from its graded
+    single-stage twin.
+
+    100 TB: stage 1 is t18's economics (langs×K profile broadcast, one
+    held-out explode); stage 2 adds one doc_id join to fetch token
+    counts and one |predicted-langs|-row aggregate — the global-total
+    window runs over that bounded aggregate, never data.
+
+    Cites: curation7.py:t18_char_ngram_langid (langid_predictions),
+    packing.py:e57_lang_mix_rebalance."""
+    from pyspark_ml_features_spark.operators.curation7 import (
+        langid_predictions,
+    )
+
+    preds = langid_predictions(spark, sf_dir).select(
+        "doc_id", "predicted_lang")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint").alias("nt"))
+    per = (preds.join(d, "doc_id")
+           .groupBy("predicted_lang")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("nt").cast("bigint").alias("n_tokens")))
+    from pyspark.sql import Window
+
+    target = (F.when(F.col("predicted_lang") == "en", F.lit(4000))
+              .when(F.col("predicted_lang").isin("de", "es", "fr", "zh"),
+                    F.lit(1500))
+              .otherwise(F.lit(0)).cast("bigint"))
+    t = (per.withColumn("total",
+                        F.sum("n_tokens").over(Window.partitionBy()))
+         .withColumn("target_bp", target))
+    return t.select(
+        "predicted_lang", "n_docs", "n_tokens",
+        F.expr("CAST(10000L * n_tokens DIV total AS BIGINT)")
+        .alias("actual_share_bp"),
+        "target_bp",
+        F.expr("CAST(100L * target_bp * total DIV n_tokens AS BIGINT)")
+        .alias("weight_ppm"),
+        F.expr("CAST((target_bp * total + 10000L * n_tokens - 1) "
+               "DIV (10000L * n_tokens) AS BIGINT)").alias("epochs"))

@@ -194,6 +194,7 @@ DEFERRED_ORACLES: set[str] = {
     "e109_dup_clusters_cc_star",
     "s19_streaming_stateful_totals_exact",
     "e110_decontam_pack_audit",
+    "e111_langid_mix_chain",
 }
 
 
