@@ -96,6 +96,41 @@ def main() -> None:
         ok = m["lo"] == 1 and m["hi"] == m["rows"]
         print(f"{'x5 P-knob':>10} {p:>4} {m['rows']:>9} "
               f"{m['shuffle_MiB']:>11} {m['wall']:>7} {ok}")
+
+    # EQUIVALENCE PIN (round 11, the e107/e109 "same answer, two
+    # algorithms" style at ladder size): the distributed encoding must
+    # assign EXACTLY the window twin's rank to every row at the x5 tier
+    # (9M rows — far beyond the sf0.01/0.1 sizes the driver oracle
+    # covers). The window twin is the deliberate single-partition
+    # anti-pattern; it exists here only as the ground truth.
+    from pyspark.sql import Window
+
+    from pyspark_ml_features_spark.operators.relational6 import (
+        distributed_row_number,
+    )
+
+    # The fixture's lineitem contains fully DUPLICATED rows (the d104
+    # tie-break note), so the ordering key is not unique and row_number
+    # may assign the tied ranks to indistinguishable rows in either
+    # order — a per-row key-join comparison would flag those as
+    # mismatches (measured: 197,930 cross-paired tied rows at x5).
+    # The correct equivalence for duplicate-carrying data is MULTISET
+    # equality of (keys..., rank): same rows, same ranks, same
+    # multiplicities — exceptAll in both directions must be empty.
+    keys = ["feat", "val", "l_orderkey", "l_linenumber"]
+    eq_tier = long_form(spark, "/root/testdata/sf0.1", 5) \
+        .localCheckpoint(eager=True)
+    dist = distributed_row_number(eq_tier, keys, 32) \
+        .select(*keys, F.col("grk").alias("rk"))
+    twin = eq_tier.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*keys))) \
+        .select(*keys, "rk")
+    extra = dist.exceptAll(twin).count()
+    missing = twin.exceptAll(dist).count()
+    n_rows = eq_tier.count()
+    print(f"{'x5 eq-pin':>10} {32:>4} {n_rows:>9} "
+          f"{'—':>11} {'—':>7} extra={extra} missing={missing}")
+    assert extra == 0 and missing == 0, (extra, missing)
     spark.stop()
 
 
