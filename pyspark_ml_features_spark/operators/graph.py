@@ -213,9 +213,24 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
                    or small.exceptAll(e).limit(1).count() > 0)
         e = small
         if not changed:
+            converged = True
             break
+    else:
+        converged = False
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # This variant exists precisely for adversarial/unknown topology
+        # where the round cap is likelier to bind — labels read off a
+        # NON-fixpoint edge set can split one component into several, so
+        # a capped run must never be mistaken for a correct labeling
+        # (ADVICE r11). O(log n) rounds is the paper's bound; hitting
+        # max_rounds means the budget was set far below it.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} "
+            f"rounds — labels would be unreliable; raise max_rounds "
+            f"(O(log n) suffices per Kiveris et al.)")
     star_lbl = e.groupBy(F.col("hi").alias("node")) \
         .agg(F.min("lo").alias("star_lbl"))
     return (nodes.join(star_lbl, "node", "left")

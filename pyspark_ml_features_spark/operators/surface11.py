@@ -282,7 +282,7 @@ def _e110_oracle() -> str:
         BLOOM_M,
     )
 
-    h = duckdb_rolling_hash("text")
+    h = duckdb_rolling_hash("coalesce(text, '')")
     pos_rows = "\n    UNION ALL\n".join(
         f"    SELECT doc_id, (h * {p} + {q}) % {BLOOM_M} AS pos FROM hashed"
         for p, q in BLOOM_FNS)
@@ -301,7 +301,8 @@ WITH RECURSIVE hashed AS (
     GROUP BY c.doc_id
 ), flags AS (
     SELECT d.doc_id, d.lang, d.doc_id % 4 AS shard,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(coalesce(d.text, ''), ' ')) AS BIGINT)
+               AS n_tokens,
            CAST(h.n_hit = h.n_pos AS BIGINT) AS contaminated
     FROM documents d JOIN hits h ON d.doc_id = h.doc_id
     WHERE d.doc_id % 5 <> 0
@@ -374,7 +375,12 @@ def e110_decontam_pack_audit(spark: SparkSession,
     from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 
     d = table(spark, sf_dir, "documents")
-    hashed = d.select("doc_id", rolling_hash("text").alias("h"))
+    # NULL text coalesces to '' on BOTH sides (the e105/e108 rule): a NULL
+    # doc otherwise yields NULL n_tokens, which would reach greedy_pack's
+    # bigint Arrow schema as NaN — an engine-only failure the SQL oracle
+    # would not reproduce.
+    text = F.coalesce(F.col("text"), F.lit(""))
+    hashed = d.select("doc_id", rolling_hash(text).alias("h"))
     pos = hashed.select(
         "doc_id",
         F.explode(F.array(*[
@@ -392,7 +398,7 @@ def e110_decontam_pack_audit(spark: SparkSession,
     flags = (d.filter(F.col("doc_id") % 5 != 0)
              .select("doc_id", "lang",
                      (F.col("doc_id") % 4).alias("shard"),
-                     F.size(tokens("text")).cast("bigint")
+                     F.size(tokens(text)).cast("bigint")
                      .alias("n_tokens"))
              .join(hits, "doc_id")
              .withColumn("contaminated",

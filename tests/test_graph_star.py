@@ -124,3 +124,23 @@ def test_random_graph_equality(spark, seed):
     edges = [(a, b) for a in nodes for b in nodes
              if a < b and rng.random() < 0.03]
     _assert_equal_components(spark, nodes, edges)
+
+
+def test_star_raises_when_round_cap_binds(spark):
+    """ADVICE r11: a capped run must never be mistaken for a correct
+    labeling. A 20-node path cannot reach its fixpoint in one round, so
+    max_rounds=1 must raise (and record converged=False in stats) rather
+    than silently return labels from a non-converged edge set; with the
+    default budget the same graph converges and reports converged=True."""
+    nodes = _df_nodes(spark, list(range(1, 21)))
+    edges = _df_edges(spark, [(i, i + 1) for i in range(1, 20)])
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_star(nodes, edges, max_rounds=1,
+                                  stats=stats).collect()
+    assert stats == {"rounds": 1, "converged": False}
+
+    ok: dict = {}
+    lbl = _labels(connected_components_star(nodes, edges, stats=ok))
+    assert ok["converged"] is True and ok["rounds"] >= 2
+    assert set(lbl.values()) == {1}

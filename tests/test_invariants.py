@@ -907,3 +907,53 @@ def test_e108_disposition_partitions_corpus_and_null_lang_is_length_reject(
     # docs 1 and 2 share content; the lower doc_id survives (equal length)
     assert out[1] == ("kept", 1)
     assert out[2] == ("dup_reject", 1)
+
+
+def test_e110_null_text_doc_survives_both_engines(spark, tmp_path):
+    """ADVICE r11 regression pin: a NULL-text corpus doc must flow through
+    e110's decontaminate→pack chain IDENTICALLY in Spark and DuckDB. Before
+    the coalesce fix, NULL text yielded NULL n_tokens on the Spark side,
+    which reached greedy_pack's bigint Arrow schema as NaN (engine-only
+    failure) while the oracle still returned rows. Both engines now
+    coalesce text to '' (the e105/e108 rule), so the NULL doc hashes as the
+    empty string, counts 1 token, and packs like any other clean doc."""
+    import duckdb
+
+    from tests.conftest import assert_frames_match
+
+    rows = [
+        (0, "benchmark text shared with doc one", "en"),
+        (1, "benchmark text shared with doc one", "en"),   # contaminated
+        (2, "clean corpus document two", "en"),
+        (3, None, "en"),                                   # the NULL doc
+        (4, "clean corpus document four", "de"),
+        (5, "another benchmark row", "de"),
+        (6, "clean corpus document six", "de"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/documents.parquet")
+
+    q = ALL["e110_decontam_pack_audit"]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, "e110_null_text")
+
+    by_id = {int(r["doc_id"]): r for _, r in spark_pdf.iterrows()}
+    assert set(by_id) == {1, 2, 3, 4, 6}          # corpus docs only
+    null_doc = by_id[3]
+    assert int(null_doc["n_tokens"]) == 1          # split('', ' ') == ['']
+    assert int(null_doc["contaminated"]) == 0
+    assert int(null_doc["bin_id"]) >= 1            # actually packed
+    assert int(by_id[1]["contaminated"]) == 1      # benchmark dup flagged
+    assert int(by_id[1]["bin_id"]) == -1
