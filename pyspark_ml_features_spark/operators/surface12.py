@@ -1,0 +1,277 @@
+"""Round-12 surface: the two genuinely-new chain-audit family pairs the
+r11 plan named (VERDICT r11 item 4): the ANN→dedup chain (e112 — LSH
+bucketing feeding a duplicate-cluster disposition, the similarity
+family's first chain audit) and the multimodal→packing chain (e113 —
+decoded image token counts feeding the greedy capacity fold, the first
+chain crossing the Arrow boundary twice). Both follow the
+composition-oracle doctrine: chain already-graded operators and grade a
+property the chain must preserve — a corpus partition whose every row
+depends on every upstream stage.
+
+Registered LAST (queries.py imports this module after surface11) per the
+CLAUDE.md rotation contract: post-r11 the backlog is empty, so these
+register at the r12 window's backlog head and grade same-round.
+
+Reference: the reference repo (six MLlib utilities,
+spark_ml_features.py:1-315) has none of this surface; SURVEY §2-E
+north-star scope (similarity search, dedup, multimodal, packing
+composed).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_ml_features_spark.registry import register
+from pyspark_ml_features_spark.sources import table
+
+# Semantic near-dup threshold on the 6-dp-rounded cosine — e4c/e58's
+# 0.3, which the measured within-bucket distribution of the synthetic
+# embeddings confirms is the only sane choice: at sf0.01 the 7,821
+# same-bucket candidates (16x below the 124,750 all-pairs) carry 138
+# edges at 0.3, 9 at 0.4, and ZERO at >= 0.5 — the corpus has no
+# higher-cosine mass, so a "stricter" threshold would grade an empty
+# graph.
+SEMANTIC_DUP_COSINE = 0.3
+
+
+def _e112_oracle() -> str:
+    from pyspark_ml_features_spark.functions.arrays import (
+        duckdb_dot,
+        duckdb_norm,
+    )
+    from pyspark_ml_features_spark.operators.similarity import (
+        DIM,
+        _duckdb_bucket,
+    )
+
+    return f"""
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm,
+           ({_duckdb_bucket('(embedding::DOUBLE[])')}) AS bucket
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6)
+          >= {SEMANTIC_DUP_COSINE}
+), edges AS (
+    SELECT v1 AS src, v2 AS dst FROM pairs
+    UNION ALL
+    SELECT v2 AS src, v1 AS dst FROM pairs
+), reach(node, lbl) AS (
+    SELECT vec_id, vec_id FROM e
+    UNION
+    SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node
+), cc AS (
+    SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY cluster_id
+)
+SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+       cc.cluster_id, sz.cluster_size,
+       CASE WHEN e.vec_id = cc.cluster_id THEN 'kept'
+            ELSE 'dup_reject' END AS stage
+FROM e JOIN cc ON e.vec_id = cc.vec_id
+       JOIN sz ON cc.cluster_id = sz.cluster_id
+"""
+
+
+@register(
+    "e112_semantic_dedup_chain",
+    oracle=_e112_oracle(),
+    tags=("north-star", "similarity", "dedup", "graph", "iterative",
+          "integration"),
+)
+def e112_semantic_dedup_chain(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ANN → DEDUP chain with a full-corpus disposition audit (the
+    SemDeDup production shape, Abbas et al. 2023) — the SCALE PATH that
+    e58_semantic_dup_clusters' docstring has promised since r5, now
+    implemented and graded: where e58 builds its pair graph with the
+    documented all-pairs exact baseline over a 20% sample, e112 buckets
+    the WHOLE embedding corpus with e4b's deterministic
+    random-hyperplane LSH, computes exact cosine only INSIDE each
+    bucket (e4c's arithmetic), feeds the pair graph to e45's min-label
+    connected components, and emits a disposition for every vector —
+    'kept' for each cluster's min vec_id, 'dup_reject' otherwise.
+    The chain is load-bearing end to end: one flipped bucket bit moves
+    a vector's candidate set, one last-ulp cosine flip adds/removes an
+    edge, and one wrong CC label renames a whole cluster — the hash
+    pins bucketing, pair arithmetic, the iterative fixpoint, AND the
+    partition property (every vec_id exactly once) at once. The DuckDB
+    oracle replays the identical plane literals, fold arithmetic, and a
+    recursive-CTE transitive closure (the e45/e109 grading pattern).
+
+    100 TB: the bucket join replaces the all-pairs O(n²) with
+    O(n²/2^p) per bucket (2^20 buckets on a real deployment — e4b's
+    economics; the corpus shuffles ONCE on the bucket key); CC rounds
+    are bounded by near-dup-cluster diameter (tiny stars/cliques — the
+    e45 adjudication), each round an equi-join on node id; the
+    disposition is one broadcast-size join of labels back to vectors.
+    No text/embedding payload ever enters the iteration: edges are
+    16-byte id pairs.
+
+    Cites: similarity.py:e4b_lsh_bucket_knn (bucketing),
+    similarity.py:e4c_embedding_near_dup (pair arithmetic),
+    graph.py:connected_components (fixpoint), surface11.py:e109 (the
+    disposition-audit doctrine)."""
+    from pyspark_ml_features_spark.functions.arrays import (
+        adot,
+        l2_norm,
+        to_double_array,
+    )
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark_ml_features_spark.operators.similarity import _lsh_planes
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    bucket = None
+    for p, plane in enumerate(_lsh_planes()):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
+               .otherwise(F.lit(0)))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket.cast("bigint"))
+
+    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                 F.col("nrm").alias("n1"), "bucket")
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                 F.col("nrm").alias("n2"), "bucket")
+    cos = F.round(adot(F.col("e1"), F.col("e2"))
+                  / (F.col("n1") * F.col("n2")), 6)
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("v1") < F.col("v2"))
+             .filter(cos >= SEMANTIC_DUP_COSINE)
+             .select("v1", "v2"))
+    edges = (pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+             .unionByName(pairs.select(F.col("v2").alias("src"),
+                                       F.col("v1").alias("dst"))))
+    nodes = e.select(F.col("vec_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
+    return (e.select("vec_id", "bucket")
+            .join(cc.withColumnRenamed("node", "vec_id"), "vec_id")
+            .join(sizes, "cluster_id")
+            .select("vec_id", "bucket", "cluster_id", "cluster_size",
+                    F.when(F.col("vec_id") == F.col("cluster_id"), "kept")
+                    .otherwise("dup_reject").alias("stage")))
+
+
+# e113 token arithmetic: patch tokens = pixel count, plus a pixel-SUM
+# remainder so the full defilter (not just the header) is load-bearing —
+# one wrong pixel anywhere shifts n_tokens, which renumbers every later
+# bin in the document's (lang, shard) group.
+IMG_TOKEN_MOD = 17
+IMG_PACK_CAP = 120
+
+
+def _e113_oracle() -> str:
+    return f"""
+WITH RECURSIVE dims AS (
+    SELECT doc_id, lang, doc_id % 4 AS shard,
+           5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h, (xx * 7 + yy * 13 + doc_id) % 256 AS v
+    FROM dims,
+         UNNEST(range(0, 8)) AS tx(xx),
+         UNNEST(range(0, 6)) AS ty(yy)
+    WHERE xx < w AND yy < h
+), toks AS (
+    SELECT d.doc_id, d.lang, d.shard,
+           CAST(d.w * d.h + s.ps % {IMG_TOKEN_MOD} AS BIGINT) AS n_tokens
+    FROM dims d JOIN (SELECT doc_id, sum(v) AS ps FROM px
+                      GROUP BY doc_id) s
+         ON d.doc_id = s.doc_id
+), docs AS (
+    SELECT lang, shard, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY lang, shard
+                              ORDER BY doc_id) AS rn
+    FROM toks
+), pack AS (
+    SELECT lang, shard, doc_id, n_tokens, rn,
+           CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.fill + d.n_tokens > {IMG_PACK_CAP}
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + d.n_tokens > {IMG_PACK_CAP}
+                THEN d.n_tokens ELSE p.fill + d.n_tokens END
+    FROM pack p JOIN docs d ON d.lang = p.lang AND d.shard = p.shard
+                           AND d.rn = p.rn + 1
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, bin_id
+FROM pack
+"""
+
+
+@register(
+    "e113_image_pack_chain",
+    oracle=_e113_oracle(),
+    tags=("north-star", "multimodal", "packing", "udf", "png",
+          "integration"),
+)
+def e113_image_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL → PACKING chain — the first graded query crossing the
+    Arrow boundary TWICE: every document gets e98's byte-exact greyscale
+    PNG (pixel (x,y) = (x·7 + y·13 + doc_id) mod 256, all five scanline
+    filters cycling), the REAL pure-stdlib decoder recovers the pixels
+    (crossing #1, mapInPandas), the vision-token count is derived from
+    the DECODED CONTENT (n_tokens = w·h patch tokens + pixel-sum mod
+    {IMG_TOKEN_MOD}, so a slip in any filter's defilter math moves
+    n_tokens), and the counts flow into e51's first-fit capacity fold
+    (crossing #2, applyInPandas) — the multimodal-training-data build:
+    decode, budget, pack. The fold makes the chain maximally
+    load-bearing: ONE wrong pixel in ONE image renumbers every later
+    bin in its (lang, shard) group. The DuckDB oracle recomputes the
+    token arithmetic from the pattern definition and replays the
+    recursive first-fit fold (e51/e110's grading pattern) — the codec
+    itself never crosses the comparison, its OUTPUT does.
+
+    100 TB: crossing #1 is embarrassingly parallel (binary payloads
+    stream batch-by-batch through Arrow, output is 4 scalar columns —
+    e98's shape, no shuffle); crossing #2 shuffles only (lang, shard,
+    doc_id, n_tokens) with per-task state bounded by the shard knob
+    (e51's measured ladder). Image bytes never shuffle anywhere.
+
+    Cites: surface9.py:e98_png_decode (decode boundary + pattern
+    oracle), packing.py:greedy_pack (the fold),
+    surface11.py:e110 (chain-audit doctrine)."""
+    from pyspark_ml_features_spark.operators.multimodal import (
+        decode_png,
+        synth_png,
+    )
+    from pyspark_ml_features_spark.operators.packing import greedy_pack
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _decode_tokens(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, lang in zip(pdf["doc_id"], pdf["lang"]):
+                i = int(i)
+                payload = synth_png(i, 5 + i % 4, 4 + i % 3)
+                px = decode_png(payload).astype("int64")
+                h, w = px.shape
+                out.append((lang, i % 4, i,
+                            w * h + int(px.sum()) % IMG_TOKEN_MOD))
+            yield pd.DataFrame(
+                out, columns=["lang", "shard", "doc_id", "n_tokens"])
+
+    toks = d.mapInPandas(
+        _decode_tokens,
+        schema="lang string, shard bigint, doc_id bigint, n_tokens bigint")
+    return greedy_pack(toks, IMG_PACK_CAP)

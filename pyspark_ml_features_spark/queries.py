@@ -81,6 +81,12 @@ from pyspark_ml_features_spark.operators import surface10  # noqa: F401, E402
 # for them too with the backlog empty.)
 from pyspark_ml_features_spark.operators import surface11  # noqa: F401, E402
 
+# Round-12 batch, imported after surface11: post-r11 the backlog is again
+# EMPTY (365/365 graded), so these register as the r12 window's backlog
+# head and grade same-round — simulated against the landed r11 grades
+# before registration.
+from pyspark_ml_features_spark.operators import surface12  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

@@ -957,3 +957,26 @@ def test_e110_null_text_doc_survives_both_engines(spark, tmp_path):
     assert int(null_doc["bin_id"]) >= 1            # actually packed
     assert int(by_id[1]["contaminated"]) == 1      # benchmark dup flagged
     assert int(by_id[1]["bin_id"]) == -1
+
+
+def test_kmeans_cluster_size_multiset_pinned(run):
+    """VERDICT r11 task 5 (the e107-style exactness promotion for the
+    B-family): at fixed seed and fixed input, MLlib KMeans(k=10) must
+    reproduce the exact cluster-SIZE multiset — seeded centroids are not
+    SQL-derivable (so b8 stays rows-only at the driver), but the size
+    multiset is a deterministic fingerprint of the seed, the KMeans||
+    initialization, and the convergence path: a silent MLlib default
+    change, a seed regression, or an input-partitioning change that
+    perturbs initialization all flip it. Pinned from two identical
+    back-to-back runs at sf0.01 (cluster LABELS are arbitrary; sizes
+    sorted ascending are not)."""
+    import os
+
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
+        import pytest as _pytest
+
+        _pytest.skip("multiset pinned at sf0.01 only")
+    sizes = sorted(
+        r["n"] for r in run("b8_kmeans_clusters")
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sizes == [1, 1, 9, 41, 43, 47, 52, 60, 113, 133]

@@ -361,6 +361,10 @@ ARROW_ALLOWED = {
                                  # decontaminated survivors — only
                                  # (lang, shard, doc_id, n_tokens)
                                  # crosses the boundary
+    "e113_image_pack_chain",  # e98's decode boundary feeding e51's
+                              # packing fold — the double Arrow crossing
+                              # is the query's subject; only 4 scalar
+                              # columns cross each boundary
     "s3_streaming_stateful_totals",  # applyInPandasWithState — THE Spark
                                      # API for custom stateful streaming
                                      # operators is Arrow-batched Python
@@ -421,6 +425,10 @@ FIXPOINT_QUERIES = {
     # r11 late batch: e110's twice-consumed decontamination flags
     # (e110.flags — pack input + final audit join)
     "e110_decontam_pack_audit": set(),
+    # r12: e112's CC fixpoint over the LSH-bucketed pair graph — the
+    # bucket equi-join (the place an all-pairs join could hide) sits in
+    # the connected_components.edges capture
+    "e112_semantic_dedup_chain": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level

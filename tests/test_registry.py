@@ -195,6 +195,10 @@ DEFERRED_ORACLES: set[str] = {
     "s19_streaming_stateful_totals_exact",
     "e110_decontam_pack_audit",
     "e111_langid_mix_chain",
+    # r12 tail batch (surface12, imported last): backlog empty post-r11,
+    # grades same-round — locally hash-verified at sf0.01 AND sf0.1
+    "e112_semantic_dedup_chain",
+    "e113_image_pack_chain",
 }
 
 
