@@ -122,18 +122,24 @@ def e112_semantic_dedup_chain(spark: SparkSession,
     similarity.py:e4c_embedding_near_dup (pair arithmetic),
     graph.py:connected_components (fixpoint), surface11.py:e109 (the
     disposition-audit doctrine)."""
-    from pyspark_ml_features_spark.functions.arrays import (
-        adot,
-        l2_norm,
-        to_double_array,
-    )
+    from pyspark_ml_features_spark.functions.arrays import to_double_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    return semantic_dedup_disposition(e)
+
+
+def semantic_dedup_disposition(e: DataFrame) -> DataFrame:
+    """The e112 pipeline over any (vec_id, emb: array<double>) DataFrame —
+    ONE definition shared by the graded query and the replication ladder
+    (scripts/stress_semantic_dedup.py), so the ladder exercises exactly
+    the graded plan (the dup_cluster_assignment pattern, graph.py)."""
+    from pyspark_ml_features_spark.functions.arrays import adot, l2_norm
     from pyspark_ml_features_spark.operators.graph import (
         connected_components,
     )
     from pyspark_ml_features_spark.operators.similarity import _lsh_planes
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
     e = e.withColumn("nrm", l2_norm(F.col("emb")))
     bucket = None
     for p, plane in enumerate(_lsh_planes()):
