@@ -39,7 +39,13 @@ from pyspark_ml_features_spark.sources import table
 SEMANTIC_DUP_COSINE = 0.3
 
 
-def _e112_oracle() -> str:
+def _semantic_cc_ctes() -> str:
+    """The shared oracle body for the semantic-dedup family: bucket →
+    within-bucket rounded-cosine pairs → symmetric edges → recursive
+    transitive closure → cluster sizes. e112 (batch) and e114
+    (incremental engine side, batch oracle side) both grade against
+    THIS closure — one definition, so the two queries' oracles cannot
+    drift."""
     from pyspark_ml_features_spark.functions.arrays import (
         duckdb_dot,
         duckdb_norm,
@@ -74,6 +80,11 @@ WITH RECURSIVE e AS (
     SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
     FROM cc GROUP BY cluster_id
 )
+"""
+
+
+def _e112_oracle() -> str:
+    return _semantic_cc_ctes() + """
 SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
        cc.cluster_id, sz.cluster_size,
        CASE WHEN e.vec_id = cc.cluster_id THEN 'kept'
@@ -281,3 +292,126 @@ def e113_image_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_tokens,
         schema="lang string, shard bigint, doc_id bigint, n_tokens bigint")
     return greedy_pack(toks, IMG_PACK_CAP)
+
+
+def _e114_oracle() -> str:
+    return _semantic_cc_ctes() + """
+SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+       cc.cluster_id, sz.cluster_size,
+       CASE WHEN e.vec_id = cc.cluster_id THEN 'kept'
+            ELSE 'dup_reject' END AS stage,
+       CAST(e.vec_id % 4 = 0 AS BIGINT) AS is_new
+FROM e JOIN cc ON e.vec_id = cc.vec_id
+       JOIN sz ON cc.cluster_id = sz.cluster_id
+"""
+
+
+@register(
+    "e114_incremental_semantic_dedup",
+    oracle=_e114_oracle(),
+    tags=("north-star", "similarity", "dedup", "graph", "iterative",
+          "incremental", "integration"),
+)
+def e114_incremental_semantic_dedup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup == from-scratch batch — the one dedup
+    family that had no incremental==batch pin (e107 grades exact dedup,
+    e47 lexical near-dup; this closes the similarity family, per the
+    §8m-next plan pulled forward). The nightly-ingest shape: the base
+    corpus (vec_id % 4 != 0) is already clustered; a delta batch
+    (vec_id % 4 == 0) arrives, and the engine must produce the
+    full-corpus disposition WITHOUT regenerating base-base pairs:
+
+    - base clusters enter the fixpoint as STAR EDGES (node ↔ its stored
+      label — sound because the label, the cluster-min, IS a member, so
+      the star has exactly the base cluster's connectivity in 2·|base|
+      16-byte edges);
+    - only delta×union candidate pairs are computed (the LSH bucket
+      join restricted to pairs touching a new vector);
+    - the min-label fixpoint warm-starts from the stored base labels
+      (subset-component minima — the connected_components init_labels
+      contract, e47's soundness argument).
+
+    A base cluster that the delta BRIDGES to another must renumber all
+    its members via star→delta→star propagation, so the hash pins the
+    bridge semantics, not just new-vector attachment. The DuckDB oracle
+    is deliberately NOT incremental: it replays e112's from-scratch
+    closure over the union (the shared _semantic_cc_ctes definition),
+    so a green hash is a driver-verified proof that incremental ==
+    batch for the bucketed semantic pair graph.
+
+    100 TB: the base corpus contributes stored labels (16 bytes/vector,
+    a table scan) and star edges — its embeddings are NEVER re-read;
+    the delta bucket join costs |delta|·(bucket occupancy), not
+    corpus²; fixpoint rounds are bounded by the delta's attachment
+    depth (warm labels are already collapsed).
+
+    Cites: surface12.py:e112_semantic_dedup_chain (the batch twin),
+    graph.py:e47_incremental_cc (warm-start soundness),
+    surface10.py:e107 (the incremental==batch doctrine)."""
+    from pyspark_ml_features_spark.functions.arrays import (
+        adot,
+        l2_norm,
+        to_double_array,
+    )
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark_ml_features_spark.operators.similarity import _lsh_planes
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    bucket = None
+    for p, plane in enumerate(_lsh_planes()):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
+               .otherwise(F.lit(0)))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket.cast("bigint"))
+
+    is_delta = F.col("vec_id") % 4 == 0
+    # stage 1 (the "stored" state): base-only disposition — clusters over
+    # base-base pairs, exactly e112's pipeline on the base slice
+    base_labels = (semantic_dedup_disposition(
+        e.filter(~is_delta).select("vec_id", "emb"))
+        .select(F.col("vec_id").alias("node"),
+                F.col("cluster_id").alias("lbl")))
+
+    # stage 2: delta×union pairs only (every candidate touches a new
+    # vector); base-base candidates are never regenerated
+    a = (e.filter(is_delta)
+         .select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                 F.col("nrm").alias("n1"), "bucket"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                 F.col("nrm").alias("n2"), "bucket")
+    cos = F.round(adot(F.col("e1"), F.col("e2"))
+                  / (F.col("n1") * F.col("n2")), 6)
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("v1") != F.col("v2"))
+             .filter(cos >= SEMANTIC_DUP_COSINE)
+             .select("v1", "v2"))
+    delta_edges = (pairs.select(F.col("v1").alias("src"),
+                                F.col("v2").alias("dst"))
+                   .unionByName(pairs.select(F.col("v2").alias("src"),
+                                             F.col("v1").alias("dst")))
+                   .distinct())
+    star_edges = (base_labels.select(F.col("node").alias("src"),
+                                     F.col("lbl").alias("dst"))
+                  .unionByName(
+                      base_labels.select(F.col("lbl").alias("src"),
+                                         F.col("node").alias("dst"))))
+    nodes = e.select(F.col("vec_id").alias("node"))
+    cc = connected_components(
+        nodes, delta_edges.unionByName(star_edges),
+        init_labels=base_labels)
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
+    return (e.select("vec_id", "bucket")
+            .join(cc.withColumnRenamed("node", "vec_id"), "vec_id")
+            .join(sizes, "cluster_id")
+            .select("vec_id", "bucket", "cluster_id", "cluster_size",
+                    F.when(F.col("vec_id") == F.col("cluster_id"), "kept")
+                    .otherwise("dup_reject").alias("stage"),
+                    (F.col("vec_id") % 4 == 0).cast("bigint")
+                    .alias("is_new")))

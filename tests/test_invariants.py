@@ -980,3 +980,80 @@ def test_kmeans_cluster_size_multiset_pinned(run):
         r["n"] for r in run("b8_kmeans_clusters")
         .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect())
     assert sizes == [1, 1, 9, 41, 43, 47, 52, 60, 113, 133]
+
+
+def test_e114_delta_bridge_merges_base_clusters_both_engines(spark,
+                                                             tmp_path):
+    """e114's load-bearing mechanism, pinned on a CONSTRUCTED fixture so
+    fixture drift can never make the driver hash vacuous: a DELTA vector
+    that bridges two pre-existing base clusters must renumber the entire
+    absorbed cluster via star-edge propagation (base-base pairs are
+    never regenerated — members of the absorbed cluster are reachable
+    only through node↔stored-label star edges). Construction: two
+    orthogonal-ish directions u1/u2 sampled into the SAME LSH bucket
+    with |cos| < 0.1 (< the 0.3 threshold, so the base run keeps them
+    separate), duplicated as base clusters {1,2} and {3,5}; delta vector
+    4 = normalize(u1+u2) lands in the same bucket BY CONSTRUCTION
+    (plane dots add) with cos ~ 0.707 to both sides; delta vector 8 sits
+    in a different bucket (stays a singleton). Runs the real DuckDB
+    oracle against the Spark side (frames must hash-match) and then pins
+    the merged structure explicitly."""
+    import duckdb
+    import numpy as np
+
+    from pyspark_ml_features_spark.operators.similarity import _lsh_planes
+    from tests.conftest import assert_frames_match
+
+    planes = np.array(_lsh_planes())
+
+    def bucket(v):
+        return int(sum((1 << p) for p in range(len(planes))
+                       if planes[p] @ v >= 0))
+
+    rng = np.random.default_rng(7)
+    cand = [v / np.linalg.norm(v) for v in rng.standard_normal((400, 64))]
+    u1 = u2 = None
+    for i in range(len(cand)):
+        for j in range(i + 1, len(cand)):
+            if (bucket(cand[i]) == bucket(cand[j])
+                    and abs(cand[i] @ cand[j]) < 0.1):
+                u1, u2 = cand[i], cand[j]
+                break
+        if u1 is not None:
+            break
+    assert u1 is not None, "construction failed: no same-bucket low-cos pair"
+    bridge = (u1 + u2) / np.linalg.norm(u1 + u2)
+    assert bucket(bridge) == bucket(u1)  # plane dots add
+    w = next(v for v in cand if bucket(v) != bucket(u1))
+
+    rows = [(1, u1), (2, u1), (3, u2), (5, u2), (4, bridge), (8, w)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/embeddings.parquet")
+
+    q = ALL["e114_incremental_semantic_dedup"]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, "e114_bridge")
+
+    by_id = {int(r["vec_id"]): r for _, r in spark_pdf.iterrows()}
+    assert set(by_id) == {1, 2, 3, 4, 5, 8}
+    # the bridge merged both base clusters: everyone labels to min id 1,
+    # including 3 and 5, which are reachable ONLY via star edges
+    for v in (1, 2, 3, 4, 5):
+        assert int(by_id[v]["cluster_id"]) == 1
+        assert int(by_id[v]["cluster_size"]) == 5
+    assert by_id[1]["stage"] == "kept"
+    assert all(by_id[v]["stage"] == "dup_reject" for v in (2, 3, 4, 5))
+    assert int(by_id[4]["is_new"]) == 1 and int(by_id[8]["is_new"]) == 1
+    assert (by_id[8]["stage"], int(by_id[8]["cluster_size"])) == ("kept", 1)

@@ -429,6 +429,10 @@ FIXPOINT_QUERIES = {
     # bucket equi-join (the place an all-pairs join could hide) sits in
     # the connected_components.edges capture
     "e112_semantic_dedup_chain": set(),
+    # r12 late batch: e114 runs TWO fixpoints (the base-slice stage-1
+    # clustering and the warm-started delta stage) — both edge builds
+    # (bucket joins) and every round reach the capture audit
+    "e114_incremental_semantic_dedup": set(),
 }
 # Max ResolvedHint nodes per CAPTURED plan (the analyzed-plan hint ratchet
 # extended into fixpoint internals): e58's single source-level

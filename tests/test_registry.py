@@ -199,6 +199,7 @@ DEFERRED_ORACLES: set[str] = {
     # grades same-round — locally hash-verified at sf0.01 AND sf0.1
     "e112_semantic_dedup_chain",
     "e113_image_pack_chain",
+    "e114_incremental_semantic_dedup",
 }
 
 
