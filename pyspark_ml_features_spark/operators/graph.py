@@ -124,11 +124,24 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = probe_checkpoint(jumped, "connected_components.round")
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    else:
+        converged = False
     if stats is not None:
         # rounds includes the final no-change confirmation round
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # Same contract as connected_components_star (ADVICE r11, extended
+        # by the r12 review to the shared mechanism): labels read before
+        # the label-sum probe confirms a fixpoint can split one component
+        # into several, so a capped run must raise, never silently return.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            f"— labels would be unreliable; raise max_rounds (pointer "
+            f"jumping needs ~log2(diameter) + 1 rounds)")
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

@@ -140,15 +140,13 @@ def e112_semantic_dedup_chain(spark: SparkSession,
     return semantic_dedup_disposition(e)
 
 
-def semantic_dedup_disposition(e: DataFrame) -> DataFrame:
-    """The e112 pipeline over any (vec_id, emb: array<double>) DataFrame —
-    ONE definition shared by the graded query and the replication ladder
-    (scripts/stress_semantic_dedup.py), so the ladder exercises exactly
-    the graded plan (the dup_cluster_assignment pattern, graph.py)."""
+def _bucketize(e: DataFrame) -> DataFrame:
+    """Add (nrm, bucket) to a (vec_id, emb) frame — THE engine-side
+    definition of the hyperplane bucketing and norm, shared by e112,
+    e114, and the replication ladder so the graded batch and incremental
+    twins cannot drift (the oracle side is likewise shared via
+    _semantic_cc_ctes)."""
     from pyspark_ml_features_spark.functions.arrays import adot, l2_norm
-    from pyspark_ml_features_spark.operators.graph import (
-        connected_components,
-    )
     from pyspark_ml_features_spark.operators.similarity import _lsh_planes
 
     e = e.withColumn("nrm", l2_norm(F.col("emb")))
@@ -158,31 +156,63 @@ def semantic_dedup_disposition(e: DataFrame) -> DataFrame:
         bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
                .otherwise(F.lit(0)))
         bucket = bit if bucket is None else bucket + bit
-    e = e.withColumn("bucket", bucket.cast("bigint"))
+    return e.withColumn("bucket", bucket.cast("bigint"))
 
-    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
-                 F.col("nrm").alias("n1"), "bucket")
-    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
-                 F.col("nrm").alias("n2"), "bucket")
-    cos = F.round(adot(F.col("e1"), F.col("e2"))
-                  / (F.col("n1") * F.col("n2")), 6)
+
+def _pair_sides(eb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two join sides of the within-bucket pair build, over a
+    _bucketize()d frame."""
+    a = eb.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                  F.col("nrm").alias("n1"), "bucket")
+    b = eb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                  F.col("nrm").alias("n2"), "bucket")
+    return a, b
+
+
+def _pair_cos():
+    """The rounded-cosine pair predicate column — one definition of the
+    fold arithmetic and the 6-dp rounding for every semantic-dedup
+    query."""
+    from pyspark_ml_features_spark.functions.arrays import adot
+
+    return F.round(adot(F.col("e1"), F.col("e2"))
+                   / (F.col("n1") * F.col("n2")), 6)
+
+
+def _cluster_bucketized(eb: DataFrame) -> DataFrame:
+    """Disposition over an already-_bucketize()d frame: within-bucket
+    rounded-cosine pairs -> min-label CC -> (vec_id, bucket, cluster_id,
+    cluster_size, stage)."""
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+
+    a, b = _pair_sides(eb)
     pairs = (a.join(b, "bucket")
              .filter(F.col("v1") < F.col("v2"))
-             .filter(cos >= SEMANTIC_DUP_COSINE)
+             .filter(_pair_cos() >= SEMANTIC_DUP_COSINE)
              .select("v1", "v2"))
     edges = (pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
              .unionByName(pairs.select(F.col("v2").alias("src"),
                                        F.col("v1").alias("dst"))))
-    nodes = e.select(F.col("vec_id").alias("node"))
+    nodes = eb.select(F.col("vec_id").alias("node"))
     cc = connected_components(nodes, edges)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
-    return (e.select("vec_id", "bucket")
+    return (eb.select("vec_id", "bucket")
             .join(cc.withColumnRenamed("node", "vec_id"), "vec_id")
             .join(sizes, "cluster_id")
             .select("vec_id", "bucket", "cluster_id", "cluster_size",
                     F.when(F.col("vec_id") == F.col("cluster_id"), "kept")
                     .otherwise("dup_reject").alias("stage")))
+
+
+def semantic_dedup_disposition(e: DataFrame) -> DataFrame:
+    """The e112 pipeline over any (vec_id, emb: array<double>) DataFrame —
+    ONE definition shared by the graded query and the replication ladder
+    (scripts/stress_semantic_dedup.py), so the ladder exercises exactly
+    the graded plan (the dup_cluster_assignment pattern, graph.py)."""
+    return _cluster_bucketized(_bucketize(e))
 
 
 # e113 token arithmetic: patch tokens = pixel count, plus a pixel-SUM
@@ -320,7 +350,7 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
     §8m-next plan pulled forward). The nightly-ingest shape: the base
     corpus (vec_id % 4 != 0) is already clustered; a delta batch
     (vec_id % 4 == 0) arrives, and the engine must produce the
-    full-corpus disposition WITHOUT regenerating base-base pairs:
+    full-corpus disposition incrementally:
 
     - base clusters enter the fixpoint as STAR EDGES (node ↔ its stored
       label — sound because the label, the cluster-min, IS a member, so
@@ -340,56 +370,49 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
     so a green hash is a driver-verified proof that incremental ==
     batch for the bucketed semantic pair graph.
 
-    100 TB: the base corpus contributes stored labels (16 bytes/vector,
-    a table scan) and star edges — its embeddings are NEVER re-read;
-    the delta bucket join costs |delta|·(bucket occupancy), not
-    corpus²; fixpoint rounds are bounded by the delta's attachment
-    depth (warm labels are already collapsed).
+    Cost honesty: the GRADED query synthesizes the "stored" base labels
+    inline (stage 1 runs e112's pipeline on the base slice — the test
+    fixture has no label store), so as written it does the batch work
+    PLUS the delta work; the incremental ECONOMICS belong to the
+    deployment shape, where stage 1 is one scan of a stored
+    (vec_id, label) table. What the hash pins is the incremental
+    ALGORITHM's equivalence: given correct base labels, star edges +
+    delta×union pairs + a warm-started fixpoint reproduce the
+    from-scratch closure exactly.
+
+    100 TB (deployment shape): the base corpus contributes stored
+    labels (16 bytes/vector, one table scan) and star edges — its
+    embeddings are not re-read; the delta bucket join costs
+    |delta|·(bucket occupancy), not corpus²; fixpoint rounds are
+    bounded by the delta's attachment depth (warm labels are already
+    collapsed).
 
     Cites: surface12.py:e112_semantic_dedup_chain (the batch twin),
     graph.py:e47_incremental_cc (warm-start soundness),
     surface10.py:e107 (the incremental==batch doctrine)."""
-    from pyspark_ml_features_spark.functions.arrays import (
-        adot,
-        l2_norm,
-        to_double_array,
-    )
+    from pyspark_ml_features_spark.functions.arrays import to_double_array
     from pyspark_ml_features_spark.operators.graph import (
         connected_components,
     )
-    from pyspark_ml_features_spark.operators.similarity import _lsh_planes
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    bucket = None
-    for p, plane in enumerate(_lsh_planes()):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
-               .otherwise(F.lit(0)))
-        bucket = bit if bucket is None else bucket + bit
-    e = e.withColumn("bucket", bucket.cast("bigint"))
+    eb = _bucketize(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")))
 
     is_delta = F.col("vec_id") % 4 == 0
-    # stage 1 (the "stored" state): base-only disposition — clusters over
-    # base-base pairs, exactly e112's pipeline on the base slice
-    base_labels = (semantic_dedup_disposition(
-        e.filter(~is_delta).select("vec_id", "emb"))
-        .select(F.col("vec_id").alias("node"),
-                F.col("cluster_id").alias("lbl")))
+    # stage 1 (the "stored" state): base-only disposition — exactly
+    # e112's pipeline (_cluster_bucketized) on the base slice; in
+    # deployment this is a scan of the stored label table instead
+    base_labels = (_cluster_bucketized(eb.filter(~is_delta))
+                   .select(F.col("vec_id").alias("node"),
+                           F.col("cluster_id").alias("lbl")))
 
     # stage 2: delta×union pairs only (every candidate touches a new
-    # vector); base-base candidates are never regenerated
-    a = (e.filter(is_delta)
-         .select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
-                 F.col("nrm").alias("n1"), "bucket"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
-                 F.col("nrm").alias("n2"), "bucket")
-    cos = F.round(adot(F.col("e1"), F.col("e2"))
-                  / (F.col("n1") * F.col("n2")), 6)
-    pairs = (a.join(b, "bucket")
+    # vector); base-base candidates never enter this join
+    a, b = _pair_sides(eb)
+    pairs = (a.filter(F.col("v1") % 4 == 0)
+             .join(b, "bucket")
              .filter(F.col("v1") != F.col("v2"))
-             .filter(cos >= SEMANTIC_DUP_COSINE)
+             .filter(_pair_cos() >= SEMANTIC_DUP_COSINE)
              .select("v1", "v2"))
     delta_edges = (pairs.select(F.col("v1").alias("src"),
                                 F.col("v2").alias("dst"))
@@ -401,13 +424,13 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
                   .unionByName(
                       base_labels.select(F.col("lbl").alias("src"),
                                          F.col("node").alias("dst"))))
-    nodes = e.select(F.col("vec_id").alias("node"))
+    nodes = eb.select(F.col("vec_id").alias("node"))
     cc = connected_components(
         nodes, delta_edges.unionByName(star_edges),
         init_labels=base_labels)
     sizes = (cc.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
-    return (e.select("vec_id", "bucket")
+    return (eb.select("vec_id", "bucket")
             .join(cc.withColumnRenamed("node", "vec_id"), "vec_id")
             .join(sizes, "cluster_id")
             .select("vec_id", "bucket", "cluster_id", "cluster_size",

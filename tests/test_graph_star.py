@@ -144,3 +144,23 @@ def test_star_raises_when_round_cap_binds(spark):
     lbl = _labels(connected_components_star(nodes, edges, stats=ok))
     assert ok["converged"] is True and ok["rounds"] >= 2
     assert set(lbl.values()) == {1}
+
+
+def test_minlabel_raises_when_round_cap_binds(spark):
+    """r12 review: the convergence guard belongs to the shared mechanism,
+    not one variant — the min-label fixpoint must also raise (and record
+    converged=False) when max_rounds exhausts before the label-sum probe
+    confirms a fixpoint, since e112/e114 and every dedup cluster query
+    route through THIS variant."""
+    nodes = _df_nodes(spark, list(range(1, 21)))
+    edges = _df_edges(spark, [(i, i + 1) for i in range(1, 20)])
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_rounds=1,
+                             stats=stats).collect()
+    assert stats == {"rounds": 1, "converged": False}
+
+    ok: dict = {}
+    lbl = _labels(connected_components(nodes, edges, stats=ok))
+    assert ok["converged"] is True and ok["rounds"] >= 2
+    assert set(lbl.values()) == {1}

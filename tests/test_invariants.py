@@ -969,7 +969,12 @@ def test_kmeans_cluster_size_multiset_pinned(run):
     change, a seed regression, or an input-partitioning change that
     perturbs initialization all flip it. Pinned from two identical
     back-to-back runs at sf0.01 (cluster LABELS are arbitrary; sizes
-    sorted ascending are not)."""
+    sorted ascending are not). Cross-machine stability note (r12
+    review): the sf0.01 embeddings parquet is one ~small file, so the
+    scan — and therefore the KMeans|| input partitioning — is ONE
+    partition regardless of host core count; if this pin ever fires on
+    a new host with unchanged code, check the scan partition count
+    before blaming MLlib."""
     import os
 
     if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
