@@ -576,15 +576,15 @@ def e58_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") % 5 == 0)
          .select("vec_id", to_double_array("embedding").alias("emb")))
+    from pyspark_ml_features_spark.operators.similarity import _pair_cos
+
     e = e.withColumn("nrm", l2_norm(F.col("emb")))
     a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
                  F.col("nrm").alias("n1"))
     b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
                  F.col("nrm").alias("n2"))
-    cos = F.round(adot(F.col("e1"), F.col("e2"))
-                  / (F.col("n1") * F.col("n2")), 6)
     prs = (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-           .select("v1", "v2", cos.alias("cosine"))
+           .select("v1", "v2", _pair_cos().alias("cosine"))
            .filter(F.col("cosine") >= 0.3))
     edges = (prs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
              .unionByName(

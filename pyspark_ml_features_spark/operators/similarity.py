@@ -46,6 +46,35 @@ def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = LSH_SEED):
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _bucketize(e: DataFrame) -> DataFrame:
+    """Add (nrm, bucket) to a (vec_id, emb) frame — THE engine-side
+    definition of the hyperplane bucketing and norm, shared by e4b, e112,
+    e114, and the replication ladder so the graded batch and incremental
+    twins cannot drift (the oracle side is likewise shared via the
+    _duckdb_bucket literal builder / surface12._semantic_cc_ctes).
+    Moved here from surface12.py (ADVICE r12): one definition next to
+    _lsh_planes instead of per-query copies of the bucket loop."""
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    bucket = None
+    for p, plane in enumerate(_lsh_planes()):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
+               .otherwise(F.lit(0)))
+        bucket = bit if bucket is None else bucket + bit
+    return e.withColumn("bucket", bucket.cast("bigint"))
+
+
+def _pair_cos(e1: str = "e1", e2: str = "e2",
+              n1: str = "n1", n2: str = "n2"):
+    """The rounded-cosine pair predicate column — ONE definition of the
+    left-fold dot arithmetic and the 6-dp rounding for every
+    similarity/semantic-dedup query (e4b/e4c/e58/e112/e114). Column names
+    are parameters so the query-vs-corpus shape (qemb/qnrm) shares the
+    same expression as the symmetric pair shape (e1/e2)."""
+    return F.round(adot(F.col(e1), F.col(e2))
+                   / (F.col(n1) * F.col(n2)), 6)
+
+
 @register(
     "e5_embedding_normalize",
     oracle=f"""
@@ -167,24 +196,15 @@ def e4b_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine within bucket. Deterministic (planes are literals) → exact
     oracle. At scale the bucket join replaces the O(|Q|·n) cross join with
     O(|Q|·n/2^p) and shuffles on the bucket key."""
-    planes = _lsh_planes()
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    bucket = None
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    e = e.withColumn("bucket", bucket)
+    e = _bucketize(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")))
     q = (e.filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
                  F.col("nrm").alias("qnrm"), "bucket"))
     pairs = (e.join(F.broadcast(q), "bucket")
              .filter(F.col("query_id") != F.col("vec_id"))
              .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                     F.round(adot(F.col("qemb"), F.col("emb"))
-                             / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine")))
+                     _pair_cos("qemb", "emb", "qnrm", "nrm").alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))
@@ -218,9 +238,8 @@ def e4c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("nrm").alias("n1"))
     b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
                  F.col("nrm").alias("n2"))
-    cos = F.round(adot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6)
     return (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-            .select("v1", "v2", cos.alias("cosine"))
+            .select("v1", "v2", _pair_cos().alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
 
 

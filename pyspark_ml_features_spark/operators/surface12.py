@@ -140,23 +140,16 @@ def e112_semantic_dedup_chain(spark: SparkSession,
     return semantic_dedup_disposition(e)
 
 
-def _bucketize(e: DataFrame) -> DataFrame:
-    """Add (nrm, bucket) to a (vec_id, emb) frame — THE engine-side
-    definition of the hyperplane bucketing and norm, shared by e112,
-    e114, and the replication ladder so the graded batch and incremental
-    twins cannot drift (the oracle side is likewise shared via
-    _semantic_cc_ctes)."""
-    from pyspark_ml_features_spark.functions.arrays import adot, l2_norm
-    from pyspark_ml_features_spark.operators.similarity import _lsh_planes
-
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    bucket = None
-    for p, plane in enumerate(_lsh_planes()):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
-               .otherwise(F.lit(0)))
-        bucket = bit if bucket is None else bucket + bit
-    return e.withColumn("bucket", bucket.cast("bigint"))
+# THE engine-side hyperplane bucketing and rounded-cosine predicate now
+# live in similarity.py next to _lsh_planes (ADVICE r12: e4b/e58 carried
+# verbatim copies; one shared definition means the graded batch (e112),
+# incremental (e114), KNN (e4b), and CC (e58) queries cannot drift).
+# Re-exported here because the replication ladder and the r12 docs cite
+# surface12._bucketize/_pair_cos.
+from pyspark_ml_features_spark.operators.similarity import (  # noqa: E402
+    _bucketize,
+    _pair_cos,
+)
 
 
 def _pair_sides(eb: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -167,16 +160,6 @@ def _pair_sides(eb: DataFrame) -> tuple[DataFrame, DataFrame]:
     b = eb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
                   F.col("nrm").alias("n2"), "bucket")
     return a, b
-
-
-def _pair_cos():
-    """The rounded-cosine pair predicate column — one definition of the
-    fold arithmetic and the 6-dp rounding for every semantic-dedup
-    query."""
-    from pyspark_ml_features_spark.functions.arrays import adot
-
-    return F.round(adot(F.col("e1"), F.col("e2"))
-                   / (F.col("n1") * F.col("n2")), 6)
 
 
 def _cluster_bucketized(eb: DataFrame) -> DataFrame:
@@ -271,8 +254,9 @@ FROM pack
           "integration"),
 )
 def e113_image_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTIMODAL → PACKING chain — the first graded query crossing the
-    Arrow boundary TWICE: every document gets e98's byte-exact greyscale
+    """MULTIMODAL → PACKING chain — the first query to cross the Arrow
+    boundary TWICE (driver-graded green in CORRECTNESS_r12): every
+    document gets e98's byte-exact greyscale
     PNG (pixel (x,y) = (x·7 + y·13 + doc_id) mod 256, all five scanline
     filters cycling), the REAL pure-stdlib decoder recovers the pixels
     (crossing #1, mapInPandas), the vision-token count is derived from
@@ -407,18 +391,22 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
                            F.col("cluster_id").alias("lbl")))
 
     # stage 2: delta×union pairs only (every candidate touches a new
-    # vector); base-base candidates never enter this join
+    # vector); base-base candidates never enter this join. The v1 side is
+    # always delta, so delta-base candidates appear exactly once; the
+    # ordering guard keeps delta-delta candidates once too (ADVICE r12:
+    # without it each delta-delta pair evaluated the 64-element fold
+    # twice and needed a .distinct() shuffle afterwards).
     a, b = _pair_sides(eb)
     pairs = (a.filter(F.col("v1") % 4 == 0)
              .join(b, "bucket")
-             .filter(F.col("v1") != F.col("v2"))
+             .filter((F.col("v1") < F.col("v2"))
+                     | (F.col("v2") % 4 != 0))
              .filter(_pair_cos() >= SEMANTIC_DUP_COSINE)
              .select("v1", "v2"))
     delta_edges = (pairs.select(F.col("v1").alias("src"),
                                 F.col("v2").alias("dst"))
                    .unionByName(pairs.select(F.col("v2").alias("src"),
-                                             F.col("v1").alias("dst")))
-                   .distinct())
+                                             F.col("v1").alias("dst"))))
     star_edges = (base_labels.select(F.col("node").alias("src"),
                                      F.col("lbl").alias("dst"))
                   .unionByName(

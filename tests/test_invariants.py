@@ -974,13 +974,24 @@ def test_kmeans_cluster_size_multiset_pinned(run):
     scan — and therefore the KMeans|| input partitioning — is ONE
     partition regardless of host core count; if this pin ever fires on
     a new host with unchanged code, check the scan partition count
-    before blaming MLlib."""
+    before blaming MLlib. Version-sensitivity note (ADVICE r12): the
+    multiset also depends on the MLlib KMeans|| implementation itself,
+    so it is pinned AT pyspark 4.1 — the version assert below makes a
+    flip after a dependency upgrade immediately attributable to the
+    upgrade rather than triaged as a code regression (re-pin the
+    multiset when bumping Spark)."""
     import os
+
+    import pyspark
 
     if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
         import pytest as _pytest
 
         _pytest.skip("multiset pinned at sf0.01 only")
+    assert pyspark.__version__.startswith("4.1."), (
+        f"KMeans size multiset pinned at pyspark 4.1.x; running "
+        f"{pyspark.__version__} — re-pin the expected multiset for the "
+        f"new MLlib before trusting this test")
     sizes = sorted(
         r["n"] for r in run("b8_kmeans_clusters")
         .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect())
