@@ -389,13 +389,30 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
     base_labels = (_cluster_bucketized(eb.filter(~is_delta))
                    .select(F.col("vec_id").alias("node"),
                            F.col("cluster_id").alias("lbl")))
+    return incremental_semantic_disposition(eb, base_labels)
 
-    # stage 2: delta×union pairs only (every candidate touches a new
-    # vector); base-base candidates never enter this join. The v1 side is
-    # always delta, so delta-base candidates appear exactly once; the
-    # ordering guard keeps delta-delta candidates once too (ADVICE r12:
-    # without it each delta-delta pair evaluated the 64-element fold
-    # twice and needed a .distinct() shuffle afterwards).
+
+def incremental_semantic_disposition(eb: DataFrame,
+                                     base_labels: DataFrame) -> DataFrame:
+    """Stage 2 of e114 — ONE definition shared by the graded query and
+    the delta-ingest ladder tier (scripts/stress_semantic_dedup.py), so
+    the ladder's incremental economics are measured on exactly the
+    graded plan. Inputs: a _bucketize()d union frame (vec_id, emb, nrm,
+    bucket) where delta = vec_id % 4 == 0 (the fixture's ingest split —
+    stable under the ladder's replica shift, which is a multiple of 4),
+    and the stored base labels (node, lbl). Only delta×union candidate
+    pairs are computed; base connectivity enters as star edges; the
+    min-label fixpoint warm-starts from the stored labels."""
+    from pyspark_ml_features_spark.operators.graph import (
+        connected_components,
+    )
+
+    # delta×union pairs only (every candidate touches a new vector);
+    # base-base candidates never enter this join. The v1 side is always
+    # delta, so delta-base candidates appear exactly once; the ordering
+    # guard keeps delta-delta candidates once too (ADVICE r12: without
+    # it each delta-delta pair evaluated the 64-element fold twice and
+    # needed a .distinct() shuffle afterwards).
     a, b = _pair_sides(eb)
     pairs = (a.filter(F.col("v1") % 4 == 0)
              .join(b, "bucket")

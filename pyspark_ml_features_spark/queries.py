@@ -87,6 +87,11 @@ from pyspark_ml_features_spark.operators import surface11  # noqa: F401, E402
 # before registration.
 from pyspark_ml_features_spark.operators import surface12  # noqa: F401, E402
 
+# Round-13 tail: post-r12 the backlog is EMPTY again (368/368 graded), so
+# e115 registers as the r13 window's backlog head and grades same-round —
+# window simulated against the landed r12 grades before registration.
+from pyspark_ml_features_spark.operators import surface13  # noqa: F401, E402
+
 # Round-4 grading window (the driver grades the first 50 registered
 # queries). Composition (VERDICT r3 task 1): the 25 locally hash-verified
 # oracle queries that landed after the round-3 window filled (the

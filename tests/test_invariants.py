@@ -998,6 +998,50 @@ def test_kmeans_cluster_size_multiset_pinned(run):
     assert sizes == [1, 1, 9, 41, 43, 47, 52, 60, 113, 133]
 
 
+def test_b5_logreg_fingerprint_pinned(run):
+    """VERDICT r12 task 6 (the KMeans-multiset pattern extended to the
+    b5 family, rows-only at the driver for twelve rounds): at fixed
+    input and fixed hyperparameters, MLlib LogisticRegression's L-BFGS
+    fit is deterministic — no RNG anywhere (zero initialization,
+    deterministic line search) — so the per-class prediction counts,
+    the label-agreement count, and the coefficient/intercept SIGN
+    pattern are a fingerprint of the optimizer, the default regParam/
+    elasticNet/tol, and the standardization path. A silent MLlib
+    default change, a standardization regression, or a convergence
+    change flips them. Pinned from two identical back-to-back runs at
+    sf0.01 (pyspark 4.1 — same version-sensitivity rule as the KMeans
+    pin above: re-pin on a Spark bump)."""
+    import os
+
+    import numpy as np
+    import pyspark
+    from pyspark.ml.classification import LogisticRegression
+
+    from pyspark_ml_features_spark.operators.ml import _featured_lineitem
+    from tests.conftest import SF_DIR
+
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
+        import pytest as _pytest
+
+        _pytest.skip("fingerprint pinned at sf0.01 only")
+    assert pyspark.__version__.startswith("4.1.")
+    df = run("b5_probability_prediction")
+    counts = {r["prediction"]: r["n"] for r in
+              df.groupBy("prediction")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0.0: 21123, 1.0: 21500, 2.0: 17377}
+    agree = df.filter(F.col("label") == F.col("prediction")).count()
+    assert agree == 20283
+    model = LogisticRegression(labelCol="label",
+                               probabilityCol="probability",
+                               maxIter=20).fit(
+        _featured_lineitem(df.sparkSession, SF_DIR))
+    assert np.sign(model.coefficientMatrix.toArray()).astype(int).tolist() \
+        == [[-1, 1, 1, 1], [-1, -1, -1, -1], [1, -1, -1, 1]]
+    assert np.sign(model.interceptVector.toArray()).astype(int).tolist() \
+        == [-1, 1, -1]
+
+
 def test_e114_delta_bridge_merges_base_clusters_both_engines(spark,
                                                              tmp_path):
     """e114's load-bearing mechanism, pinned on a CONSTRUCTED fixture so
@@ -1073,3 +1117,59 @@ def test_e114_delta_bridge_merges_base_clusters_both_engines(spark,
     assert all(by_id[v]["stage"] == "dup_reject" for v in (2, 3, 4, 5))
     assert int(by_id[4]["is_new"]) == 1 and int(by_id[8]["is_new"]) == 1
     assert (by_id[8]["stage"], int(by_id[8]["cluster_size"])) == ("kept", 1)
+
+
+def test_e115_multiprobe_sets_nested_and_recall_monotone(spark):
+    """e115's load-bearing claims at the PAIR-SET level (the graded
+    output carries only cumulative counts): (1) the candidate-pair SET
+    at probe depth q is a strict superset chain — pairs(q) ⊇ pairs(q-1)
+    by first-discovery-depth construction, verified on the actual
+    frames, not the counts; (2) each pair is discovered at exactly ONE
+    depth (the XOR of two buckets is unique, so the per-depth joins are
+    disjoint — no dedup shuffle needed, which the graded plan relies
+    on); (3) depth 0 reproduces exactly e4b/e112's single-probe
+    candidate set (same _bucketize); (4) recall is monotone and the
+    full Hamming-1 probe sweep finds strictly more true pairs than
+    single-probe at sf0.01 (the buy-back the query exists to pin)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_ml_features_spark.functions.arrays import to_double_array
+    from pyspark_ml_features_spark.operators.similarity import _bucketize
+    from pyspark_ml_features_spark.operators.surface13 import (
+        N_PROBE_DEPTHS,
+        multiprobe_candidates,
+    )
+    from tests.conftest import SF_DIR
+
+    eb = _bucketize(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", to_double_array("embedding").alias("emb")))
+    cand = (multiprobe_candidates(eb)
+            .select("v1", "v2", "first_depth").collect())
+    seen: dict[tuple[int, int], int] = {}
+    for r in cand:
+        key = (r["v1"], r["v2"])
+        assert key not in seen, f"pair {key} discovered at two depths"
+        seen[key] = r["first_depth"]
+    sets = [{k for k, d in seen.items() if d <= q}
+            for q in range(N_PROBE_DEPTHS)]
+    for q in range(1, N_PROBE_DEPTHS):
+        assert sets[q] >= sets[q - 1]
+        assert len(sets[q]) > len(sets[q - 1]), (
+            f"probe {q} must add candidates at sf0.01")
+    # depth 0 == the single-probe (e4b/e112) same-bucket candidate set
+    single = {(r["v1"], r["v2"]) for r in
+              (eb.alias("a").join(eb.alias("b"), "bucket")
+               .select(F.col("a.vec_id").alias("v1"),
+                       F.col("b.vec_id").alias("v2"))
+               .filter(F.col("v1") < F.col("v2"))).collect()}
+    assert sets[0] == single
+    # graded output: recall monotone, multi-probe strictly beats
+    # single-probe on found dup pairs at sf0.01
+    out = {r["probe_depth"]: r for r in
+           ALL["e115_multiprobe_lsh_recall"].fn(spark, SF_DIR).collect()}
+    dups = [out[q]["n_dup_pairs"] for q in range(N_PROBE_DEPTHS)]
+    assert all(b >= a for a, b in zip(dups, dups[1:]))
+    assert dups[-1] > dups[0], "Hamming-1 sweep must buy back recall"
+    assert out[0]["n_true_pairs"] >= dups[-1]

@@ -317,6 +317,10 @@ BNLJ_ALLOWED = {
                                     # banding, see docstring)
     "e91_temperature_mixture",  # single-row (total, sum_r) cross join
     "d11b_bottomk_with_ties",  # single-row k-th-value threshold cross join
+    "e115_multiprobe_lsh_recall",  # sampled all-pairs recall denominator
+                                   # (e4c shape) + single-row truth cross
+                                   # join; the candidate joins themselves
+                                   # are bucket-key equi-joins
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

@@ -200,6 +200,9 @@ DEFERRED_ORACLES: set[str] = {
     "e112_semantic_dedup_chain",
     "e113_image_pack_chain",
     "e114_incremental_semantic_dedup",
+    # r13 tail (surface13, imported last): backlog empty post-r12,
+    # grades same-round — locally hash-verified at sf0.01 AND sf0.1
+    "e115_multiprobe_lsh_recall",
 }
 
 
