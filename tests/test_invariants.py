@@ -1173,3 +1173,33 @@ def test_e115_multiprobe_sets_nested_and_recall_monotone(spark):
     assert all(b >= a for a, b in zip(dups, dups[1:]))
     assert dups[-1] > dups[0], "Hamming-1 sweep must buy back recall"
     assert out[0]["n_true_pairs"] >= dups[-1]
+
+
+def test_b3_b10_tuning_metric_fingerprint_pinned(run):
+    """Completes the B-family fingerprint set (VERDICT r12 task 6: b3/b5/
+    b10 were rows-only for twelve rounds; b5 and b8 now carry pins — this
+    adds the two tuning queries). Both are RNG-free at fixed input: b3's
+    2-fold CV uses MLlib's seeded fold assignment and b10's split is the
+    deterministic modulo column, and L-BFGS is deterministic, so the
+    accuracy values are a fingerprint of fold hashing + optimizer +
+    evaluator defaults. Pinned from two identical back-to-back runs at
+    sf0.01 to 9 dp (cross-row float sums may differ in the last ulp
+    across hosts/partitionings — same caveat as the KMeans pin above;
+    pyspark 4.1-guarded likewise)."""
+    import os
+
+    import pyspark
+
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
+        import pytest as _pytest
+
+        _pytest.skip("fingerprint pinned at sf0.01 only")
+    assert pyspark.__version__.startswith("4.1.")
+    b3 = sorted((r["param_value"], round(r["avg_accuracy"], 9))
+                for r in run("b3_validation_curves").collect())
+    assert b3 == [(0.001, 0.327967785), (0.1, 0.329633777)]
+    b10 = sorted((r["reg_param"], round(r["accuracy"], 9),
+                  r["n_train"], r["n_test"])
+                 for r in run("b10_predefined_split_tuning").collect())
+    assert b10 == [(0.01, 0.328882682, 42100, 17900),
+                   (0.1, 0.328882682, 42100, 17900)]
