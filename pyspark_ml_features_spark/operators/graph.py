@@ -33,7 +33,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_ml_features_spark.functions.arrays import (
-    adot,
     duckdb_dot,
     duckdb_norm,
     l2_norm,

@@ -375,9 +375,6 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
     graph.py:e47_incremental_cc (warm-start soundness),
     surface10.py:e107 (the incremental==batch doctrine)."""
     from pyspark_ml_features_spark.functions.arrays import to_double_array
-    from pyspark_ml_features_spark.operators.graph import (
-        connected_components,
-    )
 
     eb = _bucketize(table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")))

@@ -86,7 +86,7 @@ WITH e AS (
                 WHEN xor(a.bucket, b.bucket) = 8 THEN 4
                 ELSE NULL END AS first_depth,
            (round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6)
-            >= 0.3) AS is_dup
+            >= {SEMANTIC_DUP_COSINE}) AS is_dup
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 ), d AS (
     SELECT unnest(range(0, {N_PROBE_DEPTHS})) AS probe_depth

@@ -126,11 +126,14 @@ def run_incremental_tier(spark: SparkSession, k: int):
     union_eb = state.unionByName(delta)
     out = incremental_semantic_disposition(union_eb, labels).cache()
     out.count()
+    # timer stops HERE to match run_tier (cache + count only; r13 review:
+    # the multiset collect below was inside the window, inflating the
+    # incremental side of the pinned wall ratio by one cached collect)
+    wall = round(time.time() - t0, 2)
     sizes = Counter(
         r["cluster_size"]
         for r in out.filter(F.col("stage") == "kept")
         .select("cluster_size").collect())
-    wall = round(time.time() - t0, 2)
     out.unpersist()
 
     hist = (union_eb.groupBy("bucket")

@@ -1121,16 +1121,23 @@ def test_e114_delta_bridge_merges_base_clusters_both_engines(spark,
 
 def test_e115_multiprobe_sets_nested_and_recall_monotone(spark):
     """e115's load-bearing claims at the PAIR-SET level (the graded
-    output carries only cumulative counts): (1) the candidate-pair SET
-    at probe depth q is a strict superset chain — pairs(q) ⊇ pairs(q-1)
-    by first-discovery-depth construction, verified on the actual
-    frames, not the counts; (2) each pair is discovered at exactly ONE
-    depth (the XOR of two buckets is unique, so the per-depth joins are
-    disjoint — no dedup shuffle needed, which the graded plan relies
-    on); (3) depth 0 reproduces exactly e4b/e112's single-probe
-    candidate set (same _bucketize); (4) recall is monotone and the
-    full Hamming-1 probe sweep finds strictly more true pairs than
-    single-probe at sf0.01 (the buy-back the query exists to pin)."""
+    output carries only cumulative counts): (1) each pair is discovered
+    at exactly ONE depth (the XOR of two buckets is unique, so the
+    per-depth joins are disjoint — no dedup shuffle needed, which the
+    graded plan relies on; uniqueness plus cumulative construction is
+    what makes pairs(q) ⊇ pairs(q-1) hold, so the containment itself is
+    not separately asserted — r13 review: asserting it on sets built by
+    `d <= q` comprehension is tautological); (2) every probe depth adds
+    candidates at sf0.01 (strict growth — the assert that actually
+    fails if a per-depth join returns wrong pairs); (3) depth 0
+    reproduces exactly e4b/e112's single-probe candidate set (same
+    _bucketize); (4) recall is monotone and the full Hamming-1 probe
+    sweep finds strictly more true pairs than single-probe at sf0.01
+    (the buy-back the query exists to pin). Strict-growth/buy-back
+    values are fixture geometry, so sf0.01-guarded like the
+    fingerprint pins above."""
+    import os
+
     import pyspark.sql.functions as F
 
     from pyspark_ml_features_spark.functions.arrays import to_double_array
@@ -1141,6 +1148,8 @@ def test_e115_multiprobe_sets_nested_and_recall_monotone(spark):
     )
     from tests.conftest import SF_DIR
 
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
+        pytest.skip("probe-depth growth pinned at sf0.01 geometry only")
     eb = _bucketize(
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .filter(F.col("vec_id") % 5 == 0)
@@ -1155,7 +1164,6 @@ def test_e115_multiprobe_sets_nested_and_recall_monotone(spark):
     sets = [{k for k, d in seen.items() if d <= q}
             for q in range(N_PROBE_DEPTHS)]
     for q in range(1, N_PROBE_DEPTHS):
-        assert sets[q] >= sets[q - 1]
         assert len(sets[q]) > len(sets[q - 1]), (
             f"probe {q} must add candidates at sf0.01")
     # depth 0 == the single-probe (e4b/e112) same-bucket candidate set
