@@ -46,22 +46,29 @@ def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = LSH_SEED):
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _bucketize(e: DataFrame) -> DataFrame:
+def _bucketize(e: DataFrame, planes=None,
+               bucket_col: str = "bucket") -> DataFrame:
     """Add (nrm, bucket) to a (vec_id, emb) frame — THE engine-side
     definition of the hyperplane bucketing and norm, shared by e4b, e112,
-    e114, and the replication ladder so the graded batch and incremental
-    twins cannot drift (the oracle side is likewise shared via the
-    _duckdb_bucket literal builder / surface12._semantic_cc_ctes).
+    e114, e115, e116, and the replication ladder so the graded batch and
+    incremental twins cannot drift (the oracle side is likewise shared via
+    the _duckdb_bucket literal builder / surface12._semantic_cc_ctes).
     Moved here from surface12.py (ADVICE r12): one definition next to
-    _lsh_planes instead of per-query copies of the bucket loop."""
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    _lsh_planes instead of per-query copies of the bucket loop.
+
+    `planes`/`bucket_col` default to the single-band form every pre-r13
+    caller uses (identical expressions — the graded plans are unchanged);
+    e116's OR-banding passes per-band plane sets so multiple bucket
+    columns come from this one loop."""
+    if "nrm" not in e.columns:
+        e = e.withColumn("nrm", l2_norm(F.col("emb")))
     bucket = None
-    for p, plane in enumerate(_lsh_planes()):
+    for p, plane in enumerate(_lsh_planes() if planes is None else planes):
         plane_col = F.array(*[F.lit(v) for v in plane])
         bit = (F.when(adot(plane_col, F.col("emb")) >= 0, F.lit(1 << p))
                .otherwise(F.lit(0)))
         bucket = bit if bucket is None else bucket + bit
-    return e.withColumn("bucket", bucket.cast("bigint"))
+    return e.withColumn(bucket_col, bucket.cast("bigint"))
 
 
 def _pair_cos(e1: str = "e1", e2: str = "e2",
@@ -154,8 +161,12 @@ def e4_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id", "cosine"))
 
 
-def _duckdb_bucket(emb: str) -> str:
-    planes = _lsh_planes()
+def _duckdb_bucket(emb: str, planes=None) -> str:
+    """Oracle-side twin of _bucketize: the same plane literals, the same
+    sign-bit sum. `planes` defaults to the single-band set (pre-r13
+    callers unchanged); e116 passes per-band sets."""
+    if planes is None:
+        planes = _lsh_planes()
     bits = []
     for p, plane in enumerate(planes):
         arr = "[" + ", ".join(repr(v) for v in plane) + "]"

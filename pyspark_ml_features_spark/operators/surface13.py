@@ -31,8 +31,10 @@ from pyspark_ml_features_spark.functions.arrays import (
 )
 from pyspark_ml_features_spark.operators.similarity import (
     DIM,
+    LSH_SEED,
     _bucketize,
     _duckdb_bucket,
+    _lsh_planes,
     _pair_cos,
 )
 from pyspark_ml_features_spark.operators.surface12 import SEMANTIC_DUP_COSINE
@@ -157,6 +159,147 @@ def e115_multiprobe_lsh_recall(spark: SparkSession,
                    F.sum("p").over(w).cast("bigint").alias("n_dup_pairs")))
     # all-pairs ground truth on the bounded sample — the recall
     # denominator (e4c's shape; the only non-bucketed join here)
+    a = eb.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                  F.col("nrm").alias("n1"))
+    b = eb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                  F.col("nrm").alias("n2"))
+    truth = (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+             .filter(_pair_cos() >= SEMANTIC_DUP_COSINE)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")))
+    return cum.crossJoin(F.broadcast(truth))
+
+
+# ---------------------------------------------------------------------------
+# e116: OR-banding — the OTHER recall mitigation DESIGN_SCALE names.
+# Multi-probe (e115) buys recall by probing NEIGHBOR buckets of one plane
+# set; OR-banding buys it with multiple INDEPENDENT plane sets (bands) and
+# unions the single-probe collisions. Band 0 reuses THE e112/e4b planes
+# (seed = LSH_SEED), so e116's band-0 row must equal e115's depth-0 row —
+# pinned in tests/test_invariants.py as a cross-query exactness check.
+# ---------------------------------------------------------------------------
+
+N_BANDS = 4  # independent 4-plane sets; seeds LSH_SEED + band
+
+
+def _band_planes(band: int):
+    """Plane set for one band — band 0 is THE single-band set every graded
+    LSH query uses (same seed), bands 1+ are fresh independent draws."""
+    return _lsh_planes(seed=LSH_SEED + band)
+
+
+def or_band_candidates(eb: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Candidate pairs under OR-banding, tagged with the FIRST band whose
+    buckets collide. One bucket-key equi-join per band; a pair that
+    collides in band b is emitted by band b's join ONLY if every earlier
+    band's buckets differ — bands are therefore disjoint by construction
+    and the union needs no dedup shuffle (e115's first-depth trick, with
+    'earlier band mismatch' standing in for XOR uniqueness). Shared by the
+    graded query and the invariant tests."""
+    a_cols = [F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+              F.col("nrm").alias("n1")] + [
+        F.col(f"bucket_{b}").alias(f"ab{b}") for b in range(n_bands)]
+    b_cols = [F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+              F.col("nrm").alias("n2")] + [
+        F.col(f"bucket_{b}").alias(f"bb{b}") for b in range(n_bands)]
+    a, b = eb.select(*a_cols), eb.select(*b_cols)
+    sets = []
+    for band in range(n_bands):
+        j = (a.join(b, F.col(f"ab{band}") == F.col(f"bb{band}"))
+             .filter(F.col("v1") < F.col("v2")))
+        for prev in range(band):
+            j = j.filter(F.col(f"ab{prev}") != F.col(f"bb{prev}"))
+        sets.append(j.select(
+            "v1", "v2", "e1", "e2", "n1", "n2",
+            F.lit(band).cast("bigint").alias("first_band")))
+    cand = sets[0]
+    for s in sets[1:]:
+        cand = cand.unionByName(s)
+    return cand
+
+
+def _e116_oracle() -> str:
+    bucket_cols = ",\n           ".join(
+        f"({_duckdb_bucket('(embedding::DOUBLE[])', _band_planes(b))})"
+        f" AS bucket_{b}" for b in range(N_BANDS))
+    first_band = " ".join(
+        f"WHEN a.bucket_{b} = b.bucket_{b} THEN {b}"
+        for b in range(N_BANDS))
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {duckdb_norm('(embedding::DOUBLE[])', DIM)} AS nrm,
+           {bucket_cols}
+    FROM embeddings WHERE vec_id % 5 = 0
+), pr AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CASE {first_band} ELSE NULL END AS first_band,
+           (round({duckdb_dot('a.emb', 'b.emb', DIM)} / (a.nrm * b.nrm), 6)
+            >= {SEMANTIC_DUP_COSINE}) AS is_dup
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+), d AS (
+    SELECT unnest(range(0, {N_BANDS})) AS band
+)
+SELECT d.band AS band,
+       CAST(sum(CASE WHEN pr.first_band IS NOT NULL
+                      AND pr.first_band <= d.band
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN pr.first_band IS NOT NULL
+                      AND pr.first_band <= d.band
+                      AND pr.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_pairs,
+       CAST(sum(CASE WHEN pr.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pairs
+FROM d CROSS JOIN pr
+GROUP BY d.band
+"""
+
+
+@register("e116_or_banding_recall", oracle=_e116_oracle(),
+          tags=("north-star", "similarity", "dedup", "lsh"))
+def e116_or_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-banding recall buy-back, pinned exactly: one row per band count
+    b ∈ [0, 4) with the CUMULATIVE candidate-pair count using bands 0..b,
+    the cumulative semantic-dup pairs found (rounded cosine ≥ e112's
+    threshold), and the all-pairs truth on the same deterministic 20%
+    sample (vec_id % 5 = 0 — e115's sample, so the two mitigation's
+    recall-vs-candidates columns are directly comparable row-for-row and
+    the band-0 row IS e115's depth-0 row).
+
+    100 TB: each extra band is one more shuffle-on-bucket equi-join over
+    independent planes — candidates grow ~B·n²/2^p minus overlaps while
+    recall compounds as 1-(1-hit)^B; versus multi-probe, OR-banding pays
+    B bucketize passes but probes no neighbor buckets (better when bucket
+    occupancy is skewed). The only non-bucketed join is the bounded-sample
+    truth denominator (BNLJ_ALLOWED, e4c/e115 precedent).
+
+    Cites: similarity.py:_bucketize/_duckdb_bucket (now band-parameterized,
+    still the single shared definition), surface13.py:e115 (the sibling
+    mitigation this is graded against), DESIGN_SCALE.md Round-12/13
+    sections (the trade stress_ann measured, now an exactness pin)."""
+    eb = (table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") % 5 == 0)
+          .select("vec_id", to_double_array("embedding").alias("emb")))
+    for band in range(N_BANDS):
+        eb = _bucketize(eb, planes=_band_planes(band),
+                        bucket_col=f"bucket_{band}")
+    cand = or_band_candidates(eb)
+    per_band = (cand.select(
+        "first_band",
+        (_pair_cos() >= SEMANTIC_DUP_COSINE).cast("bigint").alias("is_dup"))
+        .groupBy("first_band")
+        .agg(F.count(F.lit(1)).alias("n_cand_b"),
+             F.sum("is_dup").alias("n_dup_b")))
+    spine = (spark.range(N_BANDS)
+             .select(F.col("id").cast("bigint").alias("band")))
+    w = (Window.orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (spine.join(per_band, spine.band == per_band.first_band, "left")
+           .select("band",
+                   F.coalesce("n_cand_b", F.lit(0)).alias("c"),
+                   F.coalesce("n_dup_b", F.lit(0)).alias("p"))
+           .select("band",
+                   F.sum("c").over(w).cast("bigint").alias("n_candidates"),
+                   F.sum("p").over(w).cast("bigint").alias("n_dup_pairs")))
     a = eb.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
                   F.col("nrm").alias("n1"))
     b = eb.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),

@@ -180,6 +180,60 @@ def run_tier(spark: SparkSession, tier: str, full: bool) -> None:
         else:
             mp_recall_s = "skipped"
 
+        # OR-banding: B independent plane SETS (seeds 42+band, band 0 =
+        # the single-band geometry above), candidates = union of
+        # same-bucket pairs across bands — e116's graded semantics at the
+        # kNN grain. Candidate count is the per-band sum (the work
+        # actually done; overlaps fold twice here, unlike e116's
+        # first-band attribution which the graded query pins exactly).
+        n_bands = 4
+        ebs = e
+        for band in range(n_bands):
+            planes = _lsh_planes(n_planes=n_planes, seed=42 + band)
+            bucket = None
+            for p, plane in enumerate(planes):
+                plane_col = F.array(*[F.lit(v) for v in plane])
+                bit = (F.when(adot(plane_col, F.col("emb")) >= 0,
+                              F.lit(1 << p)).otherwise(F.lit(0)))
+                bucket = bit if bucket is None else bucket + bit
+            ebs = ebs.withColumn(f"bucket_{band}", bucket)
+        ob_cand = 0
+        band_pairs = []
+        for band in range(n_bands):
+            bsizes = (ebs.groupBy(f"bucket_{band}")
+                      .agg(F.count(F.lit(1)).alias("nc")))
+            bq = (ebs.filter(q_ids).groupBy(f"bucket_{band}")
+                  .agg(F.count(F.lit(1)).alias("nq")))
+            ob_cand += (bsizes.join(bq, f"bucket_{band}")
+                        .agg(F.sum(F.col("nc").cast("bigint")
+                                   * F.col("nq"))).first()[0]) or 0
+            band_pairs.append(
+                ebs.join(F.broadcast(
+                    ebs.filter(q_ids).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("emb").alias("qemb"),
+                        F.col("nrm").alias("qnrm"),
+                        F.col(f"bucket_{band}"))), f"bucket_{band}")
+                .filter(F.col("query_id") != F.col("vec_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        F.round(adot(F.col("qemb"), F.col("emb"))
+                                / (F.col("qnrm") * F.col("nrm")), 6)
+                        .alias("cosine")))
+        t0 = time.time()
+        ob_pairs = band_pairs[0]
+        for bp in band_pairs[1:]:
+            ob_pairs = ob_pairs.unionByName(bp)
+        ob_top = topk(ob_pairs.dropDuplicates(["query_id", "neighbor_id"])) \
+            .localCheckpoint(eager=True)
+        ob_top.count()
+        ob_sec = time.time() - t0
+        if exact_top is not None:
+            ob_hits = exact_top.join(ob_top, ["query_id", "neighbor_id"]) \
+                .count()
+            ob_recall_s = f"{ob_hits / exact_top.count():.3f}"
+        else:
+            ob_recall_s = "skipped"
+
         print(f"{tier:7s} planes={n_planes} n={n:6d} q={n_q:4d} "
               f"brute_cand={brute_candidates:12,d} "
               f"lsh_cand={cand:12,d} "
@@ -188,7 +242,9 @@ def run_tier(spark: SparkSession, tier: str, full: bool) -> None:
               f"brute_sec={brute_sec if brute_sec is None else round(brute_sec, 1)} "
               f"recall@5={recall_s} | multiprobe(H<=1) "
               f"cand={mp_cand:12,d} sec={mp_sec:5.1f} "
-              f"recall@5={mp_recall_s}")
+              f"recall@5={mp_recall_s} | orband(B={n_bands}) "
+              f"cand={ob_cand:12,d} sec={ob_sec:5.1f} "
+              f"recall@5={ob_recall_s}")
 
 
 def main() -> None:

@@ -1211,3 +1211,73 @@ def test_b3_b10_tuning_metric_fingerprint_pinned(run):
                  for r in run("b10_predefined_split_tuning").collect())
     assert b10 == [(0.01, 0.328882682, 42100, 17900),
                    (0.1, 0.328882682, 42100, 17900)]
+
+
+def test_e116_or_banding_disjoint_attribution_and_e115_crosspin(spark):
+    """e116's load-bearing claims: (1) each candidate pair is emitted by
+    exactly ONE band's join — the earlier-band-mismatch filters make the
+    union dedup-free, which the graded plan relies on; (2) the
+    (pair → first_band) attribution matches an independent driver-side
+    recomputation over the per-vector bucket columns, i.e. the B joins +
+    filters reproduce the declared OR-banding semantics exactly
+    (completeness AND attribution, not just uniqueness); (3) the graded
+    band-0 row equals e115's depth-0 row value-for-value — band 0 reuses
+    THE single-band planes on THE same sample, so the two recall
+    mitigations are pinned to one shared baseline; (4) on the graded
+    output recall is monotone, every band adds candidates at sf0.01, and
+    the 4-band union finds strictly more dup pairs than band 0 alone
+    (the buy-back the query exists to pin — fixture geometry, so
+    sf0.01-guarded like e115's)."""
+    import os
+
+    from pyspark_ml_features_spark.functions.arrays import to_double_array
+    from pyspark_ml_features_spark.operators.similarity import _bucketize
+    from pyspark_ml_features_spark.operators.surface13 import (
+        N_BANDS,
+        _band_planes,
+        or_band_candidates,
+    )
+
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.01":
+        pytest.skip("band-growth values pinned at sf0.01 geometry only")
+    eb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+          .filter(F.col("vec_id") % 5 == 0)
+          .select("vec_id", to_double_array("embedding").alias("emb")))
+    for band in range(N_BANDS):
+        eb = _bucketize(eb, planes=_band_planes(band),
+                        bucket_col=f"bucket_{band}")
+    buckets = {r["vec_id"]: [r[f"bucket_{b}"] for b in range(N_BANDS)]
+               for r in eb.select(
+                   "vec_id", *[f"bucket_{b}" for b in range(N_BANDS)])
+               .collect()}
+    # independent driver-side attribution over all pairs
+    ids = sorted(buckets)
+    expected: dict[tuple[int, int], int] = {}
+    for i, v1 in enumerate(ids):
+        for v2 in ids[i + 1:]:
+            for band in range(N_BANDS):
+                if buckets[v1][band] == buckets[v2][band]:
+                    expected[(v1, v2)] = band
+                    break
+    got: dict[tuple[int, int], int] = {}
+    for r in (or_band_candidates(eb)
+              .select("v1", "v2", "first_band").collect()):
+        key = (r["v1"], r["v2"])
+        assert key not in got, f"pair {key} emitted by two bands"
+        got[key] = r["first_band"]
+    assert got == expected
+    # graded output vs e115: band 0 IS depth 0
+    out = {r["band"]: r for r in
+           ALL["e116_or_banding_recall"].fn(spark, SF_DIR).collect()}
+    e115 = {r["probe_depth"]: r for r in
+            ALL["e115_multiprobe_lsh_recall"].fn(spark, SF_DIR).collect()}
+    for col in ("n_candidates", "n_dup_pairs", "n_true_pairs"):
+        assert out[0][col] == e115[0][col], (
+            f"band-0 {col} must equal e115 depth-0 (shared planes/sample)")
+    cands = [out[b]["n_candidates"] for b in range(N_BANDS)]
+    dups = [out[b]["n_dup_pairs"] for b in range(N_BANDS)]
+    assert all(b > a for a, b in zip(cands, cands[1:])), (
+        "every band must add candidates at sf0.01")
+    assert all(b >= a for a, b in zip(dups, dups[1:]))
+    assert dups[-1] > dups[0], "OR-banding must buy back recall"
+    assert out[0]["n_true_pairs"] >= dups[-1]

@@ -321,6 +321,9 @@ BNLJ_ALLOWED = {
                                    # (e4c shape) + single-row truth cross
                                    # join; the candidate joins themselves
                                    # are bucket-key equi-joins
+    "e116_or_banding_recall",  # same truth-denominator shape as e115;
+                               # the per-band candidate joins are
+                               # bucket-key equi-joins
 }
 # Row-at-a-time Python: exactly the two deliberate demonstrations.
 ROW_PYTHON_ALLOWED = {

@@ -203,6 +203,10 @@ DEFERRED_ORACLES: set[str] = {
     # r13 tail (surface13, imported last): backlog empty post-r12,
     # grades same-round — locally hash-verified at sf0.01 AND sf0.1
     "e115_multiprobe_lsh_recall",
+    # r13-extension tail (driver re-opened the round): backlog was
+    # {e115} when e116 registered, so both grade in CORRECTNESS_r13 —
+    # locally hash-verified at sf0.01 AND sf0.1
+    "e116_or_banding_recall",
 }
 
 
