@@ -1,5 +1,7 @@
-"""Round-13 surface: multi-probe LSH recall buy-back (e115) — the one
-genuinely-new class the r12 verdict named (VERDICT r12 task 5).
+"""Round-13 surface: the two LSH recall mitigations as exactness pins —
+multi-probe (e115, the one genuinely-new class the r12 verdict named,
+VERDICT r12 task 5) and OR-banding (e116, the round-14 plan's named
+candidate, added in the round-13 extension window).
 
 DESIGN_SCALE's r12 section names multi-probe/OR-banding as the recall
 mitigation for e112's bucket-boundary loss, but nothing graded it; this
@@ -261,7 +263,7 @@ def e116_or_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b ∈ [0, 4) with the CUMULATIVE candidate-pair count using bands 0..b,
     the cumulative semantic-dup pairs found (rounded cosine ≥ e112's
     threshold), and the all-pairs truth on the same deterministic 20%
-    sample (vec_id % 5 = 0 — e115's sample, so the two mitigation's
+    sample (vec_id % 5 = 0 — e115's sample, so the two mitigations'
     recall-vs-candidates columns are directly comparable row-for-row and
     the band-0 row IS e115's depth-0 row).
 
