@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -378,9 +379,13 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted_lang, best_score) for the held-out slice; the ONE Spark
     definition shared by t18 and e111's chain (surface11), paired with
     LANGID_PRED_CTE on the SQL side."""
-    d = (table(spark, sf_dir, "documents")
-         .select("doc_id", "lang",
-                 F.substring("text", 1, LANGID_SCAN_CHARS).alias("head")))
+    # fan_out: trigram extraction is O(min(chars, W)^2) per doc on both
+    # the train and held-out lineages; the unsplittable single-row-group
+    # scan otherwise runs every extraction on one task.
+    d = fan_out(table(spark, sf_dir, "documents")
+                .select("doc_id", "lang",
+                        F.substring("text", 1, LANGID_SCAN_CHARS)
+                        .alias("head")), "doc_id")
     grams = F.when(
         F.length("head") >= 3,
         F.transform(F.sequence(F.lit(1), F.length("head") - 2),

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.functions.text import tokens, word_ngrams
 from pyspark_ml_features_spark.plans.audit import probe_checkpoint
 from pyspark_ml_features_spark.registry import register
@@ -267,7 +268,11 @@ def token_hash_arrays(d: DataFrame) -> DataFrame:
     be re-evaluated per shingle)."""
     from pyspark_ml_features_spark.functions.text import rolling_hash, tokens
 
-    return d.select("doc_id", F.transform(
+    # fan_out: the per-token hash transform (and the shingle fold every
+    # caller layers on top) is the CPU wall of the minhash family; a
+    # single-row-group scan otherwise runs it all on one task (no-op on
+    # a multi-split cluster scan).
+    return fan_out(d, "doc_id").select("doc_id", F.transform(
         tokens("text"), lambda tok: rolling_hash(tok)).alias("th"))
 
 
@@ -647,9 +652,12 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         tokens,
     )
 
-    tok = (df.select("doc_id", F.explode(
-        F.array_distinct(tokens(text_col))).alias("t"))
-        .withColumn("h", rolling_hash(F.col("t"))))
+    # fan_out: tokenize + 4 affine hashes + 64 partial sums per token are
+    # the simhash CPU wall; spread the unsplittable scan before them.
+    tok = (fan_out(df, "doc_id")
+           .select("doc_id", F.explode(
+               F.array_distinct(tokens(text_col))).alias("t"))
+           .withColumn("h", rolling_hash(F.col("t"))))
     for k, (a, b) in enumerate(SIMHASH64_AFFINE):
         tok = tok.withColumn(f"h{k}", (F.lit(a) * F.col("h") + b) % HASH_MOD)
     aggs = [
@@ -967,7 +975,10 @@ def e31_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     here keeps the oracle collision-free by construction. The oracle
     states the same semantics as a window rank — proving the
     aggregate+join rewrite IS first-occurrence-keep."""
-    d = table(spark, sf_dir, "documents")
+    # fan_out: the line build (tokenize + per-line slice/concat, consumed
+    # by BOTH the first-occurrence aggregate and the join-back lineage)
+    # otherwise runs twice on one task over the unsplittable scan.
+    d = fan_out(table(spark, sf_dir, "documents"), "doc_id")
     t = tokens("text")
     n_lines = (F.floor((F.size(t) - 1) / LINE_WORDS) + 1).cast("int")
     lines = F.transform(
@@ -1693,7 +1704,11 @@ def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 5
     d = table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # fan_out: the gram build (per-token hash transform + K-fold per
+    # position, consumed by BOTH the dupg aggregate and the hits join
+    # lineage) is the CPU wall; spread the unsplittable scan before it.
+    words = fan_out(d, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w"))
     # token hashes materialized once per row (own Project — the e5/e33
     # lesson), then each gram key is an O(K) numeric combine over the
     # hash array: two independent bases folded mod p and packed into one

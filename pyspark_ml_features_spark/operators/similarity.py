@@ -30,6 +30,7 @@ from pyspark_ml_features_spark.functions.arrays import (
     l2_norm,
     to_double_array,
 )
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -145,8 +146,11 @@ def e4_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for a deterministic query subset
     (vec_id % 50 = 0). The query side is broadcast; norms are precomputed
     per side so the corpus scan computes one fold per (query, row)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
+    # fan_out: one 64-element fold per (query, corpus-row) pair is the
+    # CPU wall; the single-row-group scan otherwise runs every fold on
+    # one task (no-op on a multi-split cluster scan).
+    e = fan_out(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")), "vec_id")
     e = e.withColumn("nrm", l2_norm(F.col("emb")))
     q = (e.filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"),
@@ -350,8 +354,11 @@ def e4e_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the corpus scan reads 64 B/vector instead of 512 B — at this scan-
     bound regime the compression IS the speedup; at billion-vector scale
     compose with e4b's bucketing (quantize within buckets)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
+    # fan_out: quantization + norm folds + one 64-element integer dot
+    # per (query, corpus-row) pair all serialize on the unsplittable
+    # single-row-group scan otherwise.
+    e = fan_out(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")), "vec_id")
     ma = F.aggregate(F.transform(F.col("emb"), lambda x: F.abs(x)),
                      F.lit(0.0), lambda acc, x: F.greatest(acc, x))
     # two-step selects: materialize ma, then q8, then its norm, so no fold

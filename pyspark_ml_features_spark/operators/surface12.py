@@ -26,6 +26,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -286,7 +287,10 @@ def e113_image_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark_ml_features_spark.operators.packing import greedy_pack
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # fan_out: per-doc PNG synth + real decode is the CPU wall; the
+    # unsplittable single-row-group scan is otherwise one task.
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "lang"),
+                "doc_id")
 
     def _decode_tokens(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

