@@ -199,13 +199,28 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Compact separators keep the one-line JSON under 2000 chars (1938 at
+    # 63 queries) so a tail-truncating log store keeps the WHOLE line, and
+    # flush=True defends against a block-buffered pipe dropping it on exit;
+    # a sidecar copy next to this script survives any stdout loss outright
+    # (VERDICT r13 item 4: BENCH_r12's stored tail lost the line's head and
+    # nulled the round-over-round comparison). Same keys, same values, same
+    # methodology — formatting only.
+    line = json.dumps({
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }, separators=(",", ":"))
+    print(line, flush=True)
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json")
+        with open(sidecar, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line already carries everything
     spark.stop()
 
 

@@ -46,6 +46,13 @@ def fan_out(df: DataFrame, *key_cols: str,
     the exchange adds no sorter page reservation. Results never depend
     on partitioning for the value-determined operators this engine
     registers.
+
+    Call this DIRECTLY on a scan (or a scan + narrow projection), not
+    mid-lineage: the ``df.rdd.getNumPartitions()`` gate forces full
+    physical planning of the upstream frame on every call and reflects
+    plan-time (pre-AQE) partitioning — cheap and correct for a raw
+    scan, expensive and potentially misleading after a shuffle
+    (ADVICE r13).
     """
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism

@@ -652,9 +652,13 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         tokens,
     )
 
-    # fan_out: tokenize + 4 affine hashes + 64 partial sums per token are
-    # the simhash CPU wall; spread the unsplittable scan before them.
-    tok = (fan_out(df, "doc_id")
+    # fan_out REVERTED here (r14): the r13 exchange made e2d 1.5× slower
+    # on both driver channels (2.88 s @32c, 2.87 s @8c vs r12's 1.93 s,
+    # core-insensitive) — exactly the pre-registered revert criterion.
+    # The 64 partial aggregates are map-side-combinable, so the groupBy
+    # exchange right above already caps the serial window at the partial
+    # agg, and the added repartition only delayed it (VERDICT r13 item 2).
+    tok = (df
            .select("doc_id", F.explode(
                F.array_distinct(tokens(text_col))).alias("t"))
            .withColumn("h", rolling_hash(F.col("t"))))
@@ -1705,9 +1709,14 @@ def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 5
     d = table(spark, sf_dir, "documents")
     # fan_out: the gram build (per-token hash transform + K-fold per
-    # position, consumed by BOTH the dupg aggregate and the hits join
-    # lineage) is the CPU wall; spread the unsplittable scan before it.
-    words = fan_out(d, "doc_id").select(
+    # position) is the CPU wall; spread the unsplittable scan before it.
+    # Since r14 the build feeds ONE lineage (the dup-gram window below
+    # replaced the aggregate+join-back pair), so it runs exactly once.
+    # The tiny broadcast n_words side at the end derives from the
+    # UN-fanned frame (the e4 ADVICE r13 pattern): one split() per doc
+    # on one task beats paying the repartition exchange there too.
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    fanned = fan_out(d, "doc_id").select(
         "doc_id", F.split("text", " ").alias("w"))
     # token hashes materialized once per row (own Project — the e5/e33
     # lesson), then each gram key is an O(K) numeric combine over the
@@ -1716,7 +1725,7 @@ def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~30-byte gram string, and the oracle mirrors the same arithmetic
     # so parity stays bit-exact (cross-engine collision-free by
     # construction: both engines compute the identical key).
-    th_docs = words.select(
+    th_docs = fanned.select(
         "doc_id", "w",
         F.transform("w", lambda tok: rolling_hash(tok)).alias("th"))
 
@@ -1735,10 +1744,18 @@ def e69_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             starts,
             lambda i: fold(i, 10007) * F.lit(2147483648) + fold(i, 5003)))
         .alias("pos", "gram"))
-    dupg = (grams.groupBy("gram")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= 2).select("gram"))
-    hits = grams.join(dupg, "gram").select("doc_id", "pos")
+    # r14 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): a gram is cross-doc-duplicated iff it occurs in >= 2
+    # DISTINCT documents iff min(doc_id) != max(doc_id) over the gram's
+    # rows — one window on gram replaces the groupBy(gram)+join-back,
+    # so the gram table shuffles ONCE instead of twice and the
+    # compute-dense gram build runs once instead of once per lineage.
+    w_gram = Window.partitionBy("gram")
+    hits = (grams
+            .withColumn("_dmin", F.min("doc_id").over(w_gram))
+            .withColumn("_dmax", F.max("doc_id").over(w_gram))
+            .filter(F.col("_dmin") != F.col("_dmax"))
+            .select("doc_id", "pos"))
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + K).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1))

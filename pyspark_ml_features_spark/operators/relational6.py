@@ -355,16 +355,14 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e48's rule). localCheckpoint freezes the partition assignment so
     the count pass and the rank pass see identical pids (e45's rule).
 
-    100 TB: three bounded full-data exchanges — range partition, the
-    rank window's pid hash (partition-aligned, no fan-out; see
-    distributed_row_number's executed-plan note), and the rank-key hash
-    for the mean — plus one metadata-sized collect (P rows). The ranked
-    lineage is consumed twice (rank-means, join-back), which re-runs
-    the pid window per lineage; measured free at sf0.1 over the
-    memory-resident checkpoint, persist-before-fan-out at cluster
-    scale. This is how distributed engines implement
-    ORDER BY-with-row-number at scale; the same primitive serves ECDF
-    and exact-quantile assignment."""
+    100 TB: two bounded full-data exchanges — range partition, and ONE
+    rank-key hash under which the rank-mean window computes avg-per-rank
+    in place (r14: the groupBy(rk)+join-back pair re-shuffled the full
+    data twice and consumed the checkpoint per lineage; the window
+    consumes it once) — plus one metadata-sized collect (P rows). This
+    is how distributed engines implement ORDER BY-with-row-number at
+    scale; the same primitive serves ECDF and exact-quantile
+    assignment."""
     li = table(spark, sf_dir, "lineitem")
     long = li.selectExpr(
         "l_orderkey", "l_linenumber",
@@ -382,9 +380,16 @@ def d106_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("q"), F.lit(2 * n_per_feat))
     ranked = ranked.withColumn(
         "rk", (F.col("grk") - feat_base[F.col("feat")]).cast("bigint"))
-    rank_means = (ranked.groupBy("rk")
-                  .agg(F.round(F.avg("val"), 6).alias("qnorm")))
-    return (ranked.join(rank_means, "rk")
+    # r14 (guide §2.4): the rank-mean needs every row of a rank together,
+    # and the join-back needs the same clustering — one window over rk
+    # computes avg-per-rank in place, replacing groupBy(rk)+join-back.
+    # The ranked lineage is now consumed ONCE (one rk exchange instead of
+    # two full-data rk exchanges + the join), and the oracle's
+    # avg-over-3-doubles is order-robust at 6 dp on this data (parity
+    # re-verified at sf0.001/0.01/0.1).
+    w_rk = Window.partitionBy("rk")
+    return (ranked
+            .withColumn("qnorm", F.round(F.avg("val").over(w_rk), 6))
             .select("l_orderkey", "l_linenumber", "feat", "val", "rk",
                     "qnorm"))
 

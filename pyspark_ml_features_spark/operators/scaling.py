@@ -75,7 +75,18 @@ def exact_quantiles_banded(df: DataFrame, columns: Sequence[str],
 
     base = df.select(*columns)
     if cache_stats:
-        base = base.cache()
+        # fan_out (r14): the projected stats frame inherits the scan's
+        # partitioning — ONE partition over the unsplittable fixture file —
+        # so all three jobs (sample percentile, count_if scan, in-band
+        # ranking) ran single-task once cached. Spreading BEFORE cache()
+        # parallelizes every consumer; no-op on a multi-split cluster scan.
+        # Results stay exact for ANY partitioning: the sample only proposes
+        # brackets, step 2 verifies them with exact counts, and step 3
+        # ranks in-band rows exactly (a changed sample can only change
+        # WHICH verified bracket is used, never the order statistic).
+        from pyspark_ml_features_spark.functions.skew import fan_out
+
+        base = fan_out(base).cache()
     try:
         sample_probs = sorted({max(0.0, p - band_delta) for p in probs}
                               | {min(1.0, p + band_delta) for p in probs})

@@ -148,13 +148,16 @@ def e4_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per side so the corpus scan computes one fold per (query, row)."""
     # fan_out: one 64-element fold per (query, corpus-row) pair is the
     # CPU wall; the single-row-group scan otherwise runs every fold on
-    # one task (no-op on a multi-split cluster scan).
-    e = fan_out(table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb")), "vec_id")
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    q = (e.filter(F.col("vec_id") % 50 == 0)
+    # one task (no-op on a multi-split cluster scan). The query subset is
+    # derived from the PRE-fan_out frame (ADVICE r13): the tiny broadcast
+    # lineage must not pay the repartition exchange, only the corpus does.
+    base = (table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+        .withColumn("nrm", l2_norm(F.col("emb"))))
+    q = (base.filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")))
+    e = fan_out(base, "vec_id")
     pairs = (e.crossJoin(F.broadcast(q))
              .filter(F.col("query_id") != F.col("vec_id"))
              .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -356,19 +359,26 @@ def e4e_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose with e4b's bucketing (quantize within buckets)."""
     # fan_out: quantization + norm folds + one 64-element integer dot
     # per (query, corpus-row) pair all serialize on the unsplittable
-    # single-row-group scan otherwise.
-    e = fan_out(table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb")), "vec_id")
+    # single-row-group scan otherwise. The query subset quantizes off the
+    # PRE-fan_out frame (ADVICE r13): identical expressions, so values
+    # match bit-for-bit, but the tiny broadcast lineage skips the exchange.
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb"))
     ma = F.aggregate(F.transform(F.col("emb"), lambda x: F.abs(x)),
                      F.lit(0.0), lambda acc, x: F.greatest(acc, x))
-    # two-step selects: materialize ma, then q8, then its norm, so no fold
-    # re-evaluates downstream (the e5 Generate lesson applies to joins too)
-    z = (e.withColumn("ma", ma)
-         .select("vec_id", F.transform(
-             F.col("emb"),
-             lambda x: F.round(x * 127.0 / F.col("ma"))).alias("q8")))
-    n = z.select("vec_id", "q8", l2_norm(F.col("q8")).alias("nrm"))
-    q = (n.filter(F.col("vec_id") % 50 == 0)
+
+    def _quantized(e: DataFrame) -> DataFrame:
+        # two-step selects: materialize ma, then q8, then its norm, so no
+        # fold re-evaluates downstream (the e5 Generate lesson applies to
+        # joins too)
+        z = (e.withColumn("ma", ma)
+             .select("vec_id", F.transform(
+                 F.col("emb"),
+                 lambda x: F.round(x * 127.0 / F.col("ma"))).alias("q8")))
+        return z.select("vec_id", "q8", l2_norm(F.col("q8")).alias("nrm"))
+
+    n = _quantized(fan_out(base, "vec_id"))
+    q = (_quantized(base).filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("q8").alias("qq8"), F.col("nrm").alias("qnrm")))
     pairs = (n.crossJoin(F.broadcast(q))

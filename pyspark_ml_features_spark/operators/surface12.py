@@ -136,8 +136,12 @@ def e112_semantic_dedup_chain(spark: SparkSession,
     disposition-audit doctrine)."""
     from pyspark_ml_features_spark.functions.arrays import to_double_array
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb"))
+    # fan_out (r14, VERDICT r13 item 7): _bucketize's 5 64-element folds
+    # per row AND the within-bucket cosine folds downstream of the
+    # broadcast bucket join all inherit the unsplittable scan's ONE
+    # partition; spread it first (no-op on a multi-split cluster scan).
+    e = fan_out(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")), "vec_id")
     return semantic_dedup_disposition(e)
 
 
@@ -380,8 +384,11 @@ def e114_incremental_semantic_dedup(spark: SparkSession,
     surface10.py:e107 (the incremental==batch doctrine)."""
     from pyspark_ml_features_spark.functions.arrays import to_double_array
 
-    eb = _bucketize(table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb")))
+    # fan_out (r14): same unsplittable-scan + compute-dense shape as e112
+    # — bucketize folds and the post-broadcast-join cosine folds were
+    # single-task otherwise (no-op on a multi-split cluster scan).
+    eb = _bucketize(fan_out(table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")), "vec_id"))
 
     is_delta = F.col("vec_id") % 4 == 0
     # stage 1 (the "stored" state): base-only disposition — exactly

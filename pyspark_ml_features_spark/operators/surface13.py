@@ -39,6 +39,7 @@ from pyspark_ml_features_spark.operators.similarity import (
     _lsh_planes,
     _pair_cos,
 )
+from pyspark_ml_features_spark.functions.skew import fan_out
 from pyspark_ml_features_spark.operators.surface12 import SEMANTIC_DUP_COSINE
 from pyspark_ml_features_spark.registry import register
 from pyspark_ml_features_spark.sources import table
@@ -136,10 +137,15 @@ def e115_multiprobe_lsh_recall(spark: SparkSession,
     Cites: similarity.py:_bucketize/_lsh_planes (the shared bucketing),
     surface12.py:e112 (the single-probe consumer this de-risks),
     DESIGN_SCALE.md "Round-12 additions" (the mitigation this grades)."""
-    eb = _bucketize(table(spark, sf_dir, "embeddings")
-                    .filter(F.col("vec_id") % 5 == 0)
-                    .select("vec_id",
-                            to_double_array("embedding").alias("emb")))
+    # fan_out (r14): the probe-join cosine folds AND the all-pairs truth
+    # BNLJ (~80k 64-element folds at sf0.1) run on the stream side's
+    # partitioning — ONE task over the unsplittable scan otherwise
+    # (no-op on a multi-split cluster scan).
+    eb = _bucketize(fan_out(table(spark, sf_dir, "embeddings")
+                            .filter(F.col("vec_id") % 5 == 0)
+                            .select("vec_id",
+                                    to_double_array("embedding")
+                                    .alias("emb")), "vec_id"))
     cand = multiprobe_candidates(eb)
     per_depth = (cand.select(
         "first_depth",
@@ -278,9 +284,13 @@ def e116_or_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     still the single shared definition), surface13.py:e115 (the sibling
     mitigation this is graded against), DESIGN_SCALE.md Round-12/13
     sections (the trade stress_ann measured, now an exactness pin)."""
-    eb = (table(spark, sf_dir, "embeddings")
-          .filter(F.col("vec_id") % 5 == 0)
-          .select("vec_id", to_double_array("embedding").alias("emb")))
+    # fan_out (r14): e115's shape with 4 independent band bucketizations
+    # (20 folds/row) plus the same truth BNLJ — all single-task on the
+    # unsplittable scan otherwise (no-op on a multi-split cluster scan).
+    eb = fan_out(table(spark, sf_dir, "embeddings")
+                 .filter(F.col("vec_id") % 5 == 0)
+                 .select("vec_id", to_double_array("embedding").alias("emb")),
+                 "vec_id")
     for band in range(N_BANDS):
         eb = _bucketize(eb, planes=_band_planes(band),
                         bucket_col=f"bucket_{band}")

@@ -3,8 +3,11 @@
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
 Writes plans/<tag>/<query>_<suffix>.txt (suffix from $PLAN_SUFFIX,
-default "before"). Plan capture never executes jobs (explain is
-plan-time only), so it is safe to run while other work shares the box.
+default "before"). explain("formatted") itself is plan-time only, BUT
+building a query that routes through probe_checkpoint (eager
+localCheckpoint — e.g. e102/e103 via doc_hashes, d106 via
+distributed_row_number) executes its pre-checkpoint stages at
+construction time, so do NOT run this alongside timing work.
 """
 
 from __future__ import annotations

@@ -34,9 +34,13 @@ def test_fan_out_noop_when_already_parallel(spark):
 
 
 def test_fan_out_preserves_rows_exactly(spark):
+    from collections import Counter
+
     from tests.conftest import SF_DIR
 
+    # Counter, not set: an exchange that dropped or duplicated a row whose
+    # exact duplicate survives would pass a set comparison (ADVICE r13).
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    base = {tuple(r) for r in d.collect()}
-    spread = {tuple(r) for r in fan_out(d, "doc_id").collect()}
+    base = Counter(tuple(r) for r in d.collect())
+    spread = Counter(tuple(r) for r in fan_out(d, "doc_id").collect())
     assert base == spread

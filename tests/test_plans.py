@@ -817,6 +817,42 @@ def test_distributed_rank_uses_range_partitioning(spark):
         "executed-plan finding this encoding eliminated)"
 
 
+def test_dup_span_report_single_gram_shuffle(spark):
+    """e69 (r14): the dup-gram decision is one window over gram —
+    min(doc_id) != max(doc_id) — not a groupBy(gram)+join-back, so the
+    gram table shuffles ONCE and the compute-dense gram build has ONE
+    consuming lineage. Pins: exactly three exchanges (fan_out, gram
+    window, doc_id islands window), exactly one join (the final
+    broadcast of the tiny n_words side, which must NOT pay a
+    repartition exchange — the e4 ADVICE r13 pattern), no shuffle join."""
+    import re
+
+    plan = _plan(spark, "e69_dup_span_report")
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) == 3, (
+        f"e69 must shuffle exactly 3× (fan_out, gram, doc_id); "
+        f"plan has {len(exchanges)}")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) == 1, \
+        "only the n_words attach may join"
+
+
+def test_quantile_normalize_single_post_checkpoint_exchange(spark):
+    """d106 (r14): the rank-mean is a window over rk, not a
+    groupBy(rk)+join-back — the post-checkpoint plan must carry exactly
+    ONE exchange (hash on rk), no aggregate, no join. The checkpoint's
+    range repartition stays audited via FIXPOINT_QUERIES."""
+    import re
+
+    plan = _plan(spark, "d106_quantile_normalize")
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) == 1, (
+        f"d106 post-checkpoint must shuffle exactly once (rk); "
+        f"plan has {len(exchanges)}")
+    assert "hashpartitioning(rk" in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
 def test_pagerank_round_is_single_shuffle_join(spark):
     """e60's per-round plan: contribution join + aggregate, no cartesian,
     no nested loop — the Pregel step shape."""

@@ -65,7 +65,9 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "d47_tpch_q18_large_orders": (0.12, 16.5),
     "d48_tpch_q21_waiting_supplier": (0.57, 17.0),
     "d37_tpch_q10_returned_items": (0.01, 16.2),
-    "e2d_simhash64_banded": (0.09, 520.0),
+    "e2d_simhash64_banded": (0.09, 16.2),  # r14: fan_out reverted — the
+    # 32-task page sum is gone; re-pinned DOWN so the ratchet regains
+    # sensitivity (ADVICE r13 on the ~1 GiB ceilings)
     "e31_line_dedup": (0.34, 520.0),
     "e25_corpus_curation": (0.00, 0.0),
     "d49_interpolate_gaps": (0.09, 16.2),
@@ -89,8 +91,17 @@ MEASURED = {  # query: (shuffle_MiB, peak_mem_MiB)
     "d98_asof_backward": (0.13, 16.2),
     "e51_greedy_packing": (0.01, 16.1),
     "e52_bloom_decontaminate": (0.02, 16.2),
-    "d106_quantile_normalize": (3.62, 519.2),
-    "e69_dup_span_report": (0.51, 456.0),
+    # r14 re-pins (2026-08-18, via scripts/measure_shuffle.py) for the
+    # two single-shuffle rewrites: d106's rank-mean window shuffles full
+    # rows where the old groupBy(rk) partial-agg + BROADCAST join-back
+    # shuffled partials only at THIS scale (at 100 TB the join-back side
+    # cannot broadcast and pays a second full exchange — the plan now has
+    # 2 exchanges instead of 3 and one lineage instead of two); e69's
+    # dup-gram window shuffles (gram, doc_id, pos) rows without the old
+    # countDistinct partial-agg compression but drops the join-back
+    # exchange AND the 456 MiB 32-task agg page sum (peak 456 -> 17).
+    "d106_quantile_normalize": (5.09, 518.9),
+    "e69_dup_span_report": (0.70, 17.0),
     "e71_image_resize": (0.00, 0.0),
     "d114_ab_welch_ttest": (0.00, 0.0),
     "d118_count_min_sketch": (0.04, 16.2),
