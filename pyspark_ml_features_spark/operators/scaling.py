@@ -76,9 +76,11 @@ def exact_quantiles_banded(df: DataFrame, columns: Sequence[str],
     base = df.select(*columns)
     if cache_stats:
         # fan_out (r14): the projected stats frame inherits the scan's
-        # partitioning — ONE partition over the unsplittable fixture file —
-        # so all three jobs (sample percentile, count_if scan, in-band
-        # ranking) ran single-task once cached. Spreading BEFORE cache()
+        # partitioning — one NON-EMPTY partition over the unsplittable
+        # fixture file (the single row group lands in the split holding
+        # its midpoint; sibling splits read zero rows) — so all three
+        # jobs (sample percentile, count_if scan, in-band ranking) ran
+        # single-task once cached. Spreading BEFORE cache()
         # parallelizes every consumer; no-op on a multi-split cluster scan.
         # Results stay exact for ANY partitioning: the sample only proposes
         # brackets, step 2 verifies them with exact counts, and step 3

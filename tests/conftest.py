@@ -27,6 +27,37 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def built(spark):
+    """Session-scoped (query, sf_dir) -> (DataFrame, checkpoint captures)
+    memo. Building a query is NOT free: eager localCheckpoints execute
+    their pre-checkpoint stages and streaming queries drain their
+    micro-batches at build time, and the registry-wide sweeps
+    (scale-safety, schema-scalar, fixpoint internals, advisor, parity)
+    each re-paid that cost per sweep — the dominant share of the suite
+    wall (VERDICT r13 item 3: the suite outgrew the driver's pytest
+    window). Consumers only READ the built frame (plan text, schema,
+    toPandas), so one build per (query, scale) per session is exact.
+    """
+    from pyspark_ml_features_spark import registry
+    from pyspark_ml_features_spark.plans.audit import (
+        capture_checkpoint_plans,
+    )
+
+    qs = registry.all_queries()
+    cache: dict = {}
+
+    def build(name: str, sf_dir: str):
+        key = (name, sf_dir)
+        if key not in cache:
+            with capture_checkpoint_plans() as captured:
+                df = qs[name].fn(spark, sf_dir)
+            cache[key] = (df, list(captured))
+        return cache[key]
+
+    return build
+
+
+@pytest.fixture(scope="session")
 def ddb():
     con = duckdb.connect()
     for t in TABLES:

@@ -72,17 +72,17 @@ def test_executed_mode_reports_no_spill_on_small_data(spark):
     assert "spill" not in rules
 
 
-def test_registry_headline_is_advisor_clean(spark):
+def test_registry_headline_is_advisor_clean(built):
     """The bench headline must carry no error-severity findings — the
-    advisor agrees with the registry's own plan gates."""
+    advisor agrees with the registry's own plan gates. Frames come from
+    the session build cache (r14): advise() only reads the plan, and the
+    parity sweep re-uses the same builds."""
     import bench
-    from pyspark_ml_features_spark import registry
 
-    qs = registry.all_queries()
     allowed_errors = {"d22_row_udf"}  # the documented anti-baseline demo
     for name in bench.HEADLINE:
         if name in allowed_errors:
             continue
-        findings = advise(qs[name].fn(spark, SF_DIR))
+        findings = advise(built(name, SF_DIR)[0])
         errors = [f for f in findings if f.severity == "error"]
         assert not errors, f"{name}: {[(f.rule, f.message) for f in errors]}"

@@ -18,17 +18,17 @@ ROWS_ONLY_NAMES = sorted(n for n, q in ALL.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
-def test_oracle_parity(spark, ddb, name):
+def test_oracle_parity(built, ddb, name):
     q = ALL[name]
-    spark_pdf = q.fn(spark, SF_DIR).toPandas()
+    spark_pdf = built(name, SF_DIR)[0].toPandas()
     oracle_pdf = ddb.execute(q.oracle).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_runs(spark, name):
+def test_rows_only_runs(built, name):
     """Queries without an oracle must at least run and return a schema."""
-    df = ALL[name].fn(spark, SF_DIR)
+    df = built(name, SF_DIR)[0]
     assert df.columns, f"{name}: empty schema"
     df.limit(5).collect()  # must execute without error
 

@@ -458,22 +458,21 @@ FIXPOINT_MAX_HINTS = {
 }
 
 
-def test_fixpoint_internal_plans_are_scale_safe(spark):
+def test_fixpoint_internal_plans_are_scale_safe(built):
     """VERDICT r5 task 4: the registry-wide audit sees only the plan AFTER
     the last localCheckpoint, so a CartesianProduct inside a fixpoint
     round's lineage was a blind spot. Every fixpoint checkpoints through
     plans.audit.probe_checkpoint; this test executes each iterative query
-    under capture and runs the same cartesian/BNLJ/Python/hint ratchet
-    over every pre-truncation plan — it fails if an all-pairs join or an
-    unallowlisted Python boundary appears inside ANY round."""
-    from pyspark_ml_features_spark.plans.audit import (
-        audit_text, capture_checkpoint_plans)
-    from tests.conftest import SMOKE_SF_DIR
+    under capture (via the session build cache) and runs the same
+    cartesian/BNLJ/Python/hint ratchet over every pre-truncation plan —
+    it fails if an all-pairs join or an unallowlisted Python boundary
+    appears inside ANY round."""
+    from pyspark_ml_features_spark.plans.audit import audit_text
+    from tests.conftest import SF_DIR
 
     violations = []
     for name, bnlj_labels in FIXPOINT_QUERIES.items():
-        with capture_checkpoint_plans() as captured:
-            ALL[name].fn(spark, SMOKE_SF_DIR)
+        _, captured = built(name, SF_DIR)
         assert captured, (
             f"{name}: no pre-checkpoint plan captured — its fixpoint no "
             f"longer routes through probe_checkpoint, so the internal-plan "
@@ -499,15 +498,18 @@ def test_fixpoint_internal_plans_are_scale_safe(spark):
     assert not violations, "\n".join(violations)
 
 
-def test_registry_wide_scale_safety(spark):
+def test_registry_wide_scale_safety(built):
     """Every declared query: no CartesianProduct ever; BNLJ / row-Python /
     Arrow-Python only where allowlisted above. New queries are born clean
     or must justify themselves here — the ratchet that keeps the 100 TB
-    posture from regressing one query at a time. Runs at sf0.001 (plans
-    don't depend on scale; eager ML fits stay cheap)."""
-    from pyspark_ml_features_spark.plans.audit import (
-        audit, audit_text, capture_checkpoint_plans)
-    from tests.conftest import SMOKE_SF_DIR
+    posture from regressing one query at a time. Plans don't depend on
+    scale, so this reads the session build cache at the parity scale
+    (SF_DIR): the oracle-parity sweep already paid for every build —
+    eager checkpoints, stream drains, ML fits included — so this audit
+    adds only the plan reads (r14, VERDICT r13 item 3: the suite
+    outgrew the driver's pytest window re-paying builds per sweep)."""
+    from pyspark_ml_features_spark.plans.audit import audit, audit_text
+    from tests.conftest import SF_DIR
 
     violations = []
 
@@ -523,9 +525,8 @@ def test_registry_wide_scale_safety(spark):
             violations.append(f"{where}: unexpected Python boundary")
 
     streams_audited = 0
-    for name, q in ALL.items():
-        with capture_checkpoint_plans() as captured:
-            df = q.fn(spark, SMOKE_SF_DIR)
+    for name in ALL:
+        df, captured = built(name, SF_DIR)
         check(name, audit(df), name)
         # Streaming queries drain eagerly inside fn(); the returned
         # memory-sink table is plan-opaque for everything upstream of

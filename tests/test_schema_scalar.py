@@ -6,8 +6,10 @@ with pandas ``sort_values`` over all columns, which raises
 five CORRECTNESS rows to exactly this (VERDICT.md item 1). Flatten arrays to
 (id, dim, value) rows (e11/e15/e5 pattern) or element columns (b1/b5/b8).
 
-Schemas don't depend on scale, so this runs at sf0.001 to keep the eager
-ML fits (b3, b5, b8, b10, e8b, e4d) cheap.
+Schemas don't depend on scale, so this reads the session build cache at
+the parity scale (SF_DIR): the oracle-parity sweep already paid for every
+build (eager ML fits included) — this check adds only the schema reads
+(r14, the suite-wall fix).
 """
 
 from __future__ import annotations
@@ -16,14 +18,14 @@ import pytest
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from pyspark_ml_features_spark import registry
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import SF_DIR
 
 ALL = registry.all_queries()
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
-def test_output_schema_is_scalar_only(spark, name):
-    df = ALL[name].fn(spark, SMOKE_SF_DIR)
+def test_output_schema_is_scalar_only(built, name):
+    df, _ = built(name, SF_DIR)
     offenders = [f.name for f in df.schema.fields
                  if isinstance(f.dataType, (ArrayType, MapType, StructType))]
     assert not offenders, (
